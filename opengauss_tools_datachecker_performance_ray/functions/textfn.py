@@ -1,0 +1,180 @@
+"""Vectorized text-analysis + dedup primitives for document pipelines.
+
+North-rule / training-data extensions over the ``documents`` table:
+language-ID heuristic, quality scoring, token counting, rolling-hash
+fingerprints, shingling, MinHash and SimHash. Everything is batch-
+oriented: one call absorbs a whole Arrow/pandas batch; per-row Python
+is confined to the unavoidable variable-length shingle explode, with
+the numeric inner loops in numpy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .hashing import hash64
+
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+# Tiny per-language stopword profiles (public common-knowledge lists).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "des", "pour"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "de", "por"},
+    "it": {"il", "la", "che", "e", "di", "non", "un", "una", "per", "sono"},
+}
+
+
+def token_counts(texts: pd.Series) -> np.ndarray:
+    """Whitespace/word-regex token count per document (BPE-ish proxy)."""
+    return texts.fillna("").str.count(_WORD_RE).to_numpy(dtype=np.int64)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality signals, one row per document."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    n_tokens = t.str.count(_WORD_RE).to_numpy(dtype=np.int64)
+    n_punct = t.str.count(_PUNCT_RE).to_numpy(dtype=np.int64)
+    denom = np.maximum(n_chars, 1)
+    mean_wl = n_chars / np.maximum(n_tokens, 1)
+    stop_en = t.str.lower().str.count(
+        r"\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+    ).to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / denom,
+        "stop_ratio": stop_en / np.maximum(n_tokens, 1),
+        "mean_word_len": mean_wl,
+    })
+
+
+def quality_score(texts: pd.Series) -> np.ndarray:
+    """Scalar [0,1] quality score from the heuristic features."""
+    f = quality_features(texts)
+    score = (
+        np.clip(f["n_tokens"] / 200.0, 0, 1) * 0.4
+        + np.clip(1.0 - f["punct_ratio"] * 4.0, 0, 1) * 0.3
+        + np.clip(f["stop_ratio"] * 5.0, 0, 1) * 0.3
+    )
+    return score.to_numpy(dtype=np.float64)
+
+
+def lang_id(texts: pd.Series) -> np.ndarray:
+    """Stopword-profile language guess over {en,de,fr,es,it}, else 'und'."""
+    t = texts.fillna("").str.lower()
+    scores = np.zeros((len(t), len(STOPWORDS)), dtype=np.int64)
+    langs = list(STOPWORDS)
+    for j, lang in enumerate(langs):
+        pat = r"\b(?:" + "|".join(sorted(STOPWORDS[lang])) + r")\b"
+        scores[:, j] = t.str.count(pat).to_numpy(dtype=np.int64)
+    best = scores.argmax(axis=1)
+    out = np.array(langs, dtype=object)[best]
+    out[scores.max(axis=1) == 0] = "und"
+    return out
+
+
+def fingerprint(texts: pd.Series) -> np.ndarray:
+    """64-bit whole-document fingerprint (content hash) per row."""
+    return hash64(texts.fillna("").to_numpy(dtype=object))
+
+
+def shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes for a batch.
+
+    Returns (doc_idx, shingle_hash): a flat explode of every document's
+    shingles with the owning row index — the layout that lets MinHash
+    run as scatter-min over the whole batch instead of per-row loops.
+    """
+    doc_idx: list[np.ndarray] = []
+    shingles: list[str] = []
+    for i, text in enumerate(texts.fillna("")):
+        toks = _WORD_RE.findall(text.lower())
+        if len(toks) < k:
+            if toks:
+                shingles.append(" ".join(toks))
+                doc_idx.append(np.array([i]))
+            continue
+        sh = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        shingles.extend(sh)
+        doc_idx.append(np.full(len(sh), i))
+    if not shingles:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return (np.concatenate(doc_idx).astype(np.int64),
+            hash64(np.array(shingles, dtype=object)))
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(doc_idx: np.ndarray, sh_hash: np.ndarray, n_docs: int,
+                       num_perm: int = 64, seed: int = 42) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures via scatter-min."""
+    a, b = minhash_params(num_perm, seed)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not len(sh_hash):
+        return sig
+    h = sh_hash.astype(np.uint64, copy=False)
+    for j in range(num_perm):
+        perm = (a[j] * h + b[j]) % _MERSENNE
+        np.minimum.at(sig[:, j], doc_idx, perm)
+    return sig
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) uint64 band-bucket keys for LSH candidate grouping."""
+    n_docs, num_perm = sig.shape
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    out = np.empty((n_docs, bands), dtype=np.uint64)
+    for bidx in range(bands):
+        chunk = sig[:, bidx * r:(bidx + 1) * r]
+        acc = np.full(n_docs, np.uint64(1469598103934665603))  # FNV offset
+        for c in range(r):
+            acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
+        out[:, bidx] = acc
+    return out
+
+
+def simhash(texts: pd.Series, num_bits: int = 64) -> np.ndarray:
+    """64-bit SimHash per document from word-unigram hashes."""
+    doc_idx, h = shingle_hashes(texts, k=1)
+    n = len(texts)
+    acc = np.zeros((n, num_bits), dtype=np.int64)
+    if len(h):
+        bits = ((h[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64) * 2 - 1
+        np.add.at(acc, doc_idx, bits)
+    out = (acc > 0).astype(np.uint64)
+    return (out * (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1) \
+        .sum(axis=1).astype(np.int64)
+
+
+def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
+    """Character n-gram Jaccard similarity (pair verification kernel)."""
+    sa = {a[i:i + n] for i in range(max(0, len(a) - n + 1))}
+    sb = {b[i:i + n] for i in range(max(0, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
