@@ -1,0 +1,269 @@
+"""Constraint checks: uniqueness, referential integrity, distribution
+drift (KS / PSI).
+
+North-rule extensions (SURVEY.md §2.4/§2.5/§2.7 "north-star extension"
+rows — the reference assumes PK-unique input and has no FK or drift
+checks). All are expressed shuffle-consciously:
+
+- uniqueness: per-batch partial (key -> count) pre-aggregation inside
+  ``map_batches``, then a groupby over the partials — the shuffle moves
+  one row per *distinct key per block*, not per row; violations are
+  groups with total count > 1.
+- referential: broadcast semi-join when the parent key set is small
+  (``ray.put`` once, ``np.isin`` per batch); hash-partitioned anti-join
+  via the shared bucket scheme when both sides are large.
+- drift: no extra pass at all — KS statistic from two t-digest CDFs,
+  PSI from two categorical TopCounters, both computed from profile
+  sketches that are already merged per side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.sketches import TDigest, TopCounter
+
+# ---------------------------------------------------------------------------
+# Uniqueness
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(ds, key_columns: list[str], batch_size: int | None = 65536):
+    """Dataset of (key..., n) rows for keys appearing more than once.
+
+    Two-phase: vectorized per-batch value_counts partials, then a small
+    Sum-groupby over the partials (partial+final aggregation — the
+    combiner pattern of SURVEY.md §4 'pre-aggregate inside map_batches').
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(key_columns)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        sub = batch.select(cols)
+        gb = sub.group_by(cols).aggregate([([], "count_all")])
+        return gb.rename_columns(cols + ["n_part"])
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow",
+                              batch_size=batch_size)
+    totals = partials.groupby(cols).aggregate(Sum("n_part", alias_name="n"))
+    return totals.filter(expr="n > 1")
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity
+# ---------------------------------------------------------------------------
+
+
+def referential_violations(child, child_key: str, parent, parent_key: str,
+                           broadcast_threshold: int = 50_000_000,
+                           batch_size: int | None = 65536):
+    """Child rows whose FK value has no matching parent key (dangling
+    references), as a Dataset of (child_key_value,) rows.
+
+    Nulls are not violations (SQL FK semantics). Parent key set is
+    collected + broadcast via ``ray.put`` when small (one object-store
+    copy shared by every task — never re-shipped per batch); the
+    hash-partitioned path for giant parents lives in
+    ``referential_violations_partitioned``.
+    """
+    import ray
+
+    n_parent = parent.count()
+    if n_parent <= broadcast_threshold:
+        keys = parent.select_columns([parent_key]).unique(parent_key)
+        key_arr = np.sort(np.asarray(keys))  # natural dtype (int64 / <U / object)
+        ref = ray.put(key_arr)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            parents = ray.get(ref)
+            vals = batch.column(child_key)
+            # nulls are not FK violations — drop before the membership test
+            sub = batch.select([child_key]).filter(pc.is_valid(vals))
+            v = sub.column(child_key).to_numpy(zero_copy_only=False)
+            if len(parents) and len(v):
+                pos = np.minimum(np.searchsorted(parents, v),
+                                 len(parents) - 1)
+                hit = parents[pos] == v
+            else:
+                hit = np.zeros(len(v), dtype=bool)
+            return sub.filter(pa.array(~hit))
+
+        return child.map_batches(anti, batch_format="pyarrow",
+                                 batch_size=batch_size)
+    return referential_violations_partitioned(child, child_key,
+                                              parent, parent_key)
+
+
+def referential_violations_partitioned(child, child_key: str,
+                                       parent, parent_key: str,
+                                       num_buckets: int = 256):
+    """Hash-partitioned anti-join for a parent too large to broadcast.
+
+    Both sides get ``bucket = hash(key) % B`` (same hash both sides —
+    the co-partitioning invariant), union with a side tag, and each
+    bucket group resolves dangling children with a pandas isin.
+    """
+    from ..functions import hashing
+
+    def keyed(side: str, col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            vals = vals.drop_null()
+            if not pa.types.is_large_string(vals.type):
+                vals = vals.cast(pa.string()).cast(pa.large_string())
+            kh = hashing.hash64(vals)
+            return pa.table({
+                "k": vals,
+                "bucket": pa.array((kh % np.uint64(num_buckets)).astype(np.int32)),
+                "is_child": pa.array(np.full(len(vals), side == "child")),
+            })
+        return fn
+
+    c = child.map_batches(keyed("child", child_key), batch_format="pyarrow")
+    p = parent.map_batches(keyed("parent", parent_key), batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        parents = set(g.loc[~g["is_child"], "k"])
+        ch = g.loc[g["is_child"], "k"]
+        bad = ch[~ch.isin(parents)]
+        return pd.DataFrame({child_key: bad.to_numpy()})
+
+    return c.union(p).groupby("bucket").map_groups(resolve,
+                                                   batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: KS from t-digests, PSI from categorical counters
+# ---------------------------------------------------------------------------
+
+
+def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
+    """Approximate two-sample KS statistic from two t-digest CDFs."""
+    lo = min(a.vmin, b.vmin)
+    hi = max(a.vmax, b.vmax)
+    if not np.isfinite(lo) or not np.isfinite(hi) or lo == hi:
+        return 0.0
+    xs = np.linspace(lo, hi, n_points)
+    return float(np.abs(a.cdf(xs) - b.cdf(xs)).max())
+
+
+def psi(expected: TopCounter | dict, actual: TopCounter | dict,
+        eps: float = 1e-6) -> float:
+    """Population Stability Index over categorical distributions.
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i); industry rule of thumb:
+    < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted.
+    """
+    e = expected.counts if isinstance(expected, TopCounter) else dict(expected)
+    a = actual.counts if isinstance(actual, TopCounter) else dict(actual)
+    cats = set(e) | set(a)
+    te = sum(e.values()) or 1
+    ta = sum(a.values()) or 1
+    val = 0.0
+    for c in cats:
+        p = max(e.get(c, 0) / te, eps)
+        q = max(a.get(c, 0) / ta, eps)
+        val += (p - q) * np.log(p / q)
+    return float(val)
+
+
+def drift_by_group(ds, group_col: str, value_cols: list[str],
+                   ks_threshold: float = 0.1, psi_threshold: float = 0.25,
+                   batch_size: int | None = 65536) -> pd.DataFrame:
+    """Per-partition drift: each group's distribution vs the global one.
+
+    North-rule "KS/PSI distribution-drift tests per partition": one
+    profile partial per (batch, group) streams back (no row shuffle);
+    partials merge per group on the driver; each group's t-digest /
+    categorical counter is tested against the all-groups merge. Returns
+    one row per (group, column) with ks / psi / result.
+    """
+    import pickle
+
+    import pyarrow as pa  # noqa: F811  (local for worker serialization)
+
+    from ..stages.profile import merge_partials, profile_batch
+
+    def partials(batch: pa.Table) -> pa.Table:
+        groups: list[str] = []
+        blobs: list[bytes] = []
+        gvals = batch.column(group_col)
+        # partition the batch by group value, profile each slice
+        import pyarrow.compute as pc  # noqa: F811
+        for gv in pc.unique(gvals).to_pylist():
+            sub = batch.filter(pc.equal(gvals, pa.scalar(gv, type=gvals.type)))
+            groups.append(str(gv))
+            blobs.append(pickle.dumps(profile_batch(sub, value_cols)))
+        return pa.table({"group": pa.array(groups, type=pa.large_string()),
+                         "partial": pa.array(blobs, type=pa.large_binary())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=batch_size).take_all()
+    by_group: dict[str, list[bytes]] = {}
+    for r in rows:
+        by_group.setdefault(r["group"], []).append(r["partial"])
+    merged = {g: merge_partials(bs) for g, bs in by_group.items()}
+    global_prof = None
+    for g, profs in merged.items():
+        for name, p in profs.items():
+            if global_prof is None:
+                global_prof = {}
+            global_prof[name] = (p if name not in global_prof
+                                 else global_prof[name].merge(p))
+    out = []
+    for g in sorted(merged):
+        rep = drift_report(merged[g], global_prof or {},
+                           ks_threshold, psi_threshold)
+        rep.insert(0, "grp", g)
+        out.append(rep)
+    if not out:
+        return pd.DataFrame(columns=["grp", "column", "ks", "psi", "result"])
+    rep = pd.concat(out, ignore_index=True)
+    # Robust flagging: the global baseline itself contains any drifted
+    # group, so every clean group shows a nonzero KS/PSI against it.
+    # The median group is the clean baseline — a group drifts when its
+    # statistic EXCEEDS the per-column median by more than the threshold.
+    for col, stat, thr in (("ks", "ks", ks_threshold), ("psi", "psi", psi_threshold)):
+        med = rep.groupby("column")[stat].transform("median")
+        rep[f"{stat}_excess"] = rep[stat] - med
+    ks_bad = rep["ks_excess"].fillna(0) > ks_threshold
+    psi_bad = rep["psi_excess"].fillna(0) > psi_threshold
+    rep["result"] = np.where(ks_bad | psi_bad, "failed", "success")
+    return rep
+
+
+def drift_report(src_profiles: dict, snk_profiles: dict,
+                 ks_threshold: float = 0.1,
+                 psi_threshold: float = 0.25,
+                 max_categorical_ratio: float = 0.2) -> pd.DataFrame:
+    """Per-column drift verdicts from two merged profile dicts
+    (``stages.profile.profile_dataset`` output for each side).
+
+    PSI only applies to genuinely categorical columns: a column whose
+    approx-distinct exceeds ``max_categorical_ratio`` of its non-null
+    count (e.g. free text, urls) is skipped — PSI over near-unique
+    values is pure noise.
+    """
+    rows = []
+    for name, sp in src_profiles.items():
+        kp = snk_profiles.get(name)
+        if kp is None:
+            continue
+        ks = (ks_statistic(sp.tdigest, kp.tdigest)
+              if sp.tdigest is not None and kp.tdigest is not None else None)
+        nn = max(1, sp.count - sp.nulls)
+        categorical = sp.hll.estimate() <= max_categorical_ratio * nn
+        p = (psi(sp.topk, kp.topk)
+             if categorical and sp.topk is not None and kp.topk is not None
+             else None)
+        drifted = ((ks is not None and ks > ks_threshold)
+                   or (p is not None and p > psi_threshold))
+        rows.append({"column": name, "ks": ks, "psi": p,
+                     "result": "failed" if drifted else "success"})
+    return pd.DataFrame(rows)

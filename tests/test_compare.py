@@ -1,0 +1,196 @@
+"""Metamorphic end-to-end tests of the compare/validation pipelines
+(SURVEY.md §5: clone a table, inject K diffs, assert exactly those keys
+classified correctly — mirrors SliceCheckWorker insert/update/delete
+semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.pipelines import checks
+from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+    ValidationConfig, validate_table_pair,
+)
+from opengauss_tools_datachecker_performance_ray.sources import fixtures
+from opengauss_tools_datachecker_performance_ray.stages import compare as cmp
+from opengauss_tools_datachecker_performance_ray.stages.digest import DigestConfig
+
+
+@pytest.fixture(scope="module")
+def pages_fixture(ray_session, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pages"))
+    spec = fixtures.PagesSpec(n_rows=3000, n_files=4, html_mean=5.0,
+                              k_ins=12, k_del=9, k_upd=17, k_dup=6)
+    exp = fixtures.generate(base, spec)
+    return base, exp
+
+
+class TestComparePipeline:
+    def test_injected_diffs_exactly_classified(self, pages_fixture):
+        base, exp = pages_fixture
+        cfg = ValidationConfig(key_columns=("url",), check_drift=False)
+        res = validate_table_pair(f"{base}/pages_source", f"{base}/pages_sink",
+                                  cfg, table="pages")
+        v = res.compare.violations
+        assert sorted(v.loc[v["kind"] == "insert", "key"]) == exp["insert_keys"]
+        assert sorted(v.loc[v["kind"] == "delete", "key"]) == exp["delete_keys"]
+        assert sorted(v.loc[v["kind"] == "update", "key"]) == exp["update_keys"]
+        assert res.summary["insertTotal"] == len(exp["insert_keys"])
+        assert res.summary["result"] == "failed"
+        # uniqueness: the duplicated sink urls
+        dup = res.uniqueness
+        assert sorted(dup.loc[dup["side"] == "sink", "key"]) == exp["dup_keys"]
+        assert (dup["side"] == "source").sum() == 0
+
+    def test_identical_pair_all_partitions_pruned(self, pages_fixture, ray_session):
+        base, _ = pages_fixture
+        cfg = ValidationConfig(key_columns=("url",), check_uniqueness=False,
+                               check_drift=False)
+        res = validate_table_pair(f"{base}/pages_source", f"{base}/pages_source",
+                                  cfg, table="pages_self")
+        assert res.summary["result"] == "success"
+        assert res.summary["totalRepair"] == 0
+        assert len(res.compare.violations) == 0
+        assert all(p["srcRoot"] == p["snkRoot"] for p in res.compare.partitions)
+
+    def test_structure_mismatch_fails_fast(self, pages_fixture, tmp_path):
+        import pyarrow.parquet as pq
+
+        base, _ = pages_fixture
+        t = pq.read_table(f"{base}/pages_source")
+        renamed = t.rename_columns(
+            ["url", "warc_ts", "html", "extracted", "lang"])
+        out = tmp_path / "renamed"
+        out.mkdir()
+        pq.write_table(renamed, str(out / "p.parquet"))
+        res = validate_table_pair(f"{base}/pages_source", str(out),
+                                  ValidationConfig(key_columns=("url",)))
+        assert res.summary["result"] == "failed"
+        assert "structure" in res.summary["message"]
+        assert res.compare is None  # no data compare ran
+
+    def test_checkpoint_resume_same_verdicts(self, pages_fixture, tmp_path):
+        base, exp = pages_fixture
+        ck = str(tmp_path / "ckpt")
+        cfg = ValidationConfig(key_columns=("url",), check_uniqueness=False,
+                               check_drift=False, checkpoint_dir=ck)
+        r1 = validate_table_pair(f"{base}/pages_source", f"{base}/pages_sink",
+                                 cfg, table="pages")
+        # second run loads signature receipts instead of recomputing
+        from opengauss_tools_datachecker_performance_ray.state.checkpoint import (
+            CheckpointStore, lineage_id,
+        )
+        r2 = validate_table_pair(f"{base}/pages_source", f"{base}/pages_sink",
+                                 cfg, table="pages")
+        assert r1.summary["totalRepair"] == r2.summary["totalRepair"]
+        assert sorted(r1.compare.violations["key"]) == \
+            sorted(r2.compare.violations["key"])
+
+    def test_empty_tables_success(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = pa.table({"url": pa.array([], type=pa.string()),
+                      "text": pa.array([], type=pa.string())})
+        d = tmp_path / "empty"; d.mkdir()
+        pq.write_table(t, str(d / "p.parquet"))
+        cfg = ValidationConfig(key_columns=("url",), check_uniqueness=False,
+                               check_drift=False)
+        res = validate_table_pair(str(d), str(d), cfg, table="empty")
+        assert res.summary["result"] == "success"
+        assert res.summary["rowCount"] == 0
+
+    def test_all_rows_different_truncates_keys(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        n = 500
+        a = pa.table({"url": [f"u{i}" for i in range(n)],
+                      "text": [f"t{i}" for i in range(n)]})
+        b = pa.table({"url": [f"u{i}" for i in range(n)],
+                      "text": [f"x{i}" for i in range(n)]})
+        da, db = tmp_path / "a", tmp_path / "b"
+        da.mkdir(); db.mkdir()
+        pq.write_table(a, str(da / "p.parquet"))
+        pq.write_table(b, str(db / "p.parquet"))
+        cfg = ValidationConfig(key_columns=("url",), check_uniqueness=False,
+                               check_drift=False)
+        res = validate_table_pair(str(da), str(db), cfg, table="alldiff")
+        assert res.summary["updateTotal"] == n
+        failed = [p for p in res.compare.partitions if p["result"] == "failed"]
+        for p in failed:
+            assert len(p.get("keyUpdate", [])) <= cmp.MAX_DISPLAY_KEYS
+
+
+class TestChecks:
+    def test_referential_links(self, pages_fixture):
+        import ray.data as rd
+
+        base, exp = pages_fixture
+        pages = rd.read_parquet(f"{base}/pages_source", columns=["url"])
+        links = rd.read_parquet(f"{base}/links")
+        bad = checks.referential_violations(links, "dst_url", pages, "url")
+        got = bad.to_pandas()
+        assert len(got) == exp["n_dangling"]
+        assert sorted(set(got["dst_url"])) == exp["dangling_urls"]
+
+    def test_referential_partitioned_matches_broadcast(self, pages_fixture):
+        import ray.data as rd
+
+        base, exp = pages_fixture
+        pages = rd.read_parquet(f"{base}/pages_source", columns=["url"])
+        links = rd.read_parquet(f"{base}/links")
+        bad = checks.referential_violations_partitioned(
+            links, "dst_url", pages, "url", num_buckets=16)
+        got = bad.to_pandas()
+        assert len(got) == exp["n_dangling"]
+        assert sorted(set(got["dst_url"])) == exp["dangling_urls"]
+
+    def test_uniqueness_composite_key(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"a": [1, 1, 2, 2, 2], "b": ["x", "x", "y", "z", "z"]})
+        ds = rd.from_pandas(df)
+        v = checks.uniqueness_violations(ds, ["a", "b"]).to_pandas()
+        v = v.sort_values(["a", "b"]).reset_index(drop=True)
+        assert [(r.a, r.b, r.n) for r in v.itertuples()] == [(1, "x", 2), (2, "z", 2)]
+
+    def test_drift_detects_shifted_lang(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.profile import (
+            profile_dataset,
+        )
+
+        rng = np.random.default_rng(0)
+        src = pd.DataFrame({
+            "lang": rng.choice(["en", "de", "fr"], 5000, p=[0.8, 0.1, 0.1]),
+            "n": rng.normal(0, 1, 5000)})
+        snk = pd.DataFrame({
+            "lang": rng.choice(["en", "de", "fr"], 5000, p=[0.2, 0.4, 0.4]),
+            "n": rng.normal(3, 1, 5000)})
+        sp = profile_dataset(rd.from_pandas(src))
+        kp = profile_dataset(rd.from_pandas(snk))
+        rep = checks.drift_report(sp, kp)
+        by = rep.set_index("column")
+        assert by.loc["lang", "result"] == "failed"     # PSI
+        assert by.loc["n", "result"] == "failed"        # KS
+        # and no drift against itself
+        rep2 = checks.drift_report(sp, sp)
+        assert (rep2["result"] == "success").all()
+
+    def test_drift_by_group_flags_shifted_partition(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        normal = pd.DataFrame({
+            "grp_col": "p0", "value": rng.normal(0, 1, 4000)})
+        normal2 = pd.DataFrame({
+            "grp_col": "p1", "value": rng.normal(0, 1, 4000)})
+        shifted = pd.DataFrame({
+            "grp_col": "p2", "value": rng.normal(5, 1, 4000)})
+        ds = rd.from_pandas(pd.concat([normal, normal2, shifted]))
+        rep = checks.drift_by_group(ds, "grp_col", ["value"])
+        by = rep.set_index("grp")
+        assert by.loc["p2", "result"].iloc[0] if hasattr(by.loc["p2", "result"], "iloc") else by.loc["p2", "result"] == "failed"
+        assert (rep.loc[rep["grp"] == "p2", "result"] == "failed").all()
+        assert (rep.loc[rep["grp"] == "p0", "result"] == "success").all()
