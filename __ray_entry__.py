@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+with matching output column names. Ray is initialised by the driver
+BEFORE this module is imported — nothing here calls ``ray.init``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,67 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from opengauss_tools_datachecker_performance_ray.pipelines import queries as q
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: Merkle-pruned table-pair validation with injected
+    diffs on sf0.001 orders; returns the classified violation rows
+    (stable schema: key, kind)."""
+    return q.compare_orders_pair("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # column stats / profiles (SURVEY.md §2.5 A-ext)
+        "stats_documents": q.stats_documents,
+        "stats_by_lang": q.stats_by_lang,
+        "events_by_type": q.events_by_type,
+        "hll_profile_documents": q.hll_profile_documents,
+        # uniqueness (§2.7)
+        "uniqueness_lineitem": q.uniqueness_lineitem,
+        "uniqueness_orders": q.uniqueness_orders,
+        "uniqueness_lineitem_composite": q.uniqueness_lineitem_composite,
+        # referential (§2.4)
+        "referential_orders_customer": q.referential_orders_customer,
+        "referential_events_smallparent": q.referential_events_smallparent,
+        "referential_lineitem_orders_partitioned":
+            q.referential_lineitem_orders_partitioned,
+        # table-pair compare (§2.4 J1-J3, §2.5 A1-A4)
+        "compare_orders_pair": q.compare_orders_pair,
+        "compare_documents_clean": q.compare_documents_clean,
+        # dedup / similarity / text (training-data extensions)
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "minhash_lsh_candidates": q.minhash_lsh_candidates,
+        "simhash_documents": q.simhash_documents,
+        "token_stats_documents": q.token_stats_documents,
+        "topk_longest_documents": q.topk_longest_documents,
+        "lang_by_source": q.lang_by_source,
+        "quality_documents": q.quality_documents,
+        "drift_documents_by_source": q.drift_documents_by_source,
+        "knn_embeddings": q.knn_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_documents": q.STATS_DOCUMENTS_SQL,
+        "stats_by_lang": q.STATS_BY_LANG_SQL,
+        "events_by_type": q.EVENTS_BY_TYPE_SQL,
+        "uniqueness_lineitem": q.UNIQUENESS_LINEITEM_SQL,
+        "uniqueness_orders": q.UNIQUENESS_ORDERS_SQL,
+        "uniqueness_lineitem_composite": q.UNIQUENESS_LINEITEM_COMPOSITE_SQL,
+        "referential_orders_customer": q.REFERENTIAL_ORDERS_CUSTOMER_SQL,
+        "referential_events_smallparent": q.REFERENTIAL_EVENTS_SMALLPARENT_SQL,
+        "referential_lineitem_orders_partitioned":
+            q.REFERENTIAL_LINEITEM_ORDERS_PARTITIONED_SQL,
+        "compare_orders_pair": q.COMPARE_ORDERS_PAIR_SQL,
+        "compare_documents_clean": q.COMPARE_DOCUMENTS_CLEAN_SQL,
+        "dedup_exact_documents": q.DEDUP_EXACT_DOCUMENTS_SQL,
+        "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
+        "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
+        "lang_by_source": q.LANG_BY_SOURCE_SQL,
+        # rows-only (no SQL equivalent): hll_profile_documents,
+        # minhash_lsh_candidates, simhash_documents, quality_documents,
+        # drift_documents_by_source, knn_embeddings
+    }

@@ -1,0 +1,510 @@
+"""Driver-contract query suite over the /root/testdata tables.
+
+Each function here backs one ``__ray_entry__.queries()`` entry
+(SURVEY.md §2 coverage) and — where SQL-expressible — one
+``oracle_sql()`` entry with IDENTICAL output column names, so the
+driver's row-count + schema + order-insensitive value-hash compare
+passes. Output columns avoid accumulated floats (sum/avg of double is
+order-dependent in the last ulp across distributed batches); integer
+aggregates and element-exact min/max only in oracle-matched queries.
+
+All callables take ``sf_dir`` and return a Dataset / DataFrame /
+pyarrow Table; none touches ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textfn
+from ..stages import compare as cmp
+from ..stages.digest import DigestConfig
+from ..stages.profile import profile_dataset, profile_frame
+from . import checks
+
+TOKEN_RE = r"[A-Za-z0-9_']+"  # same regex on Ray (python re) and DuckDB (RE2)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _with_schema(ds, columns: list[str], dtypes: dict | None = None) -> pd.DataFrame:
+    """Materialize a (possibly empty) Dataset to pandas with a
+    guaranteed column set — an empty Ray Dataset loses its schema on
+    ``to_pandas``, which would fail the driver's schema compare."""
+    df = ds.to_pandas()
+    if df.empty and list(df.columns) != columns:
+        df = pd.DataFrame({c: pd.Series(dtype=(dtypes or {}).get(c, object))
+                           for c in columns})
+    return df[columns]
+
+
+# ---------------------------------------------------------------------------
+# Column stats (SURVEY.md §2.5 A-ext)
+# ---------------------------------------------------------------------------
+
+def stats_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact table stats via per-batch partials merged on the driver
+    (no shuffle; the distinct sets are exact here — the HLL sketch path
+    for 10^12-scale lives in ``hll_profile_documents``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        rec = {
+            "cnt": batch.num_rows,
+            "text_nonnull": batch.num_rows - batch.column("text").null_count,
+            "min_chars": pc.min(batch.column("n_chars")).as_py(),
+            "max_chars": pc.max(batch.column("n_chars")).as_py(),
+            "langs": set(pc.unique(batch.column("lang")).to_pylist()),
+            "docs": set(pc.unique(batch.column("doc_id")).to_pylist()),
+        }
+        return pa.table({"p": pa.array([pickle.dumps(rec)], pa.large_binary())})
+
+    import pickle
+
+    parts = [pickle.loads(r["p"]) for r in
+             ds.map_batches(partial, batch_format="pyarrow").take_all()]
+    langs, docs = set(), set()
+    for p in parts:
+        langs |= p["langs"]; docs |= p["docs"]
+    mins = [p["min_chars"] for p in parts if p["min_chars"] is not None]
+    maxs = [p["max_chars"] for p in parts if p["max_chars"] is not None]
+    return pd.DataFrame([{
+        "cnt": sum(p["cnt"] for p in parts),
+        "text_nonnull": sum(p["text_nonnull"] for p in parts),
+        "min_chars": min(mins) if mins else None,
+        "max_chars": max(maxs) if maxs else None,
+        "distinct_lang": len(langs),
+        "distinct_doc": len(docs),
+    }])
+
+
+STATS_DOCUMENTS_SQL = """
+SELECT count(*) AS cnt,
+       count(text) AS text_nonnull,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT lang) AS distinct_lang,
+       count(DISTINCT doc_id) AS distinct_doc
+FROM documents
+"""
+
+
+def stats_by_lang(sf_dir: str):
+    """Per-group rollup (A5 analog) — partial aggregation then a small
+    groupby over ~|langs| rows."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="cnt"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
+STATS_BY_LANG_SQL = """
+SELECT lang, count(*) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="cnt"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS cnt,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def hll_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Sketch profile (HLL distinct + t-digest quantiles) — the scale
+    path; approximate, hence rows-only (no SQL oracle)."""
+    ds = _read(sf_dir, "documents")
+    profs = profile_dataset(ds)
+    return profile_frame(profs)
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness (SURVEY.md §2.7 north-star extension)
+# ---------------------------------------------------------------------------
+
+def uniqueness_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return checks.uniqueness_violations(ds, ["l_orderkey"])
+
+
+UNIQUENESS_LINEITEM_SQL = """
+SELECT l_orderkey, count(*) AS n FROM lineitem
+GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def uniqueness_orders(sf_dir: str):
+    """Unique PK — expected empty result (edge-case coverage)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    out = checks.uniqueness_violations(ds, ["o_orderkey"])
+    return _with_schema(out, ["o_orderkey", "n"],
+                        {"o_orderkey": np.int64, "n": np.int64})
+
+
+UNIQUENESS_ORDERS_SQL = """
+SELECT o_orderkey, count(*) AS n FROM orders
+GROUP BY o_orderkey HAVING count(*) > 1
+"""
+
+
+def uniqueness_lineitem_composite(sf_dir: str):
+    """Composite key (l_orderkey, l_linenumber) — expected unique."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return checks.uniqueness_violations(ds, ["l_orderkey", "l_linenumber"])
+
+
+UNIQUENESS_LINEITEM_COMPOSITE_SQL = """
+SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
+GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity (SURVEY.md §2.4 north-star extension)
+# ---------------------------------------------------------------------------
+
+def referential_orders_customer(sf_dir: str):
+    child = _read(sf_dir, "orders", ["o_custkey"])
+    parent = _read(sf_dir, "customer", ["c_custkey"])
+    out = checks.referential_violations(child, "o_custkey",
+                                        parent, "c_custkey")
+    return _with_schema(out, ["o_custkey"], {"o_custkey": np.int64})
+
+
+REFERENTIAL_ORDERS_CUSTOMER_SQL = """
+SELECT o_custkey FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def referential_events_smallparent(sf_dir: str):
+    """Dangling FK values (parent restricted to c_custkey < 100 so
+    violations actually exist in the synthetic data)."""
+    child = _read(sf_dir, "events", ["user_id"])
+    parent = _read(sf_dir, "customer", ["c_custkey"]) \
+        .filter(expr="c_custkey < 100")
+    out = checks.referential_violations(child, "user_id",
+                                        parent, "c_custkey")
+    return _with_schema(out, ["user_id"], {"user_id": np.int64})
+
+
+REFERENTIAL_EVENTS_SMALLPARENT_SQL = """
+SELECT user_id FROM events
+WHERE user_id IS NOT NULL
+  AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+"""
+
+
+def referential_lineitem_orders_partitioned(sf_dir: str):
+    """Hash-partitioned anti-join path (large-parent variant)."""
+    child = _read(sf_dir, "lineitem", ["l_orderkey"])
+    parent = _read(sf_dir, "orders", ["o_orderkey"])
+    out = checks.referential_violations_partitioned(
+        child, "l_orderkey", parent, "o_orderkey", num_buckets=32)
+    return _with_schema(out, ["l_orderkey"], {"l_orderkey": object})
+
+
+REFERENTIAL_LINEITEM_ORDERS_PARTITIONED_SQL = """
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table-pair compare (the flagship, SURVEY.md §2.4 J1-J3)
+# ---------------------------------------------------------------------------
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+def _orders_sink_batch(batch: pa.Table) -> pa.Table:
+    """Derived sink: drop keys %97==0 (-> insert), bump price where
+    %89==0 (-> update), append remapped keys %101==0 (-> delete)."""
+    key = batch.column("o_orderkey").to_numpy()
+    keep = key % 97 != 0
+    kept = batch.filter(pa.array(keep))
+    kkey = kept.column("o_orderkey").to_numpy()
+    price = kept.column("o_totalprice").to_numpy().copy()
+    price = np.where(kkey % 89 == 0, price + 1.0, price)
+    kept = kept.set_column(kept.schema.get_field_index("o_totalprice"),
+                           "o_totalprice", pa.array(price, pa.float64()))
+    extra_mask = key % 101 == 0
+    extra = batch.filter(pa.array(extra_mask))
+    if extra.num_rows:
+        new_keys = extra.column("o_orderkey").to_numpy() + 100_000_000
+        extra = extra.set_column(extra.schema.get_field_index("o_orderkey"),
+                                 "o_orderkey", pa.array(new_keys, pa.int64()))
+        return pa.concat_tables([kept, extra])
+    return kept
+
+
+def compare_orders_pair(sf_dir: str) -> pd.DataFrame:
+    source = _read(sf_dir, "orders", ORDER_COLS)
+    sink = _read(sf_dir, "orders", ORDER_COLS) \
+        .map_batches(_orders_sink_batch, batch_format="pyarrow")
+    n = source.count()
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=5000, bucket_capacity=64)
+    res = cmp.compare_tables(source, sink, cfg, table="orders")
+    v = res.violations[["key", "kind"]].sort_values(["key", "kind"])
+    return v.reset_index(drop=True)
+
+
+COMPARE_ORDERS_PAIR_SQL = """
+WITH sink AS (
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT CAST(COALESCE(s.o_orderkey, k.o_orderkey) AS VARCHAR) AS key,
+       CASE WHEN k.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS kind
+FROM orders s FULL OUTER JOIN sink k ON s.o_orderkey = k.o_orderkey
+WHERE k.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR s.o_custkey <> k.o_custkey
+   OR s.o_orderstatus <> k.o_orderstatus
+   OR s.o_totalprice <> k.o_totalprice
+   OR s.o_orderdate <> k.o_orderdate
+   OR s.o_orderpriority <> k.o_orderpriority
+"""
+
+
+def compare_documents_clean(sf_dir: str) -> pd.DataFrame:
+    """Identical pair — expected zero violations, all partitions pruned
+    at the Merkle root (the 99%-clean fast path)."""
+    a = _read(sf_dir, "documents")
+    b = _read(sf_dir, "documents")
+    cfg = DigestConfig.for_rows(("doc_id",), 1000,
+                                partition_capacity=250, bucket_capacity=16)
+    res = cmp.compare_tables(a, b, cfg, table="documents")
+    return res.violations[["key", "kind"]]
+
+
+COMPARE_DOCUMENTS_CLEAN_SQL = """
+SELECT CAST(a.doc_id AS VARCHAR) AS key, 'update' AS kind
+FROM documents a JOIN documents b USING (doc_id)
+WHERE a.text <> b.text OR a.lang <> b.lang
+   OR a.source <> b.source OR a.n_chars <> b.n_chars
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (training-data extensions)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_documents(sf_dir: str):
+    """Exact dedup by full-text content hash: representative (min doc_id)
+    per distinct text. Hash-partitioned groupby over the fingerprint —
+    never ships text twice."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        h = textfn.fingerprint(pd.Series(batch.column("text").to_pylist()))
+        # int64 reinterpret: Ray groupby keys must not be uint64 (values
+        # above 2^63 overflow its internal int conversion)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(h.view(np.int64), pa.int64())})
+
+    keyed = ds.map_batches(fp, batch_format="pyarrow")
+    return keyed.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")) \
+        .select_columns(["doc_id"])
+
+
+DEDUP_EXACT_DOCUMENTS_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def minhash_lsh_candidates(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup candidate PAIRS: shingle -> minhash ->
+    band-bucket groupby -> within-bucket pairs. Rows-only (no SQL
+    oracle for LSH)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column("text").to_pylist())
+        di, sh = textfn.shingle_hashes(texts, k=5)
+        sig = textfn.minhash_signatures(di, sh, len(texts), num_perm=64)
+        keys = textfn.lsh_band_keys(sig, bands=16)
+        n, b = keys.shape
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+            "bkey": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(
+                batch.column("doc_id").to_numpy(), b)),
+        })
+
+    exploded = ds.map_batches(bands, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    cand = exploded.groupby(["band", "bkey"]).map_groups(
+        pairs, batch_format="pandas")
+    df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+    return df
+
+
+def simhash_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc 64-bit SimHash fingerprints (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        s = textfn.simhash(pd.Series(batch.column("text").to_pylist()))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(s, pa.uint64())})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def token_stats_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        n = s.str.count(pat).to_numpy(dtype=np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+TOKEN_STATS_DOCUMENTS_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS n_tokens
+FROM documents
+"""
+
+
+def topk_longest_documents(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, True]).limit(10)
+    return top.to_pandas()
+
+
+TOPK_LONGEST_DOCUMENTS_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id DESC LIMIT 10
+"""
+
+
+def lang_by_source(sf_dir: str):
+    """Drift-input crosstab (exact counts; the PSI statistic itself is
+    float and lives in ``drift_documents_by_source``)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return ds.groupby(["source", "lang"]).aggregate(Count(alias_name="n"))
+
+
+LANG_BY_SOURCE_SQL = """
+SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+"""
+
+
+def quality_documents(sf_dir: str) -> pd.DataFrame:
+    """Heuristic quality + language-id scores (rows-only: float formulas)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def q(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist())
+        feats = textfn.quality_features(s)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(feats["n_tokens"].to_numpy()),
+            "quality": pa.array(textfn.quality_score(s)),
+            "lang_pred": pa.array(textfn.lang_id(s)),
+        })
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-group drift verdicts on documents by source (rows-only)."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return checks.drift_by_group(ds, "source", ["lang", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def knn_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0: the query matrix
+    is broadcast once (ray.put) and each batch does one numpy matmul.
+    Rows-only (float similarity ordering has no byte-exact SQL oracle)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        m = b[b["vec_id"] == 0]
+        if len(m):
+            q = np.asarray(list(m["embedding"])[0], dtype=np.float32)
+            break
+    assert q is not None
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+
+    def cos(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(ref)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": batch["vec_id"],
+                             "cos": mat @ qv})
+
+    scored = ds.map_batches(cos, batch_format="pandas")
+    top = scored.sort(["cos", "vec_id"], descending=[True, True]).limit(11)
+    df = top.to_pandas()
+    return df[df["vec_id"] != 0].head(10).reset_index(drop=True)
