@@ -151,17 +151,25 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
 
 
 def simhash(texts: pd.Series, num_bits: int = 64) -> np.ndarray:
-    """64-bit SimHash per document from word-unigram hashes."""
+    """64-bit SimHash per document from word-unigram hashes.
+
+    Accumulates per-bit vote counts with one ``bincount`` per bit —
+    memory stays O(n_docs + n_shingles) instead of materializing the
+    (n_shingles × 64) bit matrix (which is hundreds of MB per batch
+    and thrashes when many tasks run concurrently).
+    """
     doc_idx, h = shingle_hashes(texts, k=1)
     n = len(texts)
-    acc = np.zeros((n, num_bits), dtype=np.int64)
-    if len(h):
-        bits = ((h[:, None] >> np.arange(num_bits, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64) * 2 - 1
-        np.add.at(acc, doc_idx, bits)
-    out = (acc > 0).astype(np.uint64)
-    return (out * (np.uint64(1) << np.arange(num_bits, dtype=np.uint64))[None, :]) \
-        .sum(axis=1, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    if not len(h):
+        return out
+    totals = np.bincount(doc_idx, minlength=n)  # shingles per doc
+    for b in range(num_bits):
+        ones = np.bincount(doc_idx, weights=((h >> np.uint64(b)) & np.uint64(1))
+                           .astype(np.float64), minlength=n)
+        # bit set when more ones than zeros (votes = 2*ones - total > 0)
+        out |= (2 * ones > totals).astype(np.uint64) << np.uint64(b)
+    return out
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

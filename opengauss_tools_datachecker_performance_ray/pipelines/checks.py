@@ -31,26 +31,47 @@ from ..functions.sketches import TDigest, TopCounter
 # ---------------------------------------------------------------------------
 
 
-def uniqueness_violations(ds, key_columns: list[str], batch_size: int | None = 65536):
+def uniqueness_violations(ds, key_columns: list[str],
+                          batch_size: int | None = None,
+                          num_buckets: int = 64):
     """Dataset of (key..., n) rows for keys appearing more than once.
 
-    Two-phase: vectorized per-batch value_counts partials, then a small
-    Sum-groupby over the partials (partial+final aggregation — the
-    combiner pattern of SURVEY.md §4 'pre-aggregate inside map_batches').
+    Two-phase: vectorized per-batch value_counts partials (the combiner
+    — SURVEY.md §4 'pre-aggregate inside map_batches'), each partial
+    row tagged with ``ubucket = hash(keys) % num_buckets``; then ONE
+    bucketed groupby whose groups reduce with a vectorized pandas
+    groupby-sum. The shuffle moves one row per distinct key per block
+    and has ``num_buckets``-way parallelism instead of a per-key sort.
     """
-    from ray.data.aggregate import Sum
+    from ..functions import hashing
 
     cols = list(key_columns)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         sub = batch.select(cols)
         gb = sub.group_by(cols).aggregate([([], "count_all")])
-        return gb.rename_columns(cols + ["n_part"])
+        gb = gb.rename_columns(cols + ["n_part"])
+        key0 = gb.column(cols[0])
+        if not (pa.types.is_large_string(key0.type)):
+            key0 = key0.cast(pa.string()).cast(pa.large_string())
+        kh = hashing.hash64(key0)
+        for c in cols[1:]:
+            extra = gb.column(c)
+            if not pa.types.is_large_string(extra.type):
+                extra = extra.cast(pa.string()).cast(pa.large_string())
+            kh = kh ^ hashing.hash64(extra)
+        return gb.append_column(
+            "ubucket", pa.array((kh % np.uint64(num_buckets)).astype(np.int32)))
 
     partials = ds.map_batches(partial_counts, batch_format="pyarrow",
                               batch_size=batch_size)
-    totals = partials.groupby(cols).aggregate(Sum("n_part", alias_name="n"))
-    return totals.filter(expr="n > 1")
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(cols, sort=False)["n_part"].sum().reset_index(name="n")
+        return tot[tot["n"] > 1]
+
+    return partials.groupby("ubucket").map_groups(
+        reduce, batch_format="pandas").select_columns(cols + ["n"])
 
 
 # ---------------------------------------------------------------------------

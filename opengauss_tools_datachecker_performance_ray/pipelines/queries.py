@@ -267,16 +267,96 @@ def _orders_sink_batch(batch: pa.Table) -> pa.Table:
     return kept
 
 
+def _num_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def compare_orders_pair(sf_dir: str) -> pd.DataFrame:
     source = _read(sf_dir, "orders", ORDER_COLS)
     sink = _read(sf_dir, "orders", ORDER_COLS) \
         .map_batches(_orders_sink_batch, batch_format="pyarrow")
-    n = source.count()
+    n = _num_rows(sf_dir, "orders")  # parquet footer, no extra scan
     cfg = DigestConfig.for_rows(("o_orderkey",), n,
-                                partition_capacity=5000, bucket_capacity=64)
+                                partition_capacity=50_000, bucket_capacity=64)
     res = cmp.compare_tables(source, sink, cfg, table="orders")
     v = res.violations[["key", "kind"]].sort_values(["key", "kind"])
     return v.reset_index(drop=True)
+
+
+def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
+    """Bench-only scaled flagship: ``repeat`` key-remapped copies of
+    orders per side (simulating ``repeat`` input shards of distinct key
+    ranges). Unlike the oracle-matched ``compare_orders_pair`` (uniform
+    mutations that dirty every bucket — worst case), the injected
+    diffs here are BUCKET-TARGETED: only rows hashing to bucket 0 get
+    a mutated price, so ~1/B of buckets differ and the Merkle prune
+    actually prunes — the design point of the engine (clean partitions
+    cost one streaming digest pass and no join). Violation count still
+    scales linearly with ``repeat``.
+    """
+    import ray.data as rd
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def load_shard(batch) -> pa.Table:
+        """One task per logical shard: read the (page-cached) parquet
+        and remap keys into the shard's own range — models a
+        multi-file input honestly (one read task per file) instead of
+        serially splitting a single file's blocks on the driver."""
+        import pyarrow.parquet as pq
+
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        i = int(batch["id"][0])
+        t = pq.read_table(path, columns=ORDER_COLS, use_threads=False)
+        idx = t.schema.get_field_index("o_orderkey")
+        k = t.column("o_orderkey").to_numpy()
+        return t.set_column(idx, "o_orderkey",
+                            pa.array(k + np.int64(i) * 1_000_000_000,
+                                     pa.int64()))
+
+    def side(transform=None):
+        ds = rd.range(repeat, override_num_blocks=repeat) \
+            .map_batches(load_shard, batch_format="numpy", batch_size=None)
+        if transform is not None:
+            ds = ds.map_batches(transform, batch_format="pyarrow")
+        return ds
+
+    n = _num_rows(sf_dir, "orders") * repeat
+    # partitions sized for join parallelism (>= ~2 per CPU at bench
+    # scale; at 10^12 rows the 1M-row default capacity gives 10^6
+    # partitions and the same per-partition work). bucket_capacity
+    # bounds the signature-partial volume per block (parts × B keys).
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=1024)
+
+    from ..functions import canonical, hashing
+
+    def mutate_bucket0(batch: pa.Table) -> pa.Table:
+        """Bump price for rows whose key hashes to bucket 0 — the same
+        khash/bucket math the digest uses, so diffs land in exactly one
+        bucket per partition."""
+        keys = canonical.key_column(batch, ["o_orderkey"])
+        kh = hashing.hash64(keys)
+        _, bucket = hashing.assign_buckets(kh, cfg.num_partitions,
+                                           cfg.buckets_per_partition)
+        hit = bucket == 0
+        price = batch.column("o_totalprice").to_numpy().copy()
+        price[hit] += 1.0
+        return batch.set_column(
+            batch.schema.get_field_index("o_totalprice"),
+            "o_totalprice", pa.array(price, pa.float64()))
+
+    # streaming (not materialized): the two digest scans are pure map
+    # work that scales with cores; materialization adds object-store
+    # round-trips that contend at high core counts on one node
+    res = cmp.compare_tables(side(), side(mutate_bucket0), cfg,
+                             table="orders_scaled")
+    return res.summary
 
 
 COMPARE_ORDERS_PAIR_SQL = """
@@ -332,22 +412,28 @@ WHERE a.text <> b.text OR a.lang <> b.lang
 
 def dedup_exact_documents(sf_dir: str):
     """Exact dedup by full-text content hash: representative (min doc_id)
-    per distinct text. Hash-partitioned groupby over the fingerprint —
-    never ships text twice."""
-    from ray.data.aggregate import Min
-
+    per distinct text. The shuffle ships (doc_id, fp, bucket) rows —
+    never the text itself; buckets give fixed-width parallelism and the
+    within-bucket reduce is one vectorized pandas groupby-min."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    num_buckets = 64
 
     def fp(batch: pa.Table) -> pa.Table:
         h = textfn.fingerprint(pd.Series(batch.column("text").to_pylist()))
-        # int64 reinterpret: Ray groupby keys must not be uint64 (values
-        # above 2^63 overflow its internal int conversion)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "fp": pa.array(h.view(np.int64), pa.int64())})
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            # int64 reinterpret: Ray groupby keys must not be uint64
+            "fp": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        })
 
     keyed = ds.map_batches(fp, batch_format="pyarrow")
-    return keyed.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id")) \
-        .select_columns(["doc_id"])
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fp", sort=False)["doc_id"].min().reset_index(
+            name="doc_id")[["doc_id"]]
+
+    return keyed.groupby("bucket").map_groups(reduce, batch_format="pandas")
 
 
 DEDUP_EXACT_DOCUMENTS_SQL = """
@@ -451,6 +537,55 @@ def lang_by_source(sf_dir: str):
 LANG_BY_SOURCE_SQL = """
 SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
 """
+
+
+def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
+    """Bench headline #2: full text-analysis pass (token counts,
+    quality score, language-id, SimHash fingerprint) over ``repeat``
+    remapped copies of documents — one task per shard, one map pass,
+    per-batch partial aggregation, tiny driver-side result. This is the
+    compute-bound (regex/bit-twiddling) web-text workload of the north
+    metric; unlike the digest kernel it is not memory-bandwidth-bound,
+    so it demonstrates core scaling."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def shard_analyze(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        i = int(batch["id"][0])
+        t = pq.read_table(path, columns=["doc_id", "text"], use_threads=False)
+        s = pd.Series(t.column("text").to_pylist())
+        n_tok = textfn.token_counts(s)
+        qs = textfn.quality_score(s)
+        langs = textfn.lang_id(s)
+        sh = textfn.simhash(s)
+        # partial aggregate: per predicted lang -> count, tokens, mean
+        # quality, xor of simhashes (tiny, mergeable on the driver)
+        df = pd.DataFrame({"lang_pred": langs, "n_tok": n_tok, "q": qs,
+                           "sh": sh})
+        g = df.groupby("lang_pred", sort=False).agg(
+            docs=("q", "size"), tokens=("n_tok", "sum"), qsum=("q", "sum"))
+        xor = df.groupby("lang_pred", sort=False)["sh"].apply(
+            lambda v: np.bitwise_xor.reduce(v.to_numpy().astype(np.uint64)))
+        g["sh_xor"] = xor.astype(np.uint64).values
+        g = g.reset_index()
+        g["shard"] = np.int32(i)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = rd.range(repeat, override_num_blocks=repeat) \
+        .map_batches(shard_analyze, batch_format="numpy", batch_size=None) \
+        .to_pandas()
+    out = partials.groupby("lang_pred").agg(
+        docs=("docs", "sum"), tokens=("tokens", "sum"), qsum=("qsum", "sum"),
+        sh_xor=("sh_xor", lambda v: np.bitwise_xor.reduce(
+            v.to_numpy().astype(np.uint64))))
+    out["mean_quality"] = out["qsum"] / out["docs"]
+    return out.reset_index()[["lang_pred", "docs", "tokens", "mean_quality"]]
 
 
 def quality_documents(sf_dir: str) -> pd.DataFrame:

@@ -1,1 +1,3 @@
-from . import compare, digest, profile  # noqa: F401
+from . import (  # noqa: F401
+    compare, dedup, digest, multimodal, profile, similarity, skew,
+)

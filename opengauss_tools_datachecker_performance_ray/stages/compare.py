@@ -33,6 +33,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import hashing, merkle
 from .digest import DigestConfig, digest_dataset
@@ -96,20 +97,205 @@ def _reduce_partition(cfg_b: int):
     return reduce
 
 
+def make_partial_combiner_fn(cfg: DigestConfig):
+    """Combine sparse partial rows (part,bucket,sig,cnt) -> fewer rows.
+
+    Idempotent: same schema in/out; XOR-merges duplicates of the same
+    global bucket. Applied with a large ``batch_size`` it acts as one
+    level of a tree reduce — each pass caps output at the number of
+    distinct buckets per batch, so the volume reaching the driver is
+    bounded by ~(distinct buckets × final block count), not row count.
+    """
+    B = cfg.buckets_per_partition
+
+    def combine(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy()
+        bucket = batch.column("bucket").to_numpy()
+        sig = batch.column("sig").to_numpy().astype(np.uint64, copy=False)
+        cnt = batch.column("cnt").to_numpy()
+        gid = part.astype(np.int64) * B + bucket
+        uniq, inv = np.unique(gid, return_inverse=True)
+        osig = np.zeros(len(uniq), dtype=np.uint64)
+        np.bitwise_xor.at(osig, inv, sig)
+        ocnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(ocnt, inv, cnt)
+        return pa.table({
+            "part": pa.array((uniq // B).astype(np.int32)),
+            "bucket": pa.array((uniq % B).astype(np.int32)),
+            "sig": pa.array(osig, type=pa.uint64()),
+            "cnt": pa.array(ocnt, type=pa.int64()),
+        })
+
+    return combine
+
+
+COMBINE_BATCH = 4_000_000  # partial rows per combiner batch (~112 MB)
+
+
 def partition_signatures(digests, cfg: DigestConfig) -> pd.DataFrame:
     """Digest Dataset -> driver-side frame (part, rows, root, leaves).
 
-    The collected result is tiny: num_partitions rows ×
-    (8 * buckets_per_partition) bytes of leaves.
+    Sparse per-block partials (already XOR-combined within the block)
+    -> driver XOR merge. Result is num_partitions rows ×
+    (8 × buckets_per_partition) bytes of leaves. Partial volume
+    reaching the driver is ~min(rows, blocks × touched buckets); for
+    partition counts beyond driver memory (10^12-row tables) use
+    ``partition_signatures_distributed``.
+
+    NOTE: deliberately one operator, one batch per block — a separate
+    combine operator with a large batch_size would make Ray coalesce
+    blocks to fill the batch and collapse the fused chain into a
+    single task (observed: 64 blocks -> 1 task).
     """
     partials = digests.map_batches(make_signature_partials_fn(cfg),
                                    batch_format="pyarrow")
-    reduced = partials.groupby("part").map_groups(
+    return _merge_signature_partials(
+        partials.to_pandas(), cfg.buckets_per_partition)
+
+
+def partition_signatures_distributed(digests, cfg: DigestConfig):
+    """Fully distributed signature reduce for very large partition
+    counts: groupby(part) shuffles the (already combined) partials and
+    emits one row per partition with its leaves blob + Merkle root.
+    Returns a Dataset — collect only (part, root, rows) columns to the
+    driver; fetch leaves just for differing partitions."""
+    partials = digests.map_batches(make_signature_partials_fn(cfg),
+                                   batch_format="pyarrow")
+    return partials.groupby("part").map_groups(
         _reduce_partition(cfg.buckets_per_partition), batch_format="pandas")
-    df = reduced.to_pandas()
-    if "part" not in df.columns:  # empty input => empty (column-less) frame
-        df = pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
-    return df.sort_values("part").reset_index(drop=True)
+
+
+def _merge_signature_partials(pdf: pd.DataFrame, B: int) -> pd.DataFrame:
+    """Driver-side XOR merge of sparse partials, vectorized with one
+    global sort + ``reduceat`` over runs (ufunc.at is ~20x slower)."""
+    if not len(pdf):
+        return pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
+    part = pdf["part"].to_numpy(np.int64)
+    bucket = pdf["bucket"].to_numpy(np.int64)
+    sig = pdf["sig"].to_numpy().astype(np.uint64)
+    cnt = pdf["cnt"].to_numpy(np.int64)
+    gid = part * B + bucket
+    order = np.argsort(gid, kind="stable")
+    gid, sig, cnt = gid[order], sig[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(gid) != 0])
+    ugid = gid[starts]
+    usig = np.bitwise_xor.reduceat(sig, starts)
+    ucnt = np.add.reduceat(cnt, starts)
+    uparts = ugid // B
+    ubuckets = (ugid % B).astype(np.int64)
+    rows = []
+    pstarts = np.flatnonzero(np.r_[True, np.diff(uparts) != 0])
+    pends = np.r_[pstarts[1:], len(uparts)]
+    for s, e in zip(pstarts, pends):
+        p = int(uparts[s])
+        leaves = np.zeros(B, dtype=np.uint64)
+        leaves[ubuckets[s:e]] = usig[s:e]
+        counts = np.zeros(B, dtype=np.int64)
+        counts[ubuckets[s:e]] = ucnt[s:e]
+        rows.append({"part": p, "rows": int(counts.sum()),
+                     "root": np.uint64(merkle.merkle_root(leaves)),
+                     "leaves": leaves.tobytes(),
+                     "counts": counts.tobytes()})
+    return pd.DataFrame(rows).sort_values("part").reset_index(drop=True)
+
+
+def make_signature_partials_by_side_fn(cfg: DigestConfig):
+    """Signature partials for a side-tagged digest batch: the batch is
+    split by its ``side`` column and each half combined separately;
+    output rows carry ``is_src``."""
+    partials = make_signature_partials_fn(cfg)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        side = batch.column("side")
+        outs = []
+        for flag in (True, False):
+            sub = batch.filter(pc.equal(side, flag)) if batch.num_rows else batch
+            if sub.num_rows:
+                p = partials(sub)
+                outs.append(p.append_column(
+                    "is_src", pa.array(np.full(p.num_rows, flag))))
+        if not outs:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "is_src": pa.array([], pa.bool_())})
+        return pa.concat_tables(outs)
+
+    return fn
+
+
+def classify_differences_combined(both, diffs: list["PartitionDiff"],
+                                  cfg: DigestConfig):
+    """Classify from a single side-tagged digest Dataset (the
+    materialized-union path): filter to differing buckets, groupby
+    partition, vectorized merge. Returns None when everything pruned."""
+    B = cfg.buckets_per_partition
+    gids = _diff_gid_array(diffs, B)
+    if not len(gids):
+        return None
+
+    def filt(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy()
+        bucket = batch.column("bucket").to_numpy()
+        gid = part.astype(np.int64) * B + bucket
+        pos = np.minimum(np.searchsorted(gids, gid), len(gids) - 1)
+        mask = gids[pos] == gid
+        return batch.filter(pa.array(mask))
+
+    filtered = both.map_batches(filt, batch_format="pyarrow")
+
+    def classify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = _classify_group(g)
+        return out if len(out) else EMPTY_VIOLATIONS.copy()
+
+    return filtered.groupby("part").map_groups(classify_partition,
+                                               batch_format="pandas")
+
+
+def make_digest_partials_fn(cfg: DigestConfig, side_flag: bool):
+    """Composed batch fn: raw typed batch -> combined signature partial
+    rows tagged with the side. One operator per side — composition in
+    our code instead of relying on Ray operator fusion (predictable
+    task granularity: one task per input block)."""
+    from .digest import make_digest_fn
+
+    digest = make_digest_fn(cfg)
+    partials = make_signature_partials_fn(cfg)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = partials(digest(batch))
+        return out.append_column(
+            "is_src", pa.array(np.full(out.num_rows, side_flag)))
+
+    return fn
+
+
+def partition_signatures_pair(src, snk, cfg: DigestConfig,
+                              batch_size: int | None = None
+                              ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Signatures for BOTH sides in one streaming execution.
+
+    read -> (digest+partials composed) is one map operator per side;
+    the union streams both sides concurrently; the tiny partial rows
+    (part, bucket, sig, cnt, is_src) come back to the driver for the
+    XOR merge. No materialization, no shuffle — one scan total.
+    """
+
+    def side_partials(ds, side_flag: bool):
+        return ds.map_batches(make_digest_partials_fn(cfg, side_flag),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              zero_copy_batch=True)
+
+    both = side_partials(src, True).union(side_partials(snk, False))
+    pdf = both.to_pandas()
+    if not len(pdf):
+        e = pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
+        return e, e.copy()
+    B = cfg.buckets_per_partition
+    src_sigs = _merge_signature_partials(pdf[pdf["is_src"]], B)
+    snk_sigs = _merge_signature_partials(pdf[~pdf["is_src"]], B)
+    return src_sigs, snk_sigs
 
 
 # --------------------------------------------------------------------------
@@ -189,28 +375,34 @@ def make_bucket_filter_fn(diff_gids: np.ndarray, B: int, side: str):
 
 
 def _classify_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Full outer join on key within one differing bucket ->
-    insert/update/delete rows (Maps.difference semantics,
-    ``SliceCheckWorker.java:263-289``). Duplicate keys within a side are
-    deterministically collapsed to the first by (key, vhash) order,
-    mirroring the reference's map-overwrite behavior; uniqueness
+    """Full outer join on key within one partition's differing buckets
+    -> insert/update/delete rows (Maps.difference semantics,
+    ``SliceCheckWorker.java:263-289``). A single vectorized merge over
+    the whole partition — bucket boundaries don't change the result
+    (bucket = hash(key) subdivision, so a key never crosses buckets);
+    the bucket column rides along for reporting. Duplicate keys within
+    a side are deterministically collapsed to the first by (key, vhash)
+    order, mirroring the reference's map-overwrite behavior; uniqueness
     violations are reported by the separate uniqueness check."""
-    part = int(g["part"].iloc[0]); bucket = int(g["bucket"].iloc[0])
+    part = int(g["part"].iloc[0])
     src = g[g["side"]]; snk = g[~g["side"]]
     src = src.sort_values(["key", "vhash"]).drop_duplicates("key", keep="first")
     snk = snk.sort_values(["key", "vhash"]).drop_duplicates("key", keep="first")
     # nullable UInt64 so the outer merge never coerces the 64-bit value
     # hashes to float64 (which would silently collide hashes > 2^53)
-    sv = src[["key"]].assign(vhash_s=src["vhash"].astype("UInt64").values)
-    kv = snk[["key"]].assign(vhash_k=snk["vhash"].astype("UInt64").values)
-    j = sv.merge(kv, on="key", how="outer")
+    sv = src[["key", "bucket"]].assign(vhash_s=src["vhash"].astype("UInt64").values)
+    kv = snk[["key", "bucket"]].assign(vhash_k=snk["vhash"].astype("UInt64").values)
+    j = sv.merge(kv, on="key", how="outer", suffixes=("", "_k"))
     only_src = j["vhash_k"].isna().to_numpy()
     only_snk = j["vhash_s"].isna().to_numpy()
     kind = np.where(only_src, "insert", np.where(only_snk, "delete", "update"))
     differs = (j["vhash_s"] != j["vhash_k"]).fillna(True).to_numpy()
     keep = only_src | only_snk | differs
+    bucket = np.where(j["bucket"].notna(), j["bucket"],
+                      j["bucket_k"]).astype(np.int64)
     out = pd.DataFrame({"key": j["key"].to_numpy()[keep], "kind": kind[keep]})
-    out["part"] = np.int32(part); out["bucket"] = np.int32(bucket)
+    out["part"] = np.int32(part)
+    out["bucket"] = bucket[keep].astype(np.int32)
     return out.reset_index(drop=True)
 
 
@@ -232,8 +424,7 @@ def classify_differences(src_digests, snk_digests,
     both = src_f.union(snk_f)
 
     def classify_partition(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [_classify_group(sub) for _, sub in g.groupby("bucket", sort=True)]
-        out = pd.concat(frames) if frames else EMPTY_VIOLATIONS.copy()
+        out = _classify_group(g)
         return out if len(out) else EMPTY_VIOLATIONS.copy()
 
     return both.groupby("part").map_groups(classify_partition,
@@ -305,21 +496,58 @@ EMPTY_VIOLATIONS = pd.DataFrame({
 
 
 def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
-                   batch_size: int | None = 32768) -> CompareResult:
+                   batch_size: int | None = 32768,
+                   materialize_digests: bool = False) -> CompareResult:
     """Full table-pair compare: two Datasets in, verdicts + violations out.
 
-    ``src``/``snk`` are raw typed Datasets; digesting, signature
-    aggregation, pruning and diff classification run as described in
-    the module docstring. Digest Datasets are materialized once (a few
-    percent of input bytes; Ray spills to disk under memory pressure)
-    and reused for the signature pass and the diff join.
+    Default is fully streaming: ONE fused scan computes both sides'
+    partition signatures (read -> digest -> partial XOR, no
+    materialization, no shuffle); only when the Merkle compare finds
+    differing buckets does a second scan re-digest and classify those
+    buckets (violations are the rare case, so the clean path costs a
+    single pass — the reference's equal-root short-circuit, at scale).
+
+    ``materialize_digests=True`` keeps both digest Datasets pinned in
+    the object store instead (a few percent of input bytes, spills to
+    disk) — worth it when the caller reuses them, e.g. the validation
+    runner's uniqueness check.
     """
-    src_d = digest_dataset(src, cfg, batch_size).materialize()
-    snk_d = digest_dataset(snk, cfg, batch_size).materialize()
-    src_sigs = partition_signatures(src_d, cfg)
-    snk_sigs = partition_signatures(snk_d, cfg)
-    diffs = compare_signatures(src_sigs, snk_sigs, cfg)
-    vio_ds = classify_differences(src_d, snk_d, diffs, cfg)
+    if materialize_digests:
+        # ONE tagged union materialization (both sides digest
+        # concurrently in a single execution), then one signature pass
+        # and — only if needed — one filtered classify pass over it.
+        def tag(flag: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "side", pa.array(np.full(t.num_rows, flag)))
+            return fn
+
+        both = digest_dataset(src, cfg, batch_size) \
+            .map_batches(tag(True), batch_format="pyarrow") \
+            .union(digest_dataset(snk, cfg, batch_size)
+                   .map_batches(tag(False), batch_format="pyarrow")) \
+            .materialize()
+        partials = both.map_batches(
+            make_signature_partials_by_side_fn(cfg), batch_format="pyarrow")
+        pdf = partials.to_pandas()
+        B = cfg.buckets_per_partition
+        if len(pdf):
+            src_sigs = _merge_signature_partials(pdf[pdf["is_src"]], B)
+            snk_sigs = _merge_signature_partials(pdf[~pdf["is_src"]], B)
+        else:
+            src_sigs = snk_sigs = pd.DataFrame(
+                columns=["part", "rows", "root", "leaves", "counts"])
+        diffs = compare_signatures(src_sigs, snk_sigs, cfg)
+        vio_ds = classify_differences_combined(both, diffs, cfg)
+    else:
+        src_sigs, snk_sigs = partition_signatures_pair(src, snk, cfg, None)
+        diffs = compare_signatures(src_sigs, snk_sigs, cfg)
+        if any(len(d.diff_buckets) for d in diffs):
+            vio_ds = classify_differences(digest_dataset(src, cfg, batch_size),
+                                          digest_dataset(snk, cfg, batch_size),
+                                          diffs, cfg)
+        else:
+            vio_ds = None
     violations = (vio_ds.to_pandas() if vio_ds is not None
                   else EMPTY_VIOLATIONS.copy())
     if len(violations) == 0:

@@ -68,6 +68,9 @@ def make_digest_fn(cfg: DigestConfig):
     """Build the vectorized map_batches function for one side."""
 
     def digest(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
         keys = canonical.key_column(batch, list(cfg.key_columns))
         khash = hashing.hash64(keys)
         cols = (list(cfg.compare_columns) if cfg.compare_columns is not None
@@ -92,7 +95,12 @@ def make_digest_fn(cfg: DigestConfig):
     return digest
 
 
-def digest_dataset(ds, cfg: DigestConfig, batch_size: int | None = 32768):
-    """Attach the digest stage to a Dataset (lazy)."""
+def digest_dataset(ds, cfg: DigestConfig, batch_size: int | None = None):
+    """Attach the digest stage to a Dataset (lazy).
+
+    Default ``batch_size=None`` = one batch per block: a larger
+    batch_size makes Ray COALESCE blocks to fill batches, which merges
+    tasks and destroys read parallelism on small-block inputs.
+    """
     return ds.map_batches(make_digest_fn(cfg), batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)

@@ -1,0 +1,122 @@
+"""Similarity search over an embedding column (list<float>).
+
+Training-data extension: brute-force cosine top-k as the exact
+baseline (one numpy matmul per batch against a broadcast query matrix
+— ``ray.put`` once, read per actor/task, never re-shipped per batch),
+and an IVF (inverted-file) variant as the scale path: k-means-ish
+coarse centroids assign each vector to a cell; queries probe only the
+nearest ``nprobe`` cells, turning an O(N) scan into O(N * nprobe / C).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, id_col: str, emb_col: str,
+                     queries: np.ndarray, k: int = 10,
+                     batch_size: int | None = None) -> pd.DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    ``queries``: (Q, D) float array. Per batch: one (B, D) x (D, Q)
+    matmul; per-batch top-k heaps merge on the driver (k*Q rows per
+    batch stream back — tiny). Returns (query_idx, vec_id, cos) rows.
+    """
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    ref = ray.put(qn)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        q = ray.get(ref)
+        mat = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        sims = mat @ q.T                      # (B, Q)
+        out = []
+        kk = min(k, len(batch))
+        for qi in range(q.shape[0]):
+            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out.append(pd.DataFrame({
+                "query_idx": qi,
+                id_col: batch[id_col].to_numpy()[top],
+                "cos": sims[top, qi]}))
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(score, batch_format="pandas",
+                              batch_size=batch_size).to_pandas()
+    # final exact top-k per query across batch partials
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        top = heapq.nlargest(k, g.itertuples(index=False),
+                             key=lambda r: r.cos)
+        out.extend(top)
+    return pd.DataFrame(out).sort_values(
+        ["query_idx", "cos"], ascending=[True, False]).reset_index(drop=True)
+
+
+def train_ivf_centroids(ds, emb_col: str, num_cells: int = 64,
+                        sample_size: int = 10_000, iters: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Coarse centroids from a sample (mini k-means on the driver).
+
+    The sample is one bounded ``take``; training cost is independent of
+    dataset size — the centroids are then broadcast to the assign stage.
+    """
+    rows = ds.limit(sample_size).to_pandas()
+    mat = _normalize(np.stack(rows[emb_col].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(num_cells, len(mat)),
+                          replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = mat[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(ds, id_col: str, emb_col: str, centroids: np.ndarray):
+    """Add an IVF ``cell`` column (nearest centroid) to each vector —
+    the partitioned index layout; write_parquet(partition_cols=["cell"])
+    makes per-cell probing a pruned read."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float32))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        cent = ray.get(ref)
+        mat = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        cell = (mat @ cent.T).argmax(axis=1).astype(np.int32)
+        return pd.DataFrame({id_col: batch[id_col], "cell": cell,
+                             emb_col: batch[emb_col]})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def ivf_topk(assigned, id_col: str, emb_col: str, centroids: np.ndarray,
+             queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` cells nearest each
+    query. Filter (vectorized per batch) + the brute-force scorer over
+    the surviving ~nprobe/C fraction of vectors."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    cent = _normalize(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe.reshape(-1))
+
+    filtered = assigned.filter(
+        expr=f"cell in {sorted(int(c) for c in wanted)}")
+    return brute_force_topk(filtered, id_col, emb_col, qn, k=k)

@@ -1,0 +1,188 @@
+"""Tests for dedup, similarity-search, multimodal and skew stages."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.stages import (
+    dedup, multimodal, similarity, skew,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = [" ".join(f"w{(i * 7 + j) % 50}" for j in range(60))
+            for i in range(40)]
+    texts = list(base)
+    texts[10] = texts[0]                    # exact dup of 0
+    texts[11] = texts[1] + " extra token"   # near dup of 1
+    texts[12] = texts[2]                    # exact dup of 2
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    return rd.from_pandas(df), df
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs_ds):
+        ds, _ = docs_ds
+        out = dedup.exact_duplicates(ds, "doc_id", "text").to_pandas()
+        got = {(r.rep_id, r.dup_id) for r in out.itertuples()}
+        assert got == {(0, 10), (2, 12)}
+
+    def test_minhash_lsh_finds_near_dup(self, docs_ds):
+        ds, _ = docs_ds
+        out = dedup.minhash_lsh_pairs(ds, "doc_id", "text", k=3,
+                                      verify_threshold=0.5).to_pandas()
+        pairs = {(int(r.a), int(r.b)) for r in out.itertuples()}
+        assert (1, 11) in pairs          # near dup found
+        assert (0, 10) in pairs          # exact dup found too
+        # verified similarity is high for the exact dup
+        exact = out[(out.a == 0) & (out.b == 10)]
+        assert (exact["sim_est"] == 1.0).all()
+
+    def test_simhash_near_duplicates(self, docs_ds):
+        ds, _ = docs_ds
+        out = dedup.simhash_near_duplicates(ds, "doc_id", "text",
+                                            max_hamming=4).to_pandas()
+        pairs = {(int(r.a), int(r.b)) for r in out.itertuples()}
+        assert (0, 10) in pairs and (2, 12) in pairs
+
+    def test_ngram_jaccard_verify(self, docs_ds):
+        _, df = docs_ds
+        df = df.copy()
+        # doc 20 gets disjoint vocabulary (base docs share char 3-grams)
+        df.loc[df["doc_id"] == 20, "text"] = "zebra quokka yak " * 20
+        cand = pd.DataFrame({"a": [0, 0], "b": [10, 20]})
+        out = dedup.ngram_jaccard_verify(cand, df, "doc_id", "text",
+                                         threshold=0.9)
+        assert list(out["b"]) == [10]
+
+    def test_embedding_cosine_duplicates(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((30, 16)).astype(np.float32)
+        base[5] = base[3] + 0.001           # near-identical pair
+        df = pd.DataFrame({"vid": np.arange(30, dtype=np.int64),
+                           "emb": list(base)})
+        out = dedup.embedding_cosine_duplicates(
+            rd.from_pandas(df), "vid", "emb",
+            threshold=0.999).to_pandas()
+        assert {(int(r.a), int(r.b)) for r in out.itertuples()} == {(3, 5)}
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        mat = rng.standard_normal((200, 32)).astype(np.float32)
+        df = pd.DataFrame({"vid": np.arange(200, dtype=np.int64),
+                           "emb": list(mat)})
+        q = mat[7:8]
+        out = similarity.brute_force_topk(rd.from_pandas(df), "vid", "emb",
+                                          q, k=5)
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        want = np.argsort(-(normed @ (normed[7])))[:5]
+        assert list(out["vid"]) == list(want)
+        assert out["cos"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+    def test_ivf_recall(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        mat = rng.standard_normal((500, 16)).astype(np.float32)
+        df = pd.DataFrame({"vid": np.arange(500, dtype=np.int64),
+                           "emb": list(mat)})
+        ds = rd.from_pandas(df)
+        cent = similarity.train_ivf_centroids(ds, "emb", num_cells=8,
+                                              sample_size=500)
+        assigned = similarity.ivf_assign(ds, "vid", "emb", cent).materialize()
+        q = mat[3:4]
+        approx = similarity.ivf_topk(assigned, "vid", "emb", cent, q,
+                                     k=5, nprobe=4)
+        exact = similarity.brute_force_topk(ds, "vid", "emb", q, k=5)
+        # nprobe=4/8 cells: the true nearest (itself) must be found and
+        # recall@5 should be high
+        assert approx["vid"].iloc[0] == 3
+        recall = len(set(approx["vid"]) & set(exact["vid"])) / 5
+        assert recall >= 0.6
+
+
+class TestMultimodal:
+    def test_decode_pipeline_shapes(self, ray_session):
+        import ray.data as rd
+
+        t = multimodal.fake_media_table(n=16)
+        ds = rd.from_arrow(t)
+        out = multimodal.decode_pipeline(ds, concurrency=2).to_pandas()
+        assert len(out) == 16
+        assert all(len(e) == 64 for e in out["embedding"])
+        # determinism: same payload -> same embedding
+        out2 = multimodal.decode_pipeline(rd.from_arrow(t),
+                                          concurrency=2).to_pandas()
+        a = out.sort_values("media_id")["embedding"].tolist()
+        b = out2.sort_values("media_id")["embedding"].tolist()
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    def test_real_decoder_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.ImageDecodeResize(multimodal.DecodeConfig(fake=False))
+
+    def test_frame_sampling(self, ray_session):
+        import ray.data as rd
+
+        t = multimodal.fake_media_table(n=4)
+        out = rd.from_arrow(t).map_batches(
+            multimodal.VideoFrameSample, batch_format="pyarrow",
+            concurrency=1, batch_size=2).to_pandas()
+        assert len(out) == 4 * 8
+        assert set(out["frame_no"]) == set(range(8))
+
+
+class TestSkew:
+    def test_detect_hot_keys(self, ray_session):
+        import ray.data as rd
+
+        keys = ["hot"] * 500 + [f"cold{i}" for i in range(500)]
+        ds = rd.from_pandas(pd.DataFrame({"domain": keys}))
+        hot = skew.detect_hot_keys(ds, "domain", threshold_frac=0.1)
+        assert list(hot["key"]) == ["hot"]
+        assert hot["n"].iloc[0] == 500
+
+    def test_salting_preserves_counts(self, ray_session):
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        keys = ["hot"] * 400 + [f"c{i}" for i in range(100)]
+        ds = rd.from_pandas(pd.DataFrame({"domain": keys}))
+        salted = skew.add_salted_key(ds, "domain", ["hot"], salt_factor=4)
+        counts = salted.groupby("salted_key").aggregate(
+            Count(alias_name="n")).to_pandas()
+        # hot key split into multiple sub-keys
+        hot_rows = counts[counts["salted_key"].str.startswith("hot#s")]
+        assert len(hot_rows) > 1
+        merged = skew.unsalt_counts(
+            counts.rename(columns={"salted_key": "domain"}), "domain")
+        assert int(merged.loc[merged["domain"] == "hot", "n"].iloc[0]) == 400
+        assert merged["n"].sum() == 500
+
+    def test_row_group_histogram(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opengauss_tools_datachecker_performance_ray.sources.parquet import (
+            load_table_meta,
+        )
+
+        big = pa.table({"x": [b"a" * 100_000] * 50})
+        small = pa.table({"x": [b"b" * 10] * 150})
+        pq.write_table(pa.concat_tables([small, big]),
+                       str(tmp_path / "t.parquet"), row_group_size=50)
+        meta = load_table_meta(str(tmp_path / "t.parquet"))
+        hist = skew.row_group_size_histogram(meta)
+        assert len(hist) == 4
+        assert hist["oversized"].sum() == 1
+        assert bool(hist["oversized"].iloc[3])
