@@ -51,6 +51,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q.quality_documents,
         "drift_documents_by_source": q.drift_documents_by_source,
         "knn_embeddings": q.knn_embeddings,
+        # incremental mode, rules, skew, CSV source, multimodal (§2.9,
+        # §2.2 M3-M5, §4 skew, §2.1 S4, training-data extensions)
+        "incremental_recheck_orders": q.incremental_recheck_orders,
+        "row_rule_orders": q.row_rule_orders,
+        "hot_sources_documents": q.hot_sources_documents,
+        "csv_lang_counts": q.csv_lang_counts,
+        "simhash_near_dups_documents": q.simhash_near_dups_documents,
+        "embedding_dup_pairs": q.embedding_dup_pairs,
+        "knn_ivf_embeddings": q.knn_ivf_embeddings,
+        "multimodal_embeddings": q.multimodal_embeddings,
     }
 
 
@@ -72,7 +82,13 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,
+        "incremental_recheck_orders": q.INCREMENTAL_RECHECK_ORDERS_SQL,
+        "row_rule_orders": q.ROW_RULE_ORDERS_SQL,
+        "hot_sources_documents": q.HOT_SOURCES_DOCUMENTS_SQL,
+        "csv_lang_counts": q.CSV_LANG_COUNTS_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,
         # minhash_lsh_candidates, simhash_documents, quality_documents,
-        # drift_documents_by_source, knn_embeddings
+        # drift_documents_by_source, knn_embeddings,
+        # simhash_near_dups_documents, embedding_dup_pairs,
+        # knn_ivf_embeddings, multimodal_embeddings
     }

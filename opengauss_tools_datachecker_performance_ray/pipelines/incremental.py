@@ -1,0 +1,151 @@
+"""Incremental (changed-key) verification mode.
+
+Re-expresses the reference's CDC path (SURVEY.md §2.9 / §3.3,
+``extract/debezium/IncrementDataAnalysisService.java:102-170`` +
+``check/modules/check/IncrementCheckThread.java:140-220``) without the
+Kafka/Debezium transport: the caller supplies batches of changed keys
+(a ``SourceDataLog`` analog — any upstream CDC feed can produce them);
+the engine
+
+1. windows them by the reference's hybrid count/time rule
+   (flush at >= ``count_period`` keys OR >= ``time_period`` seconds),
+2. re-extracts ONLY those keys from both tables (broadcast semi-join —
+   ``ray.put`` the key set once, filter inside ``map_batches``),
+3. runs the same digest + classify compare on the filtered pair, and
+4. optionally re-checks surviving diffs a second time (two-phase
+   re-validation that absorbs in-flight replication lag).
+
+Diff batches larger than ``max_diff_count`` abort with a failed
+verdict (increment-max-diff-count guard,
+``config/application.yml:24``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages import compare as cmp
+from ..stages.digest import DigestConfig, digest_dataset
+
+
+@dataclass
+class IncrementConfig:
+    count_period: int = 1000       # debezium-num-period analog
+    time_period_s: float = 60.0    # debezium-time-period analog (minutes->s)
+    max_diff_count: int = 5000     # increment-max-diff-count analog
+    secondary_recheck: bool = True
+
+
+class ChangeLogWindow:
+    """Hybrid count/time tumbling window over changed-key events."""
+
+    def __init__(self, cfg: IncrementConfig | None = None,
+                 clock: Callable[[], float] = time.time):
+        self.cfg = cfg or IncrementConfig()
+        self._clock = clock
+        self._keys: list[str] = []
+        self._opened = clock()
+
+    def offer(self, keys: list[str]) -> list[str] | None:
+        """Add keys; returns the flushed batch when a flush triggers."""
+        self._keys.extend(map(str, keys))
+        if (len(self._keys) >= self.cfg.count_period
+                or (self._keys
+                    and self._clock() - self._opened >= self.cfg.time_period_s)):
+            return self.flush()
+        return None
+
+    def flush(self) -> list[str]:
+        out, self._keys = self._keys, []
+        self._opened = self._clock()
+        return sorted(set(out))
+
+
+def filter_by_keys(ds, key_columns: list[str], keys: list[str],
+                   batch_size: int | None = None):
+    """Broadcast semi-join: keep rows whose spliced key is in ``keys``
+    (the ``SELECT ... WHERE pk IN (...)`` re-extract, J5/I2)."""
+    import ray
+
+    from ..functions import canonical
+
+    key_arr = np.sort(np.asarray([str(k) for k in keys], dtype=object))
+    ref = ray.put(key_arr)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        wanted = ray.get(ref)
+        rowkeys = canonical.key_column(batch, key_columns) \
+            .to_numpy(zero_copy_only=False)
+        if len(wanted):
+            pos = np.minimum(np.searchsorted(wanted, rowkeys),
+                             len(wanted) - 1)
+            mask = wanted[pos] == rowkeys
+        else:
+            mask = np.zeros(len(rowkeys), dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
+
+
+@dataclass
+class IncrementResult:
+    table: str
+    checked_keys: int
+    violations: pd.DataFrame
+    result: str
+    message: str = ""
+    phases: list[dict[str, Any]] = field(default_factory=list)
+
+
+def incremental_check(src_factory: Callable[[], Any],
+                      snk_factory: Callable[[], Any],
+                      key_columns: list[str], changed_keys: list[str],
+                      table: str = "table",
+                      cfg: IncrementConfig | None = None,
+                      dcfg: DigestConfig | None = None) -> IncrementResult:
+    """One incremental verification round over a flushed key batch.
+
+    ``src_factory``/``snk_factory`` return fresh Datasets (factories so
+    the secondary re-check re-reads instead of reusing stale blocks —
+    the re-fetch semantics of IncrementCheckThread's two-phase check).
+    """
+    cfg = cfg or IncrementConfig()
+    keys = sorted(set(map(str, changed_keys)))
+    if len(keys) > cfg.max_diff_count:
+        return IncrementResult(
+            table=table, checked_keys=len(keys),
+            violations=cmp.EMPTY_VIOLATIONS.copy(), result="failed",
+            message=f"changed-key batch {len(keys)} exceeds "
+                    f"max_diff_count {cfg.max_diff_count}")
+    dcfg = dcfg or DigestConfig(key_columns=tuple(key_columns),
+                                num_partitions=4, buckets_per_partition=64)
+
+    def one_pass(key_subset: list[str]) -> pd.DataFrame:
+        src = filter_by_keys(src_factory(), key_columns, key_subset)
+        snk = filter_by_keys(snk_factory(), key_columns, key_subset)
+        res = cmp.compare_tables(src, snk, dcfg, table=table)
+        return res.violations
+
+    phases = []
+    vio = one_pass(keys)
+    phases.append({"phase": "primary", "checked": len(keys),
+                   "diffs": int(len(vio))})
+    if cfg.secondary_recheck and len(vio):
+        # second fetch+compare of surviving diffs only (I3)
+        vio = one_pass(sorted(set(vio["key"].astype(str))))
+        phases.append({"phase": "secondary", "checked": phases[-1]["diffs"],
+                       "diffs": int(len(vio))})
+    ok = len(vio) == 0
+    return IncrementResult(table=table, checked_keys=len(keys),
+                           violations=vio.reset_index(drop=True),
+                           result="success" if ok else "failed",
+                           phases=phases)

@@ -643,3 +643,191 @@ def knn_embeddings(sf_dir: str) -> pd.DataFrame:
     top = scored.sort(["cos", "vec_id"], descending=[True, True]).limit(11)
     df = top.to_pandas()
     return df[df["vec_id"] != 0].head(10).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental mode, rules, skew, CSV source, multimodal (round-1 widening)
+# ---------------------------------------------------------------------------
+
+def incremental_recheck_orders(sf_dir: str) -> pd.DataFrame:
+    """Incremental (changed-key) verification: CDC batch = every 500th
+    order key; re-extract both sides filtered to those keys and
+    classify. SQL-expressible, so oracle-checked."""
+    import ray.data as rd
+
+    from . import incremental
+
+    changed = [str(k) for k in range(0, 15000 * 10, 500)]
+
+    def src_f():
+        return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=ORDER_COLS)
+
+    def snk_f():
+        return rd.read_parquet(f"{sf_dir}/orders.parquet", columns=ORDER_COLS) \
+            .map_batches(_orders_sink_batch, batch_format="pyarrow")
+
+    res = incremental.incremental_check(
+        src_f, snk_f, ["o_orderkey"], changed, table="orders",
+        cfg=incremental.IncrementConfig(max_diff_count=10**9,
+                                        secondary_recheck=False))
+    v = res.violations[["key", "kind"]].sort_values(["key", "kind"])
+    return v.reset_index(drop=True)
+
+
+INCREMENTAL_RECHECK_ORDERS_SQL = """
+WITH sink AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+changed(k) AS (SELECT (n - 1) * 500 FROM generate_series(1, 300) t(n)),
+s AS (SELECT * FROM orders WHERE o_orderkey IN (SELECT k FROM changed)),
+kk AS (SELECT * FROM sink WHERE o_orderkey IN (SELECT k FROM changed))
+SELECT CAST(COALESCE(s.o_orderkey, kk.o_orderkey) AS VARCHAR) AS key,
+       CASE WHEN kk.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS kind
+FROM s FULL OUTER JOIN kk ON s.o_orderkey = kk.o_orderkey
+WHERE kk.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR s.o_totalprice <> kk.o_totalprice
+"""
+
+
+def row_rule_orders(sf_dir: str) -> pd.DataFrame:
+    """Row rule M5: ORDER BY pk LIMIT 100 OFFSET 50 semantics."""
+    from .validate import apply_row_rule
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = apply_row_rule(ds, "o_orderkey", 50, 100).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+ROW_RULE_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 100 OFFSET 50
+"""
+
+
+def hot_sources_documents(sf_dir: str) -> pd.DataFrame:
+    """Skew detection: sources holding >= 4% of documents."""
+    from ..stages import skew
+
+    ds = _read(sf_dir, "documents", ["source"])
+    hot = skew.detect_hot_keys(ds, "source", threshold_frac=0.04)
+    out = hot[["key", "n"]].copy()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("key").reset_index(drop=True)
+
+
+HOT_SOURCES_DOCUMENTS_SQL = """
+SELECT source AS key, count(*) AS n FROM documents
+GROUP BY source
+HAVING count(*) >= 0.04 * (SELECT count(*) FROM documents)
+ORDER BY key
+"""
+
+
+def csv_lang_counts(sf_dir: str) -> pd.DataFrame:
+    """CSV source path (S4): documents exported to CSV shards once
+    (cached under /tmp), read back via the CSV reader, counted per
+    lang — oracle checked against the parquet view."""
+    import ray.data as rd  # noqa: F401
+
+    from ray.data.aggregate import Count
+
+    from ..sources import csvsrc
+
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/graft_csv_{tag}"
+    if not os.path.exists(os.path.join(d, "shard0.csv")):
+        os.makedirs(d, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"]).to_pandas()
+        n = max(1, len(df) // 4)
+        for i in range(0, 4):
+            part = df.iloc[i * n:(i + 1) * n if i < 3 else len(df)]
+            part.to_csv(os.path.join(d, f"shard{i}.csv"), index=False)
+        import json
+
+        with open(os.path.join(d, "schema.json"), "w") as f:
+            json.dump({"doc_id": "int64", "lang": "string"}, f)
+    ds = csvsrc.read_csv_table(d)
+    return ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+
+
+CSV_LANG_COUNTS_SQL = """
+SELECT lang, count(*) AS n FROM documents GROUP BY lang
+"""
+
+
+def simhash_near_dups_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-duplicate pairs (rows-only)."""
+    from ..stages import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_near_duplicates(ds, "doc_id", "text",
+                                         max_hamming=3).to_pandas()
+
+
+def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
+    from ..stages import dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_cosine_duplicates(
+        ds, "vec_id", "embedding", threshold=0.99).to_pandas()
+
+
+def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-10 neighbors of vec 0 (rows-only)."""
+    from ..stages import similarity
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = ds.to_pandas()
+    q = np.asarray(list(df[df["vec_id"] == 0]["embedding"])[0],
+                   dtype=np.float32)[None, :]
+    cent = similarity.train_ivf_centroids(ds, "embedding", num_cells=8)
+    assigned = similarity.ivf_assign(ds, "vec_id", "embedding", cent) \
+        .materialize()
+    out = similarity.ivf_topk(assigned, "vec_id", "embedding", cent, q,
+                              k=11, nprobe=4)
+    out = out[out["vec_id"] != 0].head(10)
+    return out[["vec_id", "cos"]].reset_index(drop=True)
+
+
+def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool pipeline over binary payloads derived
+    deterministically from documents text (rows-only; real decoders
+    are stubbed — the Ray plumbing is what's exercised)."""
+    import pyarrow as pa  # noqa: F811
+    import ray.data as rd
+
+    from ..stages import multimodal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).limit(64)
+    rows = ds.to_pandas()
+    media = pa.table({
+        "media_id": pa.array(rows["doc_id"].to_numpy(np.int64)),
+        "payload": pa.array([t.encode() for t in rows["text"]],
+                            pa.large_binary()),
+        "mime": pa.array(["image/fake"] * len(rows)),
+        "width": pa.array(np.full(len(rows), 0, np.int32)),
+        "height": pa.array(np.full(len(rows), 0, np.int32)),
+        "duration_ms": pa.array(np.zeros(len(rows), np.int32)),
+    })
+    out = multimodal.decode_pipeline(rd.from_arrow(media),
+                                     concurrency=2).to_pandas()
+    out["dim"] = out["embedding"].map(len)
+    return out[["media_id", "dim"]].sort_values("media_id") \
+        .reset_index(drop=True)
