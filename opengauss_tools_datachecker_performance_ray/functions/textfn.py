@@ -179,6 +179,36 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         .sum(axis=1).astype(np.int64)
 
 
+def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+    """Document fingerprint set via winnowing (Schleimer et al. 2003):
+    rolling k-gram hashes, then the minimum hash of each sliding window
+    — a position-robust fingerprint set whose overlap estimates local
+    similarity (the 'rolling hash document fingerprinting' primitive).
+    """
+    t = (text or "").lower()
+    if len(t) < k:
+        return np.empty(0, dtype=np.uint64)
+    grams = np.array([t[i:i + k] for i in range(len(t) - k + 1)],
+                     dtype=object)
+    h = hash64(grams)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    # sliding-window minimum via stride trick
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, window).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprint_overlap(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard overlap of two winnowing fingerprint sets."""
+    if not len(a) and not len(b):
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(np.union1d(a, b))
+    return inter / max(1, union)
+
+
 def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
     """Character n-gram Jaccard similarity (pair verification kernel)."""
     sa = {a[i:i + n] for i in range(max(0, len(a) - n + 1))}

@@ -174,12 +174,17 @@ def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
     return float(np.abs(a.cdf(xs) - b.cdf(xs)).max())
 
 
-def psi(expected: TopCounter | dict, actual: TopCounter | dict,
-        eps: float = 1e-6) -> float:
+def psi(expected: TopCounter | dict, actual: TopCounter | dict) -> float:
     """Population Stability Index over categorical distributions.
 
     PSI = sum_i (p_i - q_i) * ln(p_i / q_i); industry rule of thumb:
     < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 drifted.
+
+    Zero counts are add-half (Laplace) smoothed to 0.5/n — a fixed
+    tiny epsilon would explode the log ratio whenever a rare category
+    happens to draw zero in a small sample (a 4%-probability category
+    absent from a 100-row group would contribute ~0.4 PSI of pure
+    noise).
     """
     e = expected.counts if isinstance(expected, TopCounter) else dict(expected)
     a = actual.counts if isinstance(actual, TopCounter) else dict(actual)
@@ -188,8 +193,8 @@ def psi(expected: TopCounter | dict, actual: TopCounter | dict,
     ta = sum(a.values()) or 1
     val = 0.0
     for c in cats:
-        p = max(e.get(c, 0) / te, eps)
-        q = max(a.get(c, 0) / ta, eps)
+        p = max(e.get(c, 0), 0.5) / te
+        q = max(a.get(c, 0), 0.5) / ta
         val += (p - q) * np.log(p / q)
     return float(val)
 
@@ -250,11 +255,24 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     # group, so every clean group shows a nonzero KS/PSI against it.
     # The median group is the clean baseline — a group drifts when its
     # statistic EXCEEDS the per-column median by more than the threshold.
-    for col, stat, thr in (("ks", "ks", ks_threshold), ("psi", "psi", psi_threshold)):
-        med = rep.groupby("column")[stat].transform("median")
-        rep[f"{stat}_excess"] = rep[stat] - med
-    ks_bad = rep["ks_excess"].fillna(0) > ks_threshold
-    psi_bad = rep["psi_excess"].fillna(0) > psi_threshold
+    for stat in ("ks", "psi"):
+        vals = pd.to_numeric(rep[stat], errors="coerce")
+        med = vals.groupby(rep["column"]).transform("median")
+        rep[f"{stat}_excess"] = vals - med
+    # sample-size-aware noise floors: small groups carry statistical
+    # noise even with identical underlying distributions — PSI bias is
+    # ~ (k-1)*(1/n + 1/n_ref); the two-sample KS 95% band is
+    # ~ 1.36*sqrt(1/n + 1/n_ref). Flag only excess beyond
+    # threshold + noise floor.
+    n = pd.to_numeric(rep["n"], errors="coerce").fillna(1).clip(lower=1)
+    n_ref = pd.to_numeric(rep["n_ref"], errors="coerce").fillna(1).clip(lower=1)
+    k = pd.to_numeric(rep["n_cats"], errors="coerce").fillna(0)
+    psi_noise = (k - 1).clip(lower=0) * (1.0 / n + 1.0 / n_ref)
+    ks_noise = 1.36 * np.sqrt(1.0 / n + 1.0 / n_ref)
+    ks_bad = pd.to_numeric(rep["ks_excess"], errors="coerce") \
+        .fillna(0.0) > (ks_threshold + ks_noise)
+    psi_bad = pd.to_numeric(rep["psi_excess"], errors="coerce") \
+        .fillna(0.0) > (psi_threshold + psi_noise)
     rep["result"] = np.where(ks_bad | psi_bad, "failed", "success")
     return rep
 
@@ -279,12 +297,16 @@ def drift_report(src_profiles: dict, snk_profiles: dict,
         ks = (ks_statistic(sp.tdigest, kp.tdigest)
               if sp.tdigest is not None and kp.tdigest is not None else None)
         nn = max(1, sp.count - sp.nulls)
+        nn_ref = max(1, kp.count - kp.nulls)
         categorical = sp.hll.estimate() <= max_categorical_ratio * nn
         p = (psi(sp.topk, kp.topk)
              if categorical and sp.topk is not None and kp.topk is not None
              else None)
+        n_cats = (len(set(sp.topk.counts) | set(kp.topk.counts))
+                  if sp.topk is not None and kp.topk is not None else 0)
         drifted = ((ks is not None and ks > ks_threshold)
                    or (p is not None and p > psi_threshold))
         rows.append({"column": name, "ks": ks, "psi": p,
+                     "n": nn, "n_ref": nn_ref, "n_cats": n_cats,
                      "result": "failed" if drifted else "success"})
     return pd.DataFrame(rows)

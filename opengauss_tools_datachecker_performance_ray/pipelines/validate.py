@@ -219,8 +219,19 @@ def validate_table_pair(src_path: str, snk_path: str,
         writer.progress(result.summary.get("rowCount", 0), 1, 1)
         writer.summary([result.summary])
         if cfg.emit_repair and len(violations):
-            from ..state.report import render_repair_sql, write_repair_file
-            stmts = render_repair_sql(table, cfg.key_columns[0], violations)
+            # J5 secondary lookup: re-fetch the source rows for the
+            # violated keys, then render full INSERT/REPLACE/DELETE
+            from ..state.report import (
+                render_repair_sql_with_rows, write_repair_file,
+            )
+            from .incremental import filter_by_keys
+
+            keys = sorted(set(violations["key"].astype(str)))
+            src_rows = filter_by_keys(
+                pqsrc.read_table(src_path, columns=read_cols),
+                list(cfg.key_columns), keys).to_pandas()
+            stmts = render_repair_sql_with_rows(
+                table, cfg.key_columns[0], violations, src_rows)
             write_repair_file(writer.out_dir, table, stmts)
     return result
 

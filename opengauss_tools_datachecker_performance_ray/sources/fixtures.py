@@ -49,6 +49,9 @@ class PagesSpec:
     html_max: int = 262_144
     n_links: int = 0         # 0 => 2 * n_rows
     dangling_frac: float = 0.02
+    drift_day: int = 5       # rows on this warc_ts day get shifted lang
+                             # (the FIXTURES.md 'shifted partition');
+                             # -1 disables
 
 
 def _urls(rng: np.random.Generator, spec: PagesSpec) -> np.ndarray:
@@ -83,6 +86,14 @@ def build_pages(spec: PagesSpec) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
     ts = (np.int64(1_700_000_000_000_000)
           + rng.integers(0, 30 * 86400 * 1_000_000, n))
     lang = rng.choice(LANGS, size=n, p=LANG_P)
+    if spec.drift_day >= 0:
+        # shifted-lang "partition": one warc_ts day draws from an
+        # inverted distribution -> expected per-partition drift flag
+        day = ((ts - np.int64(1_700_000_000_000_000))
+               // np.int64(86400 * 1_000_000)).astype(np.int64)
+        shifted = day == spec.drift_day
+        lang[shifted] = rng.choice(LANGS, size=int(shifted.sum()),
+                                   p=LANG_P[::-1] / LANG_P.sum())
     text = _text_for(urls, spec.seed)
     hlen = np.minimum(rng.lognormal(spec.html_mean, spec.html_sigma, n)
                       .astype(np.int64) + 64, spec.html_max)

@@ -88,6 +88,46 @@ def render_repair_sql(table: str, key_column: str,
     return out
 
 
+def _sql_literal(v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, bytes):
+        return "X'" + v.hex().upper() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def render_repair_sql_with_rows(table: str, key_column: str,
+                                violations: pd.DataFrame,
+                                source_rows: pd.DataFrame) -> list[str]:
+    """Full-row repair statements (DML builder analog,
+    ``extract/dml/{Insert,Replace,Delete}DmlBuilder.java``): the
+    source rows for violated keys are re-fetched (J5 secondary lookup,
+    ``DataExtractServiceImpl.java:608-621``) and rendered as
+    INSERT (missing at sink) / REPLACE (value mismatch) VALUES lists;
+    delete-kind violations render DELETE by key."""
+    rows_by_key = {str(r[key_column]): r
+                   for _, r in source_rows.iterrows()}
+    cols = list(source_rows.columns)
+    collist = ", ".join(cols)
+    out = []
+    for r in violations.sort_values("key").itertuples():
+        key = str(r.key)
+        if r.kind == "delete":
+            out.append(f"DELETE FROM {table} WHERE {key_column} = "
+                       f"{_sql_literal(key)};")
+            continue
+        row = rows_by_key.get(key)
+        if row is None:
+            out.append(f"-- missing source row for key {key}")
+            continue
+        values = ", ".join(_sql_literal(row[c]) for c in cols)
+        verb = "INSERT INTO" if r.kind == "insert" else "REPLACE INTO"
+        out.append(f"{verb} {table} ({collist}) VALUES ({values});")
+    return out
+
+
 def write_repair_file(out_dir: str, table: str, statements: list[str]) -> str:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"repair_{table}.sql")

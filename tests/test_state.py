@@ -1,0 +1,93 @@
+"""Tests: repair SQL with rows, winnowing fingerprints, drift fixture
+partition, resumable partitioned sink."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.functions import textfn
+from opengauss_tools_datachecker_performance_ray.sources import fixtures
+from opengauss_tools_datachecker_performance_ray.state import report, sinks
+
+
+class TestRepairSql:
+    def test_full_row_statements(self):
+        vio = pd.DataFrame({"key": ["1", "2", "3"],
+                            "kind": ["insert", "update", "delete"]})
+        src = pd.DataFrame({"id": ["1", "2"],
+                            "name": ["o'neil", None],
+                            "blob": [b"\x01\x02", b""]})
+        stmts = report.render_repair_sql_with_rows("t", "id", vio, src)
+        assert stmts[0] == \
+            "INSERT INTO t (id, name, blob) VALUES ('1', 'o''neil', X'0102');"
+        assert stmts[1].startswith("REPLACE INTO t (id, name, blob) "
+                                   "VALUES ('2', NULL,")
+        assert stmts[2] == "DELETE FROM t WHERE id = '3';"
+
+
+class TestWinnowing:
+    def test_identical_docs_full_overlap(self):
+        a = textfn.winnowing_fingerprints("the quick brown fox jumps")
+        b = textfn.winnowing_fingerprints("the quick brown fox jumps")
+        assert textfn.fingerprint_overlap(a, b) == 1.0
+
+    def test_local_edit_keeps_high_overlap(self):
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        edited = base.replace("lazy", "hazy", 1)
+        a = textfn.winnowing_fingerprints(base)
+        b = textfn.winnowing_fingerprints(edited)
+        assert 0.5 < textfn.fingerprint_overlap(a, b) < 1.0
+
+    def test_disjoint_docs_low_overlap(self):
+        a = textfn.winnowing_fingerprints("alpha beta gamma delta " * 5)
+        b = textfn.winnowing_fingerprints("zXq wVu tSr qPo " * 5)
+        assert textfn.fingerprint_overlap(a, b) < 0.1
+
+    def test_short_doc(self):
+        assert len(textfn.winnowing_fingerprints("ab")) == 0
+
+
+class TestDriftFixture:
+    def test_shifted_day_flagged(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        spec = fixtures.PagesSpec(n_rows=6000, n_files=4, html_mean=4.0,
+                                  drift_day=5)
+        fixtures.generate(str(tmp_path), spec)
+        ds = rd.read_parquet(f"{tmp_path}/pages_source",
+                             columns=["warc_ts", "lang"])
+
+        def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+            epoch = pd.Timestamp("1970-01-01")
+            us = (batch["warc_ts"] - epoch) // pd.Timedelta(microseconds=1)
+            day = (us - 1_700_000_000_000_000) // (86400 * 1_000_000)
+            batch["day"] = "d" + day.astype(str)
+            return batch
+
+        keyed = ds.map_batches(add_day, batch_format="pandas")
+        rep = checks.drift_by_group(keyed, "day", ["lang"])
+        flagged = set(rep.loc[rep["result"] == "failed", "grp"])
+        assert flagged == {"d5"}
+
+
+class TestPartitionedSink:
+    def test_write_skip_resume(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5 + ["c"] * 5,
+                           "v": np.arange(15)})
+        ds = rd.from_pandas(df)
+        out = str(tmp_path / "out")
+        r1 = sinks.write_partitioned(ds, out, "k")
+        assert sorted(r1["written"]) == ["a", "b", "c"]
+        # simulate a crashed partition: remove one marker
+        os.remove(os.path.join(out, "part=b", "_SUCCESS"))
+        r2 = sinks.write_partitioned(ds, out, "k", values=["a", "b", "c"])
+        assert r2["written"] == ["b"] and sorted(r2["skipped"]) == ["a", "c"]
+        back = sinks.read_partitioned(out).to_pandas()
+        assert len(back) == 15
+        assert back.groupby("k")["v"].count().to_dict() == {"a": 5, "b": 5, "c": 5}
