@@ -831,3 +831,90 @@ def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
     out["dim"] = out["embedding"].map(len)
     return out[["media_id", "dim"]].sort_values("media_id") \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped operators over the events table (SURVEY.md §2.9;
+# Ray Data has no native event-time windows — expressed as groupby +
+# in-group pandas over ts-sorted rows, ordering assumption documented)
+# ---------------------------------------------------------------------------
+
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour count per user: windowed aggregate expressed as
+    a derived window-key column + pre-aggregated groupby (no sort
+    needed — tumbling windows are embarrassingly groupable)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        bucket = us // np.int64(3600 * 1_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "hour_bucket": pa.array(bucket, pa.int64())})
+
+    return ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby(["user_id", "hour_bucket"]).aggregate(Count(alias_name="n"))
+
+
+EVENTS_TUMBLING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS n
+FROM events GROUP BY user_id, hour_bucket
+"""
+
+
+def events_sessionization(sf_dir: str):
+    """Sessionization (30-min inactivity gap): per-user sorted-by-ts
+    session assignment inside ``groupby(user).map_groups`` — the
+    within-group sort provides the event-time ordering Ray Data lacks.
+    Returns one row per (user_id, session_id) with event count and
+    session start. Partitioning assumption: one user's events fit one
+    group (hash-partitioned by user_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        new_session = np.r_[True, np.diff(us) > GAP_US]
+        sid = np.cumsum(new_session) - 1
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_id": sid})
+        agg = out.groupby("session_id", sort=True).agg(
+            user_id=("user_id", "first"), n_events=("session_id", "size"))
+        agg["session_start_us"] = us[np.flatnonzero(new_session)]
+        return agg.reset_index()[["user_id", "session_id", "n_events",
+                                  "session_start_us"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZATION_SQL = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS us,
+           lag(CAST(epoch_us(ts) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR us - prev_us > 30 * 60 * 1000000
+                   THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sess AS (
+    SELECT *, CAST(SUM(new_session)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                  AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(us) AS session_start_us
+FROM sess GROUP BY user_id, session_id
+"""
