@@ -96,6 +96,28 @@ def run_bench() -> dict:
             "rowCount", 0)
         timings[name] = round(time.time() - t0, 3)
 
+    # north-metric number: validated docs/s over the Common-Crawl-style
+    # pages table pair (url/warc_ts/html/text/lang, injected diffs) —
+    # fixture generated once, cached in /tmp across runs
+    from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+        ValidationConfig, validate_table_pair,
+    )
+    from opengauss_tools_datachecker_performance_ray.sources import fixtures
+
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+    pages_dir = f"/tmp/graft_pages_bench_{n_pages}"
+    fixtures.generate(pages_dir, fixtures.PagesSpec(
+        n_rows=n_pages, n_files=64, html_mean=5.0, html_max=16384))
+    t0 = time.time()
+    pres = validate_table_pair(
+        f"{pages_dir}/pages_source", f"{pages_dir}/pages_sink",
+        ValidationConfig(key_columns=("url",), check_drift=False,
+                         batch_size=None),
+        table="pages")
+    timings["validate_pages"] = round(time.time() - t0, 3)
+    rows["validate_pages"] = pres.summary.get("rowCount", 0)
+    docs_per_sec = round(2 * n_pages / timings["validate_pages"], 1)
+
     import pyarrow.parquet as pq
 
     n_orders = pq.ParquetFile(f"{SF_DIR}/orders.parquet").metadata.num_rows
@@ -110,6 +132,7 @@ def run_bench() -> dict:
         "bench_repeat": repeat,
         # both sides digested + compared
         "rows_per_sec": round(2 * n_orders * repeat / headline, 1),
+        "validated_docs_per_sec": docs_per_sec,
         "total_sec": round(sum(timings.values()), 3),
     }
     ray.shutdown()
