@@ -152,26 +152,48 @@ def validate_table_pair(src_path: str, snk_path: str,
                          f"{dcfg}|{read_cols}")
         store = CheckpointStore(cfg.checkpoint_dir, lin)
 
-    src_d = digest_dataset(src, dcfg, cfg.batch_size).materialize()
-    snk_d = digest_dataset(snk, dcfg, cfg.batch_size).materialize()
+    # ONE tagged-union materialization: both sides digest concurrently
+    # in a single execution; the materialized union is reused by the
+    # signature pass, the diff classify, and the uniqueness check.
+    import numpy as np
+    import pyarrow as pa
+
+    def tag(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, flag)))
+        return fn
+
+    both_d = digest_dataset(src, dcfg, cfg.batch_size) \
+        .map_batches(tag(True), batch_format="pyarrow") \
+        .union(digest_dataset(snk, dcfg, cfg.batch_size)
+               .map_batches(tag(False), batch_format="pyarrow")) \
+        .materialize()
 
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None
-    if src_sigs is None:
-        src_sigs = cmp.partition_signatures(src_d, dcfg)
+    if src_sigs is None or snk_sigs is None:
+        partials = both_d.map_batches(
+            cmp.make_signature_partials_by_side_fn(dcfg),
+            batch_format="pyarrow")
+        pdf = partials.to_pandas()
+        B = dcfg.buckets_per_partition
+        if len(pdf):
+            src_sigs = cmp._merge_signature_partials(pdf[pdf["is_src"]], B)
+            snk_sigs = cmp._merge_signature_partials(pdf[~pdf["is_src"]], B)
+        else:
+            src_sigs = snk_sigs = pd.DataFrame(
+                columns=["part", "rows", "root", "leaves", "counts"])
         if store:
             store.save_signatures("source", src_sigs,
                                   {"rows": src_meta.num_rows,
                                    "paths": src_meta.paths})
-    if snk_sigs is None:
-        snk_sigs = cmp.partition_signatures(snk_d, dcfg)
-        if store:
             store.save_signatures("sink", snk_sigs,
                                   {"rows": snk_meta.num_rows,
                                    "paths": snk_meta.paths})
 
     diffs = cmp.compare_signatures(src_sigs, snk_sigs, dcfg)
-    vio_ds = cmp.classify_differences(src_d, snk_d, diffs, dcfg)
+    vio_ds = cmp.classify_differences_combined(both_d, diffs, dcfg)
     violations = (vio_ds.to_pandas() if vio_ds is not None
                   else cmp.EMPTY_VIOLATIONS.copy())
     if len(violations) == 0:
@@ -179,22 +201,26 @@ def validate_table_pair(src_path: str, snk_path: str,
     result.compare = cmp.build_verdicts(table, diffs, violations)
 
     if cfg.check_uniqueness:
-        # reuse the materialized digests: uniqueness on the spliced key
+        # one bucketed groupby over BOTH sides (side is part of the
+        # grouping key), reusing the materialized digests
         dup = checks.uniqueness_violations(
-            src_d.select_columns(["key"]), ["key"])
-        result.uniqueness = dup.to_pandas()
-        dup_snk = checks.uniqueness_violations(
-            snk_d.select_columns(["key"]), ["key"])
-        snk_dups = dup_snk.to_pandas()
-        snk_dups["side"] = "sink"
-        result.uniqueness["side"] = "source"
-        result.uniqueness = pd.concat([result.uniqueness, snk_dups],
-                                      ignore_index=True)
+            both_d.select_columns(["key", "side"]), ["key", "side"])
+        df = dup.to_pandas()
+        if "side" in df.columns and len(df):
+            df["side"] = np.where(df["side"], "source", "sink")
+        else:
+            df = pd.DataFrame(columns=["key", "side", "n"])
+        result.uniqueness = df[["key", "side", "n"]] if len(df) else df
 
     if cfg.check_drift:
         cols = (list(cfg.drift_columns) if cfg.drift_columns
                 else [f.name for f in src_meta.schema
-                      if f.name not in cfg.key_columns])
+                      if f.name not in cfg.key_columns
+                      # binary payloads have no profilable distribution
+                      # — skip so drift never lifts html blobs off disk
+                      and not (pa.types.is_binary(f.type)
+                               or pa.types.is_large_binary(f.type)
+                               or pa.types.is_fixed_size_binary(f.type))])
         sp = prof.profile_dataset(
             pqsrc.read_table(src_path, columns=cols), cols)
         kp = prof.profile_dataset(

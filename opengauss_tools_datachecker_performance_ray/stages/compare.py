@@ -105,6 +105,15 @@ def make_partial_combiner_fn(cfg: DigestConfig):
     level of a tree reduce — each pass caps output at the number of
     distinct buckets per batch, so the volume reaching the driver is
     bounded by ~(distinct buckets × final block count), not row count.
+
+    CAUTION: only attach this as a combine level AFTER a repartition or
+    shuffle boundary. Chained directly onto the digest map with a large
+    ``batch_size``, Ray COALESCES upstream blocks to fill the batch and
+    the whole fused chain collapses to one task (measured: 64 blocks ->
+    1 task). The default pipelines instead combine per block (inside
+    ``make_signature_partials_fn``) and XOR-merge on the driver; use
+    this function only in ``partition_signatures_distributed``-style
+    layouts where a groupby separates it from the scan.
     """
     B = cfg.buckets_per_partition
 

@@ -55,8 +55,15 @@ class DigestConfig:
         Partition ~= the reference's slice (default 10^5..10^6 rows,
         ``maximum-table-slice-size``); bucket count per partition is a
         power of two capped at 2^15 (BuilderBucketHandler.java:37-41).
+
+        Per-partition rows auto-scale: ``partition_capacity`` is the
+        CEILING (10^12 rows => 10^6 partitions of ~1M rows), but small
+        tables still get join/verdict parallelism — at least ~64
+        partitions once the table exceeds ~1.6M rows, floor 25k rows
+        per partition below that.
         """
-        parts = max(1, min(65536, approx_rows // partition_capacity + 1))
+        per_part = min(partition_capacity, max(25_000, approx_rows // 64))
+        parts = max(1, min(1_048_576, approx_rows // per_part + 1))
         per_part = max(1, approx_rows // parts)
         b = hashing.bucket_count_for(per_part, bucket_capacity)
         return DigestConfig(key_columns=tuple(key_columns),
