@@ -164,15 +164,43 @@ def merge_partials(rows: list[bytes]) -> dict[str, ColumnProfile]:
     return merged
 
 
+class SketchMerger:
+    """Actor-pool sketch-merge stage (the north-star's 'sketch-merge
+    stages run on actor pools'): each actor folds many pickled partial
+    profiles into one per batch — a tree-reduce level that bounds what
+    reaches the driver to ~one partial per merge batch instead of one
+    per input batch. State (nothing heavy here, but the pattern is the
+    point) initializes once per actor."""
+
+    def __init__(self):
+        self._merged = 0  # per-actor fold counter (observability)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("partial").to_pylist()
+        merged = merge_partials(blobs)
+        self._merged += len(blobs)
+        return pa.table({"partial": pa.array([pickle.dumps(merged)],
+                                             type=pa.large_binary())})
+
+
 def profile_dataset(ds, columns: list[str] | None = None,
-                    batch_size: int | None = 65536) -> dict[str, ColumnProfile]:
+                    batch_size: int | None = 65536,
+                    merge_concurrency: int | None = None
+                    ) -> dict[str, ColumnProfile]:
     """Dataset -> merged per-column profiles (driver-side dict).
 
     One partial per batch streams back; merging is O(batches), not
     O(rows) — this is the sketch-merge tree of SURVEY.md §2.5 A-ext.
+    For very large inputs pass ``merge_concurrency`` to insert an
+    actor-pool tree-merge level (``SketchMerger``) so the driver folds
+    ~one partial per 64 input batches instead of one per batch.
     """
     partials = ds.map_batches(make_profile_partials_fn(columns),
                               batch_format="pyarrow", batch_size=batch_size)
+    if merge_concurrency:
+        partials = partials.map_batches(
+            SketchMerger, batch_format="pyarrow", batch_size=64,
+            concurrency=merge_concurrency, num_cpus=1)
     blobs = [r["partial"] for r in partials.take_all()]
     return merge_partials(blobs)
 

@@ -91,3 +91,25 @@ class TestPartitionedSink:
         back = sinks.read_partitioned(out).to_pandas()
         assert len(back) == 15
         assert back.groupby("k")["v"].count().to_dict() == {"a": 5, "b": 5, "c": 5}
+
+
+class TestSketchMergerActorPool:
+    def test_actor_merge_equals_driver_merge(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.profile import (
+            profile_dataset,
+        )
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"x": rng.normal(0, 1, 20000),
+                           "s": rng.choice(["a", "b", "c"], 20000)})
+        ds = rd.from_pandas(df).repartition(16)
+        p1 = profile_dataset(ds, batch_size=1000)
+        p2 = profile_dataset(ds, batch_size=1000, merge_concurrency=2)
+        assert p1["x"].count == p2["x"].count == 20000
+        assert p1["x"].vmin == p2["x"].vmin
+        assert p1["s"].hll.estimate() == p2["s"].hll.estimate()
+        assert p1["s"].topk.counts == p2["s"].topk.counts
+        assert abs(p1["x"].tdigest.quantile(0.5)
+                   - p2["x"].tdigest.quantile(0.5)) < 0.05
