@@ -23,6 +23,10 @@ import pyarrow as pa
 HASH_KEY = b"199972221018@@@@"  # 16 bytes exactly
 assert len(HASH_KEY) == 16
 
+# Bump when row-digest semantics change — folded into checkpoint
+# lineage so receipts from an older hash never mix with fresh ones.
+DIGEST_VERSION = "hv2-percol-splitmix"
+
 
 def hash64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
     """Vectorized 64-bit hash of a string/binary column -> uint64 ndarray."""
@@ -33,6 +37,87 @@ def hash64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
     arr = np.asarray(values, dtype=object)
     return pd.util.hash_array(arr, hash_key=HASH_KEY.decode("latin1"),
                               categorize=False)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) —
+    a high-quality 64-bit mix at numpy register speed."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+_NULL_SENTINEL = np.uint64(0x9AE16A3B2F90404F)
+
+
+def column_hash(arr) -> np.ndarray:
+    """Per-column 64-bit hash with a zero-allocation fast path.
+
+    Numeric / temporal / boolean columns hash their RAW fixed-width
+    values through splitmix64 (the 8-byte pattern is already an
+    injective canonical form — no string cast, no buffer concat);
+    string / binary / other columns go through the canonical-bytes +
+    SipHash path. Nulls hash to a fixed sentinel (null == null,
+    matching the canonical "" semantics).
+    """
+    import pyarrow as pa
+
+    from . import canonical
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    fast = None
+    if pa.types.is_boolean(t):
+        fast = arr.cast(pa.int8()).cast(pa.int64())
+    elif pa.types.is_integer(t):
+        fast = arr.cast(pa.int64()) if t.bit_width <= 64 else None
+    elif pa.types.is_floating(t):
+        fast = arr.cast(pa.float64()) if not pa.types.is_float16(t) else None
+    elif pa.types.is_timestamp(t) or pa.types.is_time64(t) or \
+            pa.types.is_date64(t):
+        fast = arr.cast(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        fast = arr.cast(pa.int32()).cast(pa.int64())
+    if fast is not None:
+        nulls = fast.null_count > 0
+        if nulls:
+            mask = fast.is_null().to_numpy(zero_copy_only=False)
+            fast = fast.fill_null(0)
+        v = fast.to_numpy(zero_copy_only=True)
+        h = _splitmix64(v.view(np.uint64) if v.dtype != np.uint64 else v)
+        if nulls:
+            h = h.copy()
+            h[mask] = _NULL_SENTINEL
+        return h
+    return hash64(canonical.canonicalize_column(arr))
+
+
+def row_hash(table, columns: list[str] | None = None) -> np.ndarray:
+    """Order-dependent combined row hash over ``columns``.
+
+    Equality semantics are per-column exact-value (STRICTER than the
+    reference's string-concat — no cross-column boundary or null/""
+    collisions for typed columns); two rows hash equal iff every
+    column's value is identical. The mix (rotate-xor-multiply of
+    column hashes) is order-dependent so column order matters, like
+    the reference's ordered concat (HashHandler.java:37-61).
+    """
+    cols = columns if columns is not None else table.column_names
+    h: np.ndarray | None = None
+    for c in cols:
+        hc = column_hash(table.column(c))
+        if h is None:
+            h = hc.copy()
+        else:
+            h = (np.left_shift(h, np.uint64(13))
+                 | np.right_shift(h, np.uint64(51)))
+            h = (h ^ hc) * np.uint64(0x9E3779B97F4A7C15)
+    if h is None:
+        return np.empty(0, dtype=np.uint64)
+    return h
 
 
 def next_pow2(n: int) -> int:

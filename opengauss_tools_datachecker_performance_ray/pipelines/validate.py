@@ -148,8 +148,10 @@ def validate_table_pair(src_path: str, snk_path: str,
     # checkpointed signature computation (resume path)
     store = None
     if cfg.checkpoint_dir:
+        from ..functions.hashing import DIGEST_VERSION
+
         lin = lineage_id(src_meta.paths + snk_meta.paths,
-                         f"{dcfg}|{read_cols}")
+                         f"{dcfg}|{read_cols}|{DIGEST_VERSION}")
         store = CheckpointStore(cfg.checkpoint_dir, lin)
 
     # ONE tagged-union materialization: both sides digest concurrently

