@@ -1,0 +1,125 @@
+"""CLI entry point — the `ray job submit` target.
+
+Replaces the reference's REST/Feign control surface
+(``check/controller/*.java``, start/progress/clean endpoints) with a
+single batch command:
+
+    ray job submit -- python -m opengauss_tools_datachecker_performance_ray \
+        validate --source s3://.../pages_source --sink s3://.../pages_sink \
+        --keys url --report-dir /out/reports --checkpoint-dir /out/ckpt
+
+    python -m opengauss_tools_datachecker_performance_ray schema \
+        --source src_dir --sink snk_dir --keys pages=url,links=src_url
+
+This module owns the Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_keys(spec: str) -> dict[str, tuple[str, ...]]:
+    """'pages=url,lineitem=l_orderkey+l_linenumber' -> dict."""
+    out: dict[str, tuple[str, ...]] = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        if "=" in part:
+            table, cols = part.split("=", 1)
+            out[table] = tuple(cols.split("+"))
+        else:
+            out["*"] = tuple(part.split("+"))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="opengauss_tools_datachecker_performance_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate one table pair")
+    v.add_argument("--source", required=True)
+    v.add_argument("--sink", required=True)
+    v.add_argument("--keys", default="url",
+                   help="key columns, '+'-joined for composite")
+    v.add_argument("--table", default=None)
+    v.add_argument("--report-dir", default=None)
+    v.add_argument("--checkpoint-dir", default=None)
+    v.add_argument("--no-uniqueness", action="store_true")
+    v.add_argument("--no-drift", action="store_true")
+    v.add_argument("--emit-repair", action="store_true")
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    s = sub.add_parser("schema", help="validate a schema of table pairs")
+    s.add_argument("--source", required=True)
+    s.add_argument("--sink", required=True)
+    s.add_argument("--keys", required=True,
+                   help="table=col[+col],table2=col (or 'col' for all)")
+    s.add_argument("--report-dir", default=None)
+    s.add_argument("--table-white", default=None, help="regex list, ','-joined")
+    s.add_argument("--table-black", default=None)
+    s.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # under `ray job submit` it may be
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        return _run(args)
+    except (FileNotFoundError, OSError) as ex:
+        print(json.dumps({"result": "error", "error": str(ex)}),
+              file=sys.stderr)
+        return 2
+    finally:
+        ray.shutdown()
+
+
+def _run(args) -> int:
+    from .pipelines.validate import (
+        RuleConfig, ValidationConfig, validate_schema, validate_table_pair,
+    )
+
+    if args.cmd == "validate":
+        cfg = ValidationConfig(
+            key_columns=tuple(args.keys.split("+")),
+            check_uniqueness=not args.no_uniqueness,
+            check_drift=not args.no_drift,
+            report_dir=args.report_dir,
+            checkpoint_dir=args.checkpoint_dir,
+            emit_repair=args.emit_repair)
+        res = validate_table_pair(args.source, args.sink, cfg,
+                                  table=args.table)
+        print(json.dumps(res.summary, default=str))
+        return 0 if res.summary.get("result") == "success" else 1
+    keys = _parse_keys(args.keys)
+    rules = None
+    if args.table_white or args.table_black:
+        rules = RuleConfig(
+            table_white=args.table_white.split(",") if args.table_white
+            else None,
+            table_black=args.table_black.split(",") if args.table_black
+            else None)
+    out = validate_schema(
+        args.source, args.sink,
+        key_columns=keys,  # "*" entry = default for unlisted tables
+        cfg=ValidationConfig(report_dir=args.report_dir),
+        rules=rules)
+    print(json.dumps(out["summary"], default=str))
+    return 0 if out["summary"].get("failedCount", 1) == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -316,7 +316,7 @@ def validate_schema(src_dir: str, snk_dir: str,
             if writer:
                 writer.structure_failed(summary)
             continue
-        keys = key_columns.get(name, ("id",))
+        keys = key_columns.get(name) or key_columns.get("*", ("id",))
         tcfg = ValidationConfig(**{**cfg.__dict__, "key_columns": tuple(keys)})
         meta_cols = None
         if rules is not None and (rules.column_include or rules.column_exclude):

@@ -276,3 +276,43 @@ class TestRowHash:
     def test_empty_table(self):
         t = pa.table({"x": pa.array([], pa.int64())})
         assert len(hashing.row_hash(t)) == 0
+
+
+class TestGoldenDigests:
+    """Pinned digest values (FIXTURES.md §3: canonical string per value,
+    row digest per row, XOR bucket signature, Merkle root). Guards hash
+    stability across refactors — a change here invalidates every
+    checkpoint receipt and MUST bump hashing.DIGEST_VERSION."""
+
+    TABLE = None
+
+    @classmethod
+    def _table(cls):
+        return pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "s": pa.array(["alpha", None, "gamma"]),
+            "f": pa.array([1.5, -0.0, None], pa.float64()),
+            "ts": pa.array([1_600_000_000_000_000, None, 0],
+                           pa.timestamp("us")),
+        })
+
+    def test_row_hash_pinned(self):
+        h = hashing.row_hash(self._table())
+        assert [int(x) for x in h] == [
+            15716889252640545984, 13460704203048170597,
+            3180528775163717078]
+
+    def test_khash_pinned(self):
+        k = hashing.hash64(pa.array(["1", "2", "3"]))
+        assert [int(x) for x in k] == [
+            17657073358939157693, 8664040719138980425,
+            17715280855021215528]
+
+    def test_xor_signature_and_merkle_root_pinned(self):
+        h = hashing.row_hash(self._table())
+        sig, cnt = hashing.xor_by_bucket(np.array([0, 1, 0]), h, 2)
+        assert [int(x) for x in sig] == [
+            17743647692652935446, 13460704203048170597]
+        assert list(cnt) == [2, 1]
+        leaves = merkle.pad_leaves(np.array([0, 1]), sig, 4)
+        assert merkle.merkle_root(leaves) == 164495617
