@@ -195,7 +195,10 @@ def validate_table_pair(src_path: str, snk_path: str,
                                    "paths": snk_meta.paths})
 
     diffs = cmp.compare_signatures(src_sigs, snk_sigs, dcfg)
-    vio_ds = cmp.classify_differences_combined(both_d, diffs, dcfg)
+    est = cmp.estimate_diff_rows(src_sigs, snk_sigs, diffs,
+                                 dcfg.buckets_per_partition)
+    vio_ds = cmp.classify_differences_combined(both_d, diffs, dcfg,
+                                               est_rows=est)
     violations = (vio_ds.to_pandas() if vio_ds is not None
                   else cmp.EMPTY_VIOLATIONS.copy())
     if len(violations) == 0:

@@ -234,11 +234,40 @@ def make_signature_partials_by_side_fn(cfg: DigestConfig):
     return fn
 
 
+# Below this many fetched digest rows the diff join runs on the driver
+# (one pandas merge, no shuffle). Known EXACTLY beforehand from the
+# per-bucket counts in the signature receipts.
+DRIVER_CLASSIFY_MAX_ROWS = 2_000_000
+
+
+def estimate_diff_rows(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
+                       diffs: list["PartitionDiff"], B: int) -> int | None:
+    """Exact number of digest rows in differing buckets (both sides),
+    from the dense per-bucket count blobs — no data pass needed."""
+    total = 0
+    for sigs in (src_sigs, snk_sigs):
+        if "counts" not in getattr(sigs, "columns", []):
+            return None  # counts unavailable -> caller uses safe path
+        by = {int(r.part): r for r in sigs.itertuples()}
+        for d in diffs:
+            if not len(d.diff_buckets):
+                continue
+            r = by.get(d.part)
+            if r is None:
+                continue
+            counts = np.frombuffer(r.counts, dtype=np.int64)
+            total += int(counts[d.diff_buckets].sum())
+    return total
+
+
 def classify_differences_combined(both, diffs: list["PartitionDiff"],
-                                  cfg: DigestConfig):
+                                  cfg: DigestConfig,
+                                  est_rows: int | None = None):
     """Classify from a single side-tagged digest Dataset (the
-    materialized-union path): filter to differing buckets, groupby
-    partition, vectorized merge. Returns None when everything pruned."""
+    materialized-union path): filter to differing buckets, then either
+    one driver-side vectorized merge (small diffs — the common case,
+    zero shuffle) or a partition groupby (large diffs). Returns None
+    when everything pruned."""
     B = cfg.buckets_per_partition
     gids = _diff_gid_array(diffs, B)
     if not len(gids):
@@ -253,6 +282,18 @@ def classify_differences_combined(both, diffs: list["PartitionDiff"],
         return batch.filter(pa.array(mask))
 
     filtered = both.map_batches(filt, batch_format="pyarrow")
+
+    if est_rows is not None and est_rows <= DRIVER_CLASSIFY_MAX_ROWS:
+        g = filtered.to_pandas()
+        if not len(g):
+            return None
+        frames = [
+            _classify_group(sub) for _, sub in g.groupby("part", sort=True)]
+        out = pd.concat(frames, ignore_index=True) if frames else \
+            EMPTY_VIOLATIONS.copy()
+        import ray.data as rd
+
+        return rd.from_pandas(out if len(out) else EMPTY_VIOLATIONS.copy())
 
     def classify_partition(g: pd.DataFrame) -> pd.DataFrame:
         out = _classify_group(g)
@@ -547,7 +588,9 @@ def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
             src_sigs = snk_sigs = pd.DataFrame(
                 columns=["part", "rows", "root", "leaves", "counts"])
         diffs = compare_signatures(src_sigs, snk_sigs, cfg)
-        vio_ds = classify_differences_combined(both, diffs, cfg)
+        est = estimate_diff_rows(src_sigs, snk_sigs, diffs, B)
+        vio_ds = classify_differences_combined(both, diffs, cfg,
+                                               est_rows=est)
     else:
         src_sigs, snk_sigs = partition_signatures_pair(src, snk, cfg, None)
         diffs = compare_signatures(src_sigs, snk_sigs, cfg)

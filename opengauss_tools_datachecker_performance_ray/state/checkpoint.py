@@ -58,6 +58,10 @@ class CheckpointStore:
             leaves=np.stack([np.frombuffer(b, dtype=np.uint64)
                              for b in sigs["leaves"]])
             if len(sigs) else np.empty((0, 0), dtype=np.uint64),
+            counts=np.stack([np.frombuffer(b, dtype=np.int64)
+                             for b in sigs["counts"]])
+            if len(sigs) and "counts" in sigs.columns
+            else np.empty((0, 0), dtype=np.int64),
         )
         # numpy appends .npz to the tmp name
         os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
@@ -71,12 +75,17 @@ class CheckpointStore:
         if not os.path.exists(path):
             return None
         z = np.load(path)
+        if "counts" not in z.files or (len(z["part"])
+                                       and not z["counts"].size):
+            return None  # pre-counts receipt format: recompute
         leaves = z["leaves"]
+        counts = z["counts"]
         return pd.DataFrame({
             "part": z["part"].astype(int),
             "rows": z["rows"].astype(int),
             "root": z["root"],
             "leaves": [leaves[i].tobytes() for i in range(len(z["part"]))],
+            "counts": [counts[i].tobytes() for i in range(len(z["part"]))],
         })
 
     def save_verdicts(self, verdicts: list[dict[str, Any]]) -> None:
