@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "knn_ivf_embeddings": q.knn_ivf_embeddings,
         "multimodal_embeddings": q.multimodal_embeddings,
+        "lineitem_rollup": q.lineitem_rollup,
         # streaming-shaped windowed operators (§2.9)
         "events_tumbling_window": q.events_tumbling_window,
         "events_sessionization": q.events_sessionization,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "row_rule_orders": q.ROW_RULE_ORDERS_SQL,
         "hot_sources_documents": q.HOT_SOURCES_DOCUMENTS_SQL,
         "csv_lang_counts": q.CSV_LANG_COUNTS_SQL,
+        "lineitem_rollup": q.LINEITEM_ROLLUP_SQL,
         "events_tumbling_window": q.EVENTS_TUMBLING_WINDOW_SQL,
         "events_sessionization": q.EVENTS_SESSIONIZATION_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,

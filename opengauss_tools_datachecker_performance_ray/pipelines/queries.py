@@ -918,3 +918,45 @@ SELECT user_id, session_id,
        min(us) AS session_start_us
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def lineitem_rollup(sf_dir: str):
+    """TPC-H Q1-style pricing rollup (computed column + multi-agg
+    groupby). Quantities are integral doubles in this data, so the sum
+    is computed over BIGINT casts — exact on both engines (sum of
+    float64 would be order-dependent in the last ulp)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"])
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").cast(pa.int64())
+        # discount in [0,1): scale to basis points for an exact int sum
+        d = pc.multiply(batch.column("l_discount"), 10000.0)
+        d = pc.round(d).cast(pa.int64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": q, "disc_bp": d,
+        })
+
+    return ds.map_batches(cast_cols, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Count(alias_name="cnt"),
+            Sum("qty", alias_name="sum_qty"),
+            Min("qty", alias_name="min_qty"),
+            Max("qty", alias_name="max_qty"),
+            Sum("disc_bp", alias_name="sum_disc_bp"))
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+       CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           AS sum_disc_bp
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
