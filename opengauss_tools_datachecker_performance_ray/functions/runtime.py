@@ -13,6 +13,39 @@ exactly the CPU it was scheduled for.
 from __future__ import annotations
 
 _pinned = False
+_patched_http_check = False
+
+
+def patch_ray_thread_import_race() -> None:
+    """Guard Ray's lazy fsspec-HTTP check against a thread-import race.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` imports
+    ``fsspec.implementations.http`` per call and catches only
+    ``ModuleNotFoundError`` (aiohttp absent here). When several driver
+    threads resolve paths concurrently (inter-table parallelism), the
+    failed import can surface as a bare ``ImportError`` ("cannot import
+    name HTTPFileSystem") from a partially-registered module, which Ray
+    does not catch. Wrap it to treat any ImportError as "not HTTP".
+    Idempotent; no-op if Ray's internals move.
+    """
+    global _patched_http_check
+    if _patched_http_check:
+        return
+    try:
+        from ray.data.datasource import path_util as _pu
+
+        orig = _pu._is_http_filesystem
+
+        def _safe(fs):
+            try:
+                return orig(fs)
+            except ImportError:
+                return False
+
+        _pu._is_http_filesystem = _safe
+    except Exception:
+        pass
+    _patched_http_check = True
 
 
 def pin_worker_threads(n: int = 1) -> None:

@@ -270,7 +270,8 @@ def validate_table_pair(src_path: str, snk_path: str,
 def validate_schema(src_dir: str, snk_dir: str,
                     key_columns: dict[str, tuple[str, ...]],
                     cfg: ValidationConfig | None = None,
-                    rules: RuleConfig | None = None) -> dict:
+                    rules: RuleConfig | None = None,
+                    max_tables_in_flight: int = 3) -> dict:
     """Validate every table pair of two schema directories.
 
     The full-run choreography of SURVEY.md §3.1 collapsed to a driver
@@ -281,6 +282,13 @@ def validate_schema(src_dir: str, snk_dir: str,
     through the status register (ST5) and the report writer (W2).
     ``key_columns`` maps table name -> PK columns (the catalog's
     primaryMetas analog; Parquet has no PK metadata).
+
+    ``max_tables_in_flight`` overlaps that many tables' pipelines via
+    driver threads (Ray executions from one driver interleave in the
+    shared streaming executor) — the reference's inter-table
+    parallelism knob ``maximum-topic-size`` (recommended 3,
+    ``config/application-source.yml``; SURVEY.md §4). Set 1 for
+    strictly serial.
     """
     import glob
     import os
@@ -309,16 +317,20 @@ def validate_schema(src_dir: str, snk_dir: str,
     register = TableStatusRegister(names)
     writer = ReportWriter(cfg.report_dir) if cfg.report_dir else None
     results: dict[str, ValidationResult] = {}
-    summaries = []
+    summaries_by_name: dict[str, dict] = {}
+    runnable: list[str] = []
     for name in names:
         if name not in src_tables or name not in snk_tables:
             missing_side = "source" if name not in src_tables else "sink"
             summary = {"table": name, "result": "failed",
                        "message": f"table miss: absent on {missing_side}"}
-            summaries.append(summary)
+            summaries_by_name[name] = summary
             if writer:
                 writer.structure_failed(summary)
             continue
+        runnable.append(name)
+
+    def run_one(name: str) -> ValidationResult:
         keys = key_columns.get(name) or key_columns.get("*", ("id",))
         tcfg = ValidationConfig(**{**cfg.__dict__, "key_columns": tuple(keys)})
         meta_cols = None
@@ -331,14 +343,24 @@ def validate_schema(src_dir: str, snk_dir: str,
             if cols != schema_cols:
                 meta_cols = cols
                 tcfg.compare_columns = tuple(cols)
-        res = validate_table_pair(src_tables[name], snk_tables[name], tcfg,
-                                  table=name, columns=meta_cols)
-        register.update(name, SOURCE_EXTRACTED | SINK_EXTRACTED | CHECKED)
-        results[name] = res
-        summaries.append(res.summary)
-        if writer:
-            writer.progress(res.summary.get("rowCount", 0),
-                            register.complete_count(), len(names))
+        return validate_table_pair(src_tables[name], snk_tables[name], tcfg,
+                                   table=name, columns=meta_cols)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..functions.runtime import patch_ray_thread_import_race
+
+    patch_ray_thread_import_race()
+    workers = max(1, min(max_tables_in_flight, len(runnable) or 1))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, res in zip(runnable, pool.map(run_one, runnable)):
+            register.update(name, SOURCE_EXTRACTED | SINK_EXTRACTED | CHECKED)
+            results[name] = res
+            summaries_by_name[name] = res.summary
+            if writer:
+                writer.progress(res.summary.get("rowCount", 0),
+                                register.complete_count(), len(names))
+    summaries = [summaries_by_name[n] for n in names if n in summaries_by_name]
     run_summary = (writer.summary(summaries) if writer else {
         "tableCount": len(summaries),
         "successCount": sum(1 for s in summaries
