@@ -31,9 +31,13 @@ from ..functions.sketches import TDigest, TopCounter
 # ---------------------------------------------------------------------------
 
 
+DRIVER_UNIQUENESS_MAX_ROWS = 2_000_000
+
+
 def uniqueness_violations(ds, key_columns: list[str],
                           batch_size: int | None = None,
-                          num_buckets: int = 64):
+                          num_buckets: int = 64,
+                          approx_rows: int | None = None):
     """Dataset of (key..., n) rows for keys appearing more than once.
 
     Two-phase: vectorized per-batch value_counts partials (the combiner
@@ -42,6 +46,11 @@ def uniqueness_violations(ds, key_columns: list[str],
     bucketed groupby whose groups reduce with a vectorized pandas
     groupby-sum. The shuffle moves one row per distinct key per block
     and has ``num_buckets``-way parallelism instead of a per-key sort.
+
+    With an ``approx_rows`` hint at or below
+    ``DRIVER_UNIQUENESS_MAX_ROWS``, the partials stream straight to
+    the driver and merge in one pandas groupby — no shuffle at all
+    (the signature-aggregation pattern applied to counting).
     """
     from ..functions import hashing
 
@@ -69,6 +78,14 @@ def uniqueness_violations(ds, key_columns: list[str],
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby(cols, sort=False)["n_part"].sum().reset_index(name="n")
         return tot[tot["n"] > 1]
+
+    if approx_rows is not None and approx_rows <= DRIVER_UNIQUENESS_MAX_ROWS:
+        import ray.data as rd
+
+        g = partials.to_pandas()
+        out = reduce(g) if len(g) else pd.DataFrame(
+            columns=cols + ["n"])
+        return rd.from_pandas(out[cols + ["n"]] if len(out) else out)
 
     return partials.groupby("ubucket").map_groups(
         reduce, batch_format="pandas").select_columns(cols + ["n"])

@@ -209,7 +209,8 @@ def validate_table_pair(src_path: str, snk_path: str,
         # one bucketed groupby over BOTH sides (side is part of the
         # grouping key), reusing the materialized digests
         dup = checks.uniqueness_violations(
-            both_d.select_columns(["key", "side"]), ["key", "side"])
+            both_d.select_columns(["key", "side"]), ["key", "side"],
+            approx_rows=src_meta.num_rows + snk_meta.num_rows)
         df = dup.to_pandas()
         if "side" in df.columns and len(df):
             df["side"] = np.where(df["side"], "source", "sink")
