@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--report-dir", default=None)
     s.add_argument("--table-white", default=None, help="regex list, ','-joined")
     s.add_argument("--table-black", default=None)
+    s.add_argument("--tables-in-flight", type=int, default=3,
+                   help="tables validated concurrently "
+                        "(maximum-topic-size analog)")
     s.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -116,7 +119,8 @@ def _run(args) -> int:
         args.source, args.sink,
         key_columns=keys,  # "*" entry = default for unlisted tables
         cfg=ValidationConfig(report_dir=args.report_dir),
-        rules=rules)
+        rules=rules,
+        max_tables_in_flight=args.tables_in_flight)
     print(json.dumps(out["summary"], default=str))
     return 0 if out["summary"].get("failedCount", 1) == 0 else 1
 

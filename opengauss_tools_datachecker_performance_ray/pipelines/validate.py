@@ -135,6 +135,19 @@ def validate_table_pair(src_path: str, snk_path: str,
             writer.structure_failed(result.summary)
         return result
 
+    # key columns must exist (a typo'd --keys otherwise surfaces as a
+    # raw worker traceback from deep inside the digest stage)
+    src_cols = {f.name for f in src_meta.schema}
+    missing = [k for k in cfg.key_columns if k not in src_cols]
+    if missing:
+        result.summary = {
+            "table": table, "result": "failed",
+            "message": f"key column(s) {missing} not in table "
+                       f"(columns: {sorted(src_cols)})"}
+        if writer:
+            writer.structure_failed(result.summary)
+        return result
+
     approx = max(src_meta.num_rows, snk_meta.num_rows)
     dcfg = DigestConfig.for_rows(cfg.key_columns, approx,
                                  compare_columns=cfg.compare_columns,
