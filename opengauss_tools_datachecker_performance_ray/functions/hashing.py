@@ -25,7 +25,7 @@ assert len(HASH_KEY) == 16
 
 # Bump when row-digest semantics change — folded into checkpoint
 # lineage so receipts from an older hash never mix with fresh ones.
-DIGEST_VERSION = "hv2-percol-splitmix"
+DIGEST_VERSION = "hv3-null-sentinel"
 
 
 def hash64(values: pa.Array | pa.ChunkedArray | np.ndarray) -> np.ndarray:
@@ -92,7 +92,16 @@ def column_hash(arr) -> np.ndarray:
             h = h.copy()
             h[mask] = _NULL_SENTINEL
         return h
-    return hash64(canonical.canonicalize_column(arr))
+    h = hash64(canonical.canonicalize_column(arr))
+    # uniform null semantics across ALL types: null hashes to the
+    # sentinel, so null != "" for strings too (stricter than the
+    # reference's null->"" concat collision, HashHandler.java:56-59;
+    # found by the hypothesis injectivity property)
+    if arr.null_count:
+        mask = arr.is_null().to_numpy(zero_copy_only=False)
+        h = h.copy()
+        h[mask] = _NULL_SENTINEL
+    return h
 
 
 def row_hash(table, columns: list[str] | None = None) -> np.ndarray:
