@@ -20,3 +20,10 @@ def ray_session():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def ray_session_holder(ray_session):
+    """Function-scope-safe alias so hypothesis @given tests can depend
+    on the session-scoped Ray fixture without scope errors."""
+    return ray_session

@@ -134,3 +134,58 @@ class TestSketchProperties:
         got = partial.groupby(partial.index).sum()
         got = got[got > 1].sort_index()
         assert got.to_dict() == want.to_dict()
+
+
+class TestMetamorphicCompare:
+    """Randomized end-to-end metamorphic property: for ANY table and
+    ANY disjoint injected insert/update/delete sets, the compare
+    pipeline must report exactly those keys with exactly those kinds
+    (SliceCheckWorker classification semantics under fuzzing)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def test_random_injected_diffs_exact(self, ray_session_holder, data):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            compare as cmp,
+        )
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig,
+        )
+
+        n = data.draw(st.integers(10, 80))
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        src = pd.DataFrame({
+            "k": [f"k{i:04d}" for i in range(n)],
+            "a": rng.integers(-1000, 1000, n),
+            "b": [f"v{rng.integers(0, 50)}" for _ in range(n)],
+        })
+        idx = rng.permutation(n)
+        k_ins = data.draw(st.integers(0, min(5, n // 3)))
+        k_upd = data.draw(st.integers(0, min(5, n // 3)))
+        k_del = data.draw(st.integers(0, 5))
+        ins_rows = idx[:k_ins]
+        upd_rows = idx[k_ins:k_ins + k_upd]
+        snk = src.drop(index=ins_rows).copy()
+        snk.loc[upd_rows, "a"] = snk.loc[upd_rows, "a"] + 1_000_000
+        extra = pd.DataFrame({
+            "k": [f"extra{i:04d}" for i in range(k_del)],
+            "a": rng.integers(-1000, 1000, k_del),
+            "b": ["x"] * k_del,
+        })
+        snk = pd.concat([snk, extra], ignore_index=True)
+        cfg = DigestConfig(key_columns=("k",), num_partitions=3,
+                           buckets_per_partition=8)
+        res = cmp.compare_tables(rd.from_pandas(src), rd.from_pandas(snk),
+                                 cfg, table="fuzz")
+        v = res.violations
+        assert sorted(v.loc[v["kind"] == "insert", "key"]) == \
+            sorted(src.loc[ins_rows, "k"])
+        assert sorted(v.loc[v["kind"] == "update", "key"]) == \
+            sorted(src.loc[upd_rows, "k"])
+        assert sorted(v.loc[v["kind"] == "delete", "key"]) == \
+            sorted(extra["k"])
+        assert res.summary["result"] == (
+            "success" if k_ins + k_upd + k_del == 0 else "failed")
