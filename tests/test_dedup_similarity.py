@@ -186,3 +186,41 @@ class TestSkew:
         assert len(hist) == 4
         assert hist["oversized"].sum() == 1
         assert bool(hist["oversized"].iloc[3])
+
+
+class TestDedupOnPagesFixture:
+    """Dedup stack against the north-payload pages shape: the fixture's
+    duplicated sink urls carry byte-identical text, so BOTH the exact
+    and the MinHash near-dup paths must surface them."""
+
+    def test_injected_sink_duplicates_found(self, ray_session, tmp_path):
+        import json
+
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            fixtures,
+        )
+
+        spec = fixtures.PagesSpec(n_rows=400, n_files=4, html_mean=4.0,
+                                  k_ins=0, k_del=0, k_upd=0, k_dup=8)
+        exp = fixtures.generate(str(tmp_path), spec)
+        # positionally unique row ids (duplicated urls must get
+        # DISTINCT ids or the dup pair is invisible by construction)
+        pdf = pd.read_parquet(f"{tmp_path}/pages_sink",
+                              columns=["url", "text"]).reset_index()
+        pdf = pdf.rename(columns={"index": "rid"})
+        keyed = rd.from_pandas(pdf).materialize()
+        exact = dedup.exact_duplicates(keyed, "rid", "text").to_pandas()
+        # the k_dup injected copies carry byte-identical text
+        assert len(exact) >= spec.k_dup
+        dup_urls = set(pdf.loc[pdf["rid"].isin(exact["dup_id"]), "url"])
+        assert set(exp["dup_keys"]).issubset(dup_urls)
+        # minhash near-dup path rediscovers the same pairs at sim 1.0
+        mh = dedup.minhash_lsh_pairs(keyed, "rid", "text",
+                                     verify_threshold=0.99).to_pandas()
+        mh_pairs = {tuple(sorted((int(r.a), int(r.b))))
+                    for r in mh.itertuples()}
+        exact_pairs = {tuple(sorted((int(r.rep_id), int(r.dup_id))))
+                       for r in exact.itertuples()}
+        assert exact_pairs.issubset(mh_pairs)
