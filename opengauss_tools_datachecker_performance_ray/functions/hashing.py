@@ -73,7 +73,14 @@ def column_hash(arr) -> np.ndarray:
     if pa.types.is_boolean(t):
         fast = arr.cast(pa.int8()).cast(pa.int64())
     elif pa.types.is_integer(t):
-        fast = arr.cast(pa.int64()) if t.bit_width <= 64 else None
+        # uint64 must NOT cast to int64: values >= 2^63 raise
+        # ArrowInvalid. Its raw buffer is already the 8-byte pattern we
+        # hash, so use it as-is (same bits => same hash as an equal
+        # int64 value, preserving cross-width equality below 2^63).
+        if pa.types.is_uint64(t):
+            fast = arr
+        else:
+            fast = arr.cast(pa.int64()) if t.bit_width <= 64 else None
     elif pa.types.is_floating(t):
         fast = arr.cast(pa.float64()) if not pa.types.is_float16(t) else None
     elif pa.types.is_timestamp(t) or pa.types.is_time64(t) or \

@@ -113,6 +113,9 @@ def referential_violations(child, child_key: str, parent, parent_key: str,
     n_parent = parent.count()
     if n_parent <= broadcast_threshold:
         keys = parent.select_columns([parent_key]).unique(parent_key)
+        # a null parent key matches nothing (SQL semantics, same as the
+        # child side) — and None poisons the object-dtype sort below
+        keys = [k for k in keys if k is not None]
         key_arr = np.sort(np.asarray(keys))  # natural dtype (int64 / <U / object)
         ref = ray.put(key_arr)
 

@@ -129,23 +129,34 @@ def incremental_check(src_factory: Callable[[], Any],
     dcfg = dcfg or DigestConfig(key_columns=tuple(key_columns),
                                 num_partitions=4, buckets_per_partition=64)
 
-    def one_pass(key_subset: list[str]) -> pd.DataFrame:
+    def one_pass(key_subset: list[str]) -> cmp.CompareResult:
         src = filter_by_keys(src_factory(), key_columns, key_subset)
         snk = filter_by_keys(snk_factory(), key_columns, key_subset)
-        res = cmp.compare_tables(src, snk, dcfg, table=table)
-        return res.violations
+        return cmp.compare_tables(src, snk, dcfg, table=table)
 
     phases = []
-    vio = one_pass(keys)
+    res = one_pass(keys)
+    vio = res.violations
     phases.append({"phase": "primary", "checked": len(keys),
                    "diffs": int(len(vio))})
-    if cfg.secondary_recheck and len(vio):
-        # second fetch+compare of surviving diffs only (I3)
-        vio = one_pass(sorted(set(vio["key"].astype(str))))
-        phases.append({"phase": "secondary", "checked": phases[-1]["diffs"],
+    # a pure multiplicity mismatch (duplicate copies of a changed key)
+    # yields zero key-level violations but a failed compare summary —
+    # it must survive into the increment verdict too
+    if cfg.secondary_recheck and (len(vio) or not res.ok):
+        # second fetch+compare of surviving diffs only (I3); when the
+        # failure is count-only, re-check the full key batch
+        recheck = sorted(set(vio["key"].astype(str))) if len(vio) else keys
+        res = one_pass(recheck)
+        vio = res.violations
+        phases.append({"phase": "secondary", "checked": len(recheck),
                        "diffs": int(len(vio))})
-    ok = len(vio) == 0
+    ok = len(vio) == 0 and res.ok
+    msg = ("" if ok else
+           res.summary.get("message", "")
+           or (f"{res.summary.get('countMismatchPartitions', 0)} "
+               f"partition(s) row count mismatch"
+               if res.summary.get("countMismatchPartitions") else ""))
     return IncrementResult(table=table, checked_keys=len(keys),
                            violations=vio.reset_index(drop=True),
                            result="success" if ok else "failed",
-                           phases=phases)
+                           message=msg, phases=phases)

@@ -59,16 +59,28 @@ def apply_column_rule(columns: list[str], table: str,
 
 
 def apply_row_rule(ds, key_column: str, offset: int, count: int):
-    """``ORDER BY pk LIMIT offset, count`` semantics at scale: one
-    keys-only pass finds the [offset, offset+count) key range, then a
-    vectorized range filter — rows never sort or materialize."""
-    keys = sorted(r[key_column] for r in
-                  ds.select_columns([key_column]).take_all())
-    window = keys[offset:offset + count]
-    if not window:
+    """``ORDER BY pk LIMIT offset, count`` semantics at scale
+    (``adapter/service/rule/CheckRowRule.java``, application.yml rows
+    rule): a keys-only DISTRIBUTED sort finds the two boundary keys at
+    ranks ``offset`` and ``offset+count-1`` via ``split_at_indices``
+    (only those single-row splits are ever collected — the driver never
+    sees the key column), then a vectorized range filter selects the
+    window. Full rows never sort, shuffle, or materialize; the keys-only
+    sort moves ~8-byte digests and spills via the object store."""
+    keys_sorted = (ds.select_columns([key_column])
+                   .sort(key_column).materialize())
+    head = keys_sorted.split_at_indices([offset, offset + 1])[1].take_all()
+    if not head:
         return ds.filter(expr=f"{key_column} is null and "
                               f"{key_column} is not null")  # empty
-    lo, hi = window[0], window[-1]
+    lo = head[0][key_column]
+    tail = keys_sorted.split_at_indices(
+        [offset + count - 1, offset + count])[1].take_all()
+    # table shorter than offset+count => window runs to the last key
+    hi = tail[0][key_column] if tail else None
+    if hi is None:
+        hi = keys_sorted.split_at_indices(
+            [keys_sorted.count() - 1])[1].take_all()[0][key_column]
     import pyarrow.compute as pc_  # noqa: F401
 
     def rng(batch):
@@ -345,6 +357,20 @@ def validate_schema(src_dir: str, snk_dir: str,
         runnable.append(name)
 
     def run_one(name: str) -> ValidationResult:
+        try:
+            return _run_one_inner(name)
+        except Exception as ex:  # noqa: BLE001
+            # One table's unexpected failure (corrupt parquet, a worker
+            # exception surfacing through the digest stage) must not
+            # abort the schema run: record a per-table failed verdict
+            # and continue, like the reference's per-table error
+            # handling (CheckService records failed and moves on).
+            res = ValidationResult(table=name, structure={})
+            res.summary = {"table": name, "result": "failed",
+                           "message": f"{type(ex).__name__}: {ex}"}
+            return res
+
+    def _run_one_inner(name: str) -> ValidationResult:
         keys = key_columns.get(name) or key_columns.get("*", ("id",))
         tcfg = ValidationConfig(**{**cfg.__dict__, "key_columns": tuple(keys)})
         meta_cols = None

@@ -78,17 +78,60 @@ def load_table_meta(path: str, name: str | None = None) -> TableMeta:
         row_group_rows=rg_rows, row_group_bytes=rg_bytes)
 
 
+def hash_class(t: pa.DataType) -> str:
+    """Hash-equality class of an Arrow type: two columns hash equal
+    values to equal digests iff their classes match (they share a
+    ``functions.hashing.column_hash`` code path AND a raw encoding).
+    int64 5 and float64 5.0 hash differently (raw-bit fast path), so a
+    pair storing one side as int and the other as float would report
+    100% false 'update' violations — ``structure_check`` fails such
+    pairs up front instead (advisor finding, round 1)."""
+    if pa.types.is_dictionary(t):
+        return hash_class(t.value_type)
+    if pa.types.is_boolean(t):
+        return "int"  # bool casts through int8 -> int64 (True == 1)
+    if pa.types.is_integer(t) and t.bit_width <= 64:
+        return "int"  # all widths cast losslessly; uint64 shares bits
+    if pa.types.is_float16(t):
+        return "other:halffloat"  # canonical string path, not raw bits
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return f"ts:{t.unit}"  # raw epoch value depends on the unit
+    if pa.types.is_date32(t):
+        return "date32"  # epoch-days vs date64's epoch-ms
+    if pa.types.is_date64(t):
+        return "date64"
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        return f"time:{t.unit}"
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        return "bytes"  # canonical form is the identity bytes for all
+    if pa.types.is_decimal(t):
+        return f"decimal:{t.scale}"  # plain string keeps trailing zeros
+    return f"other:{t}"
+
+
 def structure_check(src: TableMeta, snk: TableMeta) -> dict:
     """Pre-compare table-structure verdict: lowercased column-name sets
-    must match (``check/service/CheckTableStructureService.java:65-80``);
+    must match (``check/service/CheckTableStructureService.java:65-80``)
+    and shared columns must agree on hash class (see ``hash_class``);
     mismatch fails the table before any data moves."""
     src_cols, snk_cols = src.column_names_lower(), snk.column_names_lower()
-    ok = src_cols == snk_cols
+    src_types = {f.name.lower(): f.type for f in src.schema}
+    snk_types = {f.name.lower(): f.type for f in snk.schema}
+    type_mismatches = sorted(
+        f"{c}: {src_types[c]} vs {snk_types[c]}"
+        for c in (src_cols & snk_cols)
+        if hash_class(src_types[c]) != hash_class(snk_types[c]))
+    ok = src_cols == snk_cols and not type_mismatches
     return {
         "table": src.name,
         "structureResult": "success" if ok else "failed",
         "onlyInSource": sorted(src_cols - snk_cols),
         "onlyInSink": sorted(snk_cols - src_cols),
+        "typeMismatches": type_mismatches,
         "srcTableHash": src.table_hash,
         "snkTableHash": snk.table_hash,
     }

@@ -368,17 +368,32 @@ def compare_signatures(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
 
     A partition present on only one side compares against an empty
     leaf array (bucket alignment, ``SliceCheckWorker.java:410-452``).
+
+    A bucket differs when EITHER its XOR signature OR its row count
+    differs: duplicate-key multiplicities whose vhashes XOR-cancel
+    (1 vs 3 copies, 2 vs 0) leave the signature unchanged but never
+    the count, so the count compare closes that blind spot. The dense
+    count blobs already sit next to the leaves in the signature frame
+    (advisor finding, round 1).
     """
     B = cfg.buckets_per_partition
     src_by = {int(r.part): r for r in src_sigs.itertuples()}
     snk_by = {int(r.part): r for r in snk_sigs.itertuples()}
     empty = np.zeros(B, dtype=np.uint64)
+    empty_cnt = np.zeros(B, dtype=np.int64)
     out: list[PartitionDiff] = []
     for p in range(cfg.num_partitions):
         s, k = src_by.get(p), snk_by.get(p)
         s_leaves = np.frombuffer(s.leaves, dtype=np.uint64) if s is not None else empty
         k_leaves = np.frombuffer(k.leaves, dtype=np.uint64) if k is not None else empty
         db = merkle.diff_buckets(s_leaves, k_leaves)
+        s_cnt = (np.frombuffer(s.counts, dtype=np.int64)
+                 if s is not None and "counts" in src_sigs.columns else empty_cnt)
+        k_cnt = (np.frombuffer(k.counts, dtype=np.int64)
+                 if k is not None and "counts" in snk_sigs.columns else empty_cnt)
+        cnt_diff = np.nonzero(s_cnt != k_cnt)[0]
+        if len(cnt_diff):
+            db = np.union1d(db, cnt_diff).astype(np.int64)
         out.append(PartitionDiff(
             part=p,
             src_rows=int(s.rows) if s is not None else 0,
@@ -504,12 +519,18 @@ def build_verdicts(table: str, diffs: list[PartitionDiff],
                    violations: pd.DataFrame) -> CompareResult:
     parts = []
     by_part = {int(p): g for p, g in violations.groupby("part")} if len(violations) else {}
+    count_mismatch_parts = 0
     for d in diffs:
         v = by_part.get(d.part)
         ins = int((v["kind"] == "insert").sum()) if v is not None else 0
         upd = int((v["kind"] == "update").sum()) if v is not None else 0
         dele = int((v["kind"] == "delete").sum()) if v is not None else 0
-        ok = (len(d.diff_buckets) == 0) or (ins + upd + dele == 0)
+        # A partition can have zero key-level violations yet differing
+        # row counts (duplicate-key multiplicity skew — the classify
+        # join collapses duplicates per key); that is still a failure.
+        rows_ok = d.src_rows == d.snk_rows
+        ok = rows_ok and ((len(d.diff_buckets) == 0)
+                          or (ins + upd + dele == 0))
         rec = {
             "table": table, "part": d.part,
             "rowCount": max(d.src_rows, d.snk_rows),
@@ -517,6 +538,10 @@ def build_verdicts(table: str, diffs: list[PartitionDiff],
             "insertTotal": ins, "updateTotal": upd, "deleteTotal": dele,
             "result": "success" if ok else "failed",
         }
+        if not rows_ok:
+            count_mismatch_parts += 1
+            rec["message"] = (f"row count mismatch: src={d.src_rows} "
+                              f"snk={d.snk_rows}")
         if v is not None and not ok:
             for kind, label in (("insert", "keyInsert"), ("update", "keyUpdate"),
                                 ("delete", "keyDelete")):
@@ -534,7 +559,10 @@ def build_verdicts(table: str, diffs: list[PartitionDiff],
         "rowCount": sum(p["rowCount"] for p in parts),
         "insertTotal": ins, "updateTotal": upd, "deleteTotal": dele,
         "totalRepair": ins + upd + dele,
-        "result": "success" if ins + upd + dele == 0 else "failed",
+        "countMismatchPartitions": count_mismatch_parts,
+        "result": ("success"
+                   if ins + upd + dele == 0 and count_mismatch_parts == 0
+                   else "failed"),
     }
     return CompareResult(table=table, partitions=parts,
                          violations=violations, summary=summary)

@@ -97,3 +97,120 @@ class TestEdgeCases:
         src, snk = _pair(tmp_path, t, t)
         res = validate_table_pair(src, snk, CFG, table="nan")
         assert res.summary["result"] == "success"
+
+
+class TestAdvisorRegressions:
+    """Round-1 advisor findings, each pinned by a regression test."""
+
+    def test_xor_cancelling_duplicates_fail_compare(self, ray_session,
+                                                    tmp_path):
+        """Duplicate-key multiplicity whose vhashes XOR-cancel: sink =
+        source + 2 extra exact copies of one row. The XOR signature is
+        unchanged (x ^ x = 0) but the per-bucket count differs — the
+        compare must fail on the count, not report clean."""
+        n = 100
+        src_t = pa.table({"k": [f"k{i:03d}" for i in range(n)],
+                          "v": [f"v{i}" for i in range(n)]})
+        dup = src_t.slice(7, 1)
+        snk_t = pa.concat_tables([src_t, dup, dup])
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="xorcancel")
+        assert res.summary["result"] == "failed"
+        assert res.summary["countMismatchPartitions"] >= 1
+        failed = [p for p in res.compare.partitions
+                  if p["result"] == "failed"]
+        assert failed and "row count mismatch" in failed[0]["message"]
+
+    def test_odd_multiplicity_duplicate_detected(self, ray_session,
+                                                 tmp_path):
+        """1 vs 3 copies: signature ALSO cancels (x ^ x ^ x = x) —
+        only the count catches it."""
+        src_t = pa.table({"k": ["a", "b"], "v": ["1", "2"]})
+        one = src_t.slice(0, 1)
+        snk_t = pa.concat_tables([src_t, one, one])
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="odd_mult")
+        assert res.summary["result"] == "failed"
+
+    def test_uint64_high_values_hash_and_compare(self, ray_session,
+                                                 tmp_path):
+        """uint64 values >= 2^63 (MySQL BIGINT UNSIGNED) must digest
+        without ArrowInvalid and compare correctly."""
+        from opengauss_tools_datachecker_performance_ray.functions import hashing
+
+        big = [2**63, 2**64 - 1, 5, 0, None]
+        arr = pa.array(big, type=pa.uint64())
+        h = hashing.column_hash(arr)
+        assert len(set(h[:4].tolist())) == 4  # distinct values, no crash
+        # same bit pattern as int64 for values < 2^63 => equal hashes
+        h_i = hashing.column_hash(pa.array([5, 0], type=pa.int64()))
+        assert h[2] == h_i[0] and h[3] == h_i[1]
+
+        src_t = pa.table({"k": ["a", "b", "c"],
+                          "v": pa.array([2**63 + 7, 2**64 - 1, 1],
+                                        type=pa.uint64())})
+        snk_t = pa.table({"k": ["a", "b", "c"],
+                          "v": pa.array([2**63 + 7, 2**64 - 2, 1],
+                                        type=pa.uint64())})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="u64")
+        v = res.compare.violations
+        assert list(v["kind"]) == ["update"] and v["key"].iloc[0] == "b"
+
+    def test_referential_null_parent_key_no_crash(self, ray_session):
+        """A null in the parent key column must not crash the sort in
+        the broadcast path; nulls match nothing."""
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        parent = rd.from_pandas(pd.DataFrame({"pk": ["a", None, "b"]}))
+        child = rd.from_pandas(pd.DataFrame({"fk": ["a", "b", "zz", None]}))
+        bad = checks.referential_violations(child, "fk", parent, "pk")
+        assert sorted(r["fk"] for r in bad.take_all()) == ["zz"]
+
+    def test_structure_type_mismatch_fails_fast(self, ray_session,
+                                                tmp_path):
+        """int64 vs float64 value column: raw-bit hashing would report
+        100% false updates — structure check must fail the pair up
+        front with the type mismatch named."""
+        src_t = pa.table({"k": ["a", "b"],
+                          "v": pa.array([5, 6], pa.int64())})
+        snk_t = pa.table({"k": ["a", "b"],
+                          "v": pa.array([5.0, 6.0], pa.float64())})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="typemix")
+        assert res.summary["result"] == "failed"
+        assert res.structure["structureResult"] == "failed"
+        assert any("v:" in m for m in res.structure["typeMismatches"])
+
+    def test_structure_compatible_widths_pass(self, ray_session, tmp_path):
+        """int32 vs int64 share a hash class (lossless cast) — equal
+        values compare equal across the width difference."""
+        src_t = pa.table({"k": ["a", "b"], "v": pa.array([5, 6], pa.int32())})
+        snk_t = pa.table({"k": ["a", "b"], "v": pa.array([5, 6], pa.int64())})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="widths")
+        assert res.summary["result"] == "success"
+
+    def test_schema_run_survives_one_bad_table(self, ray_session,
+                                               tmp_path):
+        """A corrupt parquet in one table must yield a per-table failed
+        verdict, not abort the whole schema run."""
+        from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+            validate_schema,
+        )
+
+        for side in ("src", "snk"):
+            d = tmp_path / side
+            (d / "good").mkdir(parents=True)
+            (d / "bad").mkdir()
+            pq.write_table(pa.table({"k": ["a"], "v": ["1"]}),
+                           str(d / "good" / "p.parquet"))
+            (d / "bad" / "p.parquet").write_bytes(b"not a parquet file")
+        out = validate_schema(str(tmp_path / "src"), str(tmp_path / "snk"),
+                              {"*": ("k",)}, CFG)
+        by = {s["table"]: s for s in out["summaries"]}
+        assert by["good"]["result"] == "success"
+        assert by["bad"]["result"] == "failed"
+        assert "message" in by["bad"]
