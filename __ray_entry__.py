@@ -49,10 +49,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_longest_documents": q.topk_longest_documents,
         "lang_by_source": q.lang_by_source,
         "quality_documents": q.quality_documents,
+        "quality_features_documents": q.quality_features_documents,
+        "profile_counts_documents": q.profile_counts_documents,
         "drift_documents_by_source": q.drift_documents_by_source,
         "knn_embeddings": q.knn_embeddings,
         # incremental mode, rules, skew, CSV source, multimodal (§2.9,
         # §2.2 M3-M5, §4 skew, §2.1 S4, training-data extensions)
+        "cdc_debezium_orders": q.cdc_debezium_orders,
         "incremental_recheck_orders": q.incremental_recheck_orders,
         "row_rule_orders": q.row_rule_orders,
         "hot_sources_documents": q.hot_sources_documents,
@@ -86,6 +89,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,
+        "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
+        "profile_counts_documents": q.PROFILE_COUNTS_DOCUMENTS_SQL,
+        "knn_embeddings": q.KNN_EMBEDDINGS_SQL,
+        "cdc_debezium_orders": q.CDC_DEBEZIUM_ORDERS_SQL,
         "incremental_recheck_orders": q.INCREMENTAL_RECHECK_ORDERS_SQL,
         "row_rule_orders": q.ROW_RULE_ORDERS_SQL,
         "hot_sources_documents": q.HOT_SOURCES_DOCUMENTS_SQL,
@@ -94,8 +101,9 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": q.EVENTS_TUMBLING_WINDOW_SQL,
         "events_sessionization": q.EVENTS_SESSIONIZATION_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,
-        # minhash_lsh_candidates, simhash_documents, quality_documents,
-        # drift_documents_by_source, knn_embeddings,
-        # simhash_near_dups_documents, embedding_dup_pairs,
-        # knn_ivf_embeddings, multimodal_embeddings
+        # minhash_lsh_candidates, simhash_documents, quality_documents
+        # (float composites — exact parts oracle-checked via
+        # quality_features_documents / profile_counts_documents),
+        # drift_documents_by_source, simhash_near_dups_documents,
+        # embedding_dup_pairs, knn_ivf_embeddings, multimodal_embeddings
     }

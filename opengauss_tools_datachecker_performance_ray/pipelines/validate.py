@@ -203,7 +203,21 @@ def validate_table_pair(src_path: str, snk_path: str,
         partials = both_d.map_batches(
             cmp.make_signature_partials_by_side_fn(dcfg),
             batch_format="pyarrow")
-        pdf = partials.to_pandas()
+        # stream the partials back block-by-block so progress.log grows
+        # DURING the table (per-slice cadence, SliceProgressService) —
+        # same bytes as to_pandas, plus one record per arriving slice
+        import pyarrow.compute as pc_
+
+        frames = []
+        rows_seen = 0
+        for bt in partials.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            frames.append(bt)
+            rows_seen += int(pc_.sum(bt.column("cnt")).as_py() or 0)
+            if writer:
+                writer.slice_progress(table, rows_seen, len(frames))
+        pdf = (pa.concat_tables(frames).to_pandas() if frames
+               else pd.DataFrame())
         B = dcfg.buckets_per_partition
         if len(pdf):
             src_sigs = cmp._merge_signature_partials(pdf[pdf["is_src"]], B)
@@ -288,7 +302,7 @@ def validate_table_pair(src_path: str, snk_path: str,
                 pqsrc.read_table(src_path, columns=read_cols),
                 list(cfg.key_columns), keys).to_pandas()
             stmts = render_repair_sql_with_rows(
-                table, cfg.key_columns[0], violations, src_rows)
+                table, list(cfg.key_columns), violations, src_rows)
             write_repair_file(writer.out_dir, table, stmts)
     return result
 

@@ -94,15 +94,22 @@ def ivf_assign(ds, id_col: str, emb_col: str, centroids: np.ndarray):
 
     ref = ray.put(np.asarray(centroids, dtype=np.float32))
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame):
+        import pyarrow as pa
+
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
         cent = ray.get(ref)
-        mat = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
-        cell = (mat @ cent.T).argmax(axis=1).astype(np.int32)
-        return pd.DataFrame({id_col: batch[id_col], "cell": cell,
-                             emb_col: batch[emb_col]})
+        raw = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        cell = (_normalize(raw) @ cent.T).argmax(axis=1).astype(np.int32)
+        # plain Arrow fixed-size-list output (NOT the tensor-extension
+        # dtype a pandas ndarray column would produce — the extension's
+        # pandas metadata poisons plain parquet read-back of the index)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(raw.reshape(-1)), raw.shape[1])
+        return pa.table({id_col: pa.array(batch[id_col].to_numpy()),
+                         "cell": pa.array(cell), emb_col: emb})
 
     return ds.map_batches(assign, batch_format="pandas")
 
@@ -111,7 +118,9 @@ def ivf_topk(assigned, id_col: str, emb_col: str, centroids: np.ndarray,
              queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
     """Approximate top-k: probe only the ``nprobe`` cells nearest each
     query. Filter (vectorized per batch) + the brute-force scorer over
-    the surviving ~nprobe/C fraction of vectors."""
+    the surviving ~nprobe/C fraction of vectors. NOTE: this still scans
+    every block to evaluate the row filter — the genuinely pruned read
+    at scale is ``ivf_write_index`` + ``ivf_topk_pruned``."""
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     cent = _normalize(np.asarray(centroids, dtype=np.float32))
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
@@ -120,3 +129,44 @@ def ivf_topk(assigned, id_col: str, emb_col: str, centroids: np.ndarray,
     filtered = assigned.filter(
         expr=f"cell in {sorted(int(c) for c in wanted)}")
     return brute_force_topk(filtered, id_col, emb_col, qn, k=k)
+
+
+def probe_cells(centroids: np.ndarray, queries: np.ndarray,
+                nprobe: int) -> np.ndarray:
+    """Cell ids the queries need: ``nprobe`` nearest centroids each."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    cent = _normalize(np.asarray(centroids, dtype=np.float32))
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    return np.unique(probe.reshape(-1))
+
+
+def ivf_write_index(assigned, path: str) -> None:
+    """Persist the assigned vectors hive-partitioned by cell — one
+    directory per cell, so probing is a PRUNED read (only the probed
+    cells' files ever open; unprobed cells cost zero I/O)."""
+    assigned.write_parquet(path, partition_cols=["cell"])
+
+
+def ivf_topk_pruned(index_path: str, id_col: str, emb_col: str,
+                    centroids: np.ndarray, queries: np.ndarray,
+                    k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Approximate top-k over a persisted partitioned IVF index: read
+    ONLY the probed cells' directories (O(N * nprobe / C) bytes off
+    storage — the scale path promised by ``ivf_assign``'s docstring)."""
+    import os
+
+    import ray.data as rd
+
+    import glob
+
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    wanted = probe_cells(centroids, qn, nprobe)
+    files = []
+    for c in wanted:
+        d = os.path.join(index_path, f"cell={int(c)}")
+        if os.path.isdir(d):
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not files:
+        return pd.DataFrame(columns=["query_idx", id_col, "cos"])
+    ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    return brute_force_topk(ds, id_col, emb_col, qn, k=k)

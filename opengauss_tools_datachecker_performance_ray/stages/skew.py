@@ -16,7 +16,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.hashing import hash64
 from ..functions.sketches import TopCounter
 
 
@@ -71,28 +70,40 @@ def add_salted_key(ds, key_col: str, hot_keys: list, salt_factor: int = 8,
     (uniform via row-index hash), cold keys pass through. Groupbys on
     the salted key then need a second tiny re-merge groupby on the
     original key — exact for associative/commutative aggregates."""
-    hot = set(map(str, hot_keys))
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import _splitmix64
+
+    hot_arr = pa.array(sorted(set(map(str, hot_keys))), pa.large_string())
+    suffixes = np.array([f"#s{i}" for i in range(salt_factor)], dtype=object)
 
     def salt(batch: pa.Table) -> pa.Table:
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
-        keys = batch.column(key_col).cast(pa.large_string()) \
-            .to_numpy(zero_copy_only=False).astype(object)
-        is_hot = np.isin(keys.astype(str), list(hot)) if hot else \
-            np.zeros(len(keys), dtype=bool)
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = col.cast(pa.large_string())
+        n = len(keys)
+        if len(hot_arr):
+            is_hot = pc.is_in(keys, value_set=hot_arr) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            is_hot = np.zeros(n, dtype=bool)
         if is_hot.any():
-            salts = (hash64(np.char.add(keys.astype(str),
-                                        np.arange(len(keys)).astype(str)))
+            # uniform rotating salt from the row position (splitmix64 of
+            # the batch-local index — no string concat, no Python loop)
+            salts = (_splitmix64(np.arange(n, dtype=np.uint64))
                      % np.uint64(salt_factor)).astype(np.int64)
-            salted = keys.copy()
-            hot_idx = np.flatnonzero(is_hot)
-            for i in hot_idx:
-                salted[i] = f"{keys[i]}#s{salts[i]}"
+            suffix = np.where(is_hot, suffixes[salts], "")
+            salted = pc.binary_join_element_wise(
+                keys, pa.array(suffix, pa.large_string()),
+                pa.scalar("", pa.large_string()),
+                null_handling="replace", null_replacement="")
         else:
             salted = keys
-        return batch.append_column(
-            out_col, pa.array([str(s) for s in salted], pa.large_string()))
+        return batch.append_column(out_col, salted)
 
     return ds.map_batches(salt, batch_format="pyarrow")
 

@@ -51,6 +51,20 @@ class ReportWriter:
             "cost": round(elapsed, 3),
         })
 
+    def slice_progress(self, table: str, rows_seen: int,
+                       slices_done: int) -> None:
+        """Intra-table progress, appended as each digest slice's
+        signature partial lands (the reference updates progress.log per
+        completed slice, ``SliceProgressService.java:84-124`` — without
+        this a multi-hour table shows nothing until the end)."""
+        elapsed = max(time.time() - self.t0, 1e-9)
+        self._append("progress.log", {
+            "table": table, "sliceCount": slices_done,
+            "rowCount": int(rows_seen),
+            "avgSpeed": round(rows_seen / elapsed, 1),
+            "cost": round(elapsed, 3),
+        })
+
     def summary(self, results: list[dict[str, Any]]) -> dict[str, Any]:
         ok = [r for r in results if r.get("result") == "success"]
         rec = {
@@ -98,33 +112,106 @@ def _sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def render_repair_sql_with_rows(table: str, key_column: str,
+# Composite-PK splice (Constants.PRIMARY_DELIMITER "_#_").
+_KEY_SEP = "_#_"
+
+
+def _key_of_row(row, key_columns: list[str]) -> str:
+    return _KEY_SEP.join(str(row[c]) for c in key_columns)
+
+
+def _key_condition(key: str, key_columns: list[str]) -> str:
+    """``pk = v`` / ``pk1 = v1 and pk2 = v2`` from a spliced key value
+    (UpdateDmlBuilder.buildConditionCompositePrimary semantics — every
+    PK column joins with AND; values always quoted, which every SQL
+    engine accepts for digit keys too)."""
+    parts = key.split(_KEY_SEP)
+    if len(parts) != len(key_columns):  # un-spliceable: treat as one
+        parts = [key]
+    return " and ".join(f"{c} = {_sql_literal(v)}"
+                        for c, v in zip(key_columns, parts))
+
+
+def render_update_sql(table: str, key_columns: list[str], row,
+                      columns: list[str]) -> str:
+    """Column-wise UPDATE for one violated key (UpdateDmlBuilder
+    analog: ``update #table set #columns where #condition;``,
+    ``extract/dml/DmlBuilder.java:229`` /
+    ``UpdateDmlBuilder.java:99-121``) — non-key columns in the SET
+    list, every PK column in the AND condition."""
+    sets = ", ".join(f"{c} = {_sql_literal(row[c])}"
+                     for c in columns if c not in key_columns)
+    cond = " and ".join(f"{c} = {_sql_literal(row[c])}"
+                        for c in key_columns)
+    return f"UPDATE {table} SET {sets} WHERE {cond};"
+
+
+def render_batch_delete_sql(table: str, key_columns: list[str],
+                            keys: list[str],
+                            batch_size: int = 1000) -> list[str]:
+    """Batched DELETE (BatchDeleteDmlBuilder analog:
+    ``delete from #table where pk in ( ... );``,
+    ``extract/dml/BatchDeleteDmlBuilder.java:80-86``). Single-column
+    PKs batch ``batch_size`` keys per IN list; composite PKs fall back
+    to per-key AND-condition deletes (the reference routes composites
+    through the condition builder the same way)."""
+    keys = sorted(map(str, keys))
+    if len(key_columns) == 1:
+        out = []
+        for i in range(0, len(keys), batch_size):
+            chunk = ", ".join(_sql_literal(k)
+                              for k in keys[i:i + batch_size])
+            out.append(f"DELETE FROM {table} WHERE {key_columns[0]} "
+                       f"IN ({chunk});")
+        return out
+    return [f"DELETE FROM {table} WHERE {_key_condition(k, key_columns)};"
+            for k in keys]
+
+
+def render_repair_sql_with_rows(table: str, key_column,
                                 violations: pd.DataFrame,
-                                source_rows: pd.DataFrame) -> list[str]:
+                                source_rows: pd.DataFrame,
+                                update_style: str = "replace",
+                                batch_delete: bool = False) -> list[str]:
     """Full-row repair statements (DML builder analog,
-    ``extract/dml/{Insert,Replace,Delete}DmlBuilder.java``): the
-    source rows for violated keys are re-fetched (J5 secondary lookup,
-    ``DataExtractServiceImpl.java:608-621``) and rendered as
-    INSERT (missing at sink) / REPLACE (value mismatch) VALUES lists;
-    delete-kind violations render DELETE by key."""
-    rows_by_key = {str(r[key_column]): r
+    ``extract/dml/{Insert,Replace,Update,BatchDelete}DmlBuilder.java``):
+    the source rows for violated keys are re-fetched (J5 secondary
+    lookup, ``DataExtractServiceImpl.java:608-621``) and rendered as
+    INSERT (missing at sink) VALUES lists; update-kind renders REPLACE
+    VALUES (``update_style='replace'``) or column-wise UPDATE ... SET
+    (``update_style='update'``); delete-kind renders per-key DELETE or
+    batched ``DELETE ... WHERE pk IN (...)`` (``batch_delete=True``).
+    ``key_column`` is one column name or a list (composite PKs splice
+    with ``_#_`` in the violation keys)."""
+    key_columns = ([key_column] if isinstance(key_column, str)
+                   else list(key_column))
+    rows_by_key = {_key_of_row(r, key_columns): r
                    for _, r in source_rows.iterrows()}
     cols = list(source_rows.columns)
     collist = ", ".join(cols)
     out = []
+    delete_keys = []
     for r in violations.sort_values("key").itertuples():
         key = str(r.key)
         if r.kind == "delete":
-            out.append(f"DELETE FROM {table} WHERE {key_column} = "
-                       f"{_sql_literal(key)};")
+            if batch_delete:
+                delete_keys.append(key)
+            else:
+                out.append(f"DELETE FROM {table} WHERE "
+                           f"{_key_condition(key, key_columns)};")
             continue
         row = rows_by_key.get(key)
         if row is None:
             out.append(f"-- missing source row for key {key}")
             continue
+        if r.kind == "update" and update_style == "update":
+            out.append(render_update_sql(table, key_columns, row, cols))
+            continue
         values = ", ".join(_sql_literal(row[c]) for c in cols)
         verb = "INSERT INTO" if r.kind == "insert" else "REPLACE INTO"
         out.append(f"{verb} {table} ({collist}) VALUES ({values});")
+    if delete_keys:
+        out.extend(render_batch_delete_sql(table, key_columns, delete_keys))
     return out
 
 

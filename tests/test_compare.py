@@ -87,6 +87,27 @@ class TestComparePipeline:
         assert sorted(r1.compare.violations["key"]) == \
             sorted(r2.compare.violations["key"])
 
+    def test_per_slice_progress_grows_during_run(self, pages_fixture,
+                                                 tmp_path):
+        """progress.log must receive one record per arriving digest
+        slice (intra-table cadence), not just one line per table."""
+        import json
+
+        base, _ = pages_fixture
+        cfg = ValidationConfig(key_columns=("url",), check_uniqueness=False,
+                               check_drift=False,
+                               report_dir=str(tmp_path / "rep"))
+        validate_table_pair(f"{base}/pages_source", f"{base}/pages_sink",
+                            cfg, table="pages")
+        lines = [json.loads(x) for x in
+                 open(tmp_path / "rep" / "progress.log")]
+        slice_recs = [x for x in lines if "sliceCount" in x]
+        # 4 files per side -> >= 2 slice partial blocks stream back
+        assert len(slice_recs) >= 2
+        assert slice_recs[-1]["rowCount"] > slice_recs[0]["rowCount"] \
+            or len(slice_recs) > 1
+        assert any("completeCount" in x for x in lines)  # table record
+
     def test_empty_tables_success(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 

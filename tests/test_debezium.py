@@ -1,0 +1,153 @@
+"""Debezium CDC ingestion tests: plain + avro-union event shapes,
+delete-uses-before semantics, composite keys, date decompression,
+SourceDataLog consolidation, window integration — plus a parity check
+against the reference repo's own fixture records when present."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.pipelines.incremental import (
+    ChangeLogWindow, IncrementConfig,
+)
+from opengauss_tools_datachecker_performance_ray.sources import debezium
+
+REF_STRING_FIXTURE = ("/root/reference/datachecker-extract/src/test/"
+                      "resources/data/debezium_data/one_table_record.json")
+REF_AVRO_FIXTURE = ("/root/reference/datachecker-extract/src/test/"
+                    "resources/data/debezium_avro/one_record.json")
+
+
+def _plain(table, op, after=None, before=None, envelope=True):
+    payload = {"before": before, "after": after,
+               "source": {"table": table, "ts_ms": 1000},
+               "op": op, "ts_ms": 2000}
+    return json.dumps({"schema": {}, "payload": payload} if envelope
+                      else payload)
+
+
+class TestParseEvent:
+    def test_insert_uses_after(self):
+        ev = debezium.parse_event(_plain("t", "c", after={"id": "7"}))
+        assert ev["table"] == "t" and ev["op"] == "c"
+        assert ev["data"] == {"id": "7"}
+
+    def test_delete_uses_before(self):
+        ev = debezium.parse_event(
+            _plain("t", "d", after=None, before={"id": "9"}))
+        assert ev["data"] == {"id": "9"}
+
+    def test_flat_payload_no_envelope(self):
+        ev = debezium.parse_event(
+            _plain("t", "u", after={"id": "1"}, envelope=False))
+        assert ev["data"] == {"id": "1"}
+
+    def test_avro_union_wrappers_unwrapped(self):
+        line = json.dumps({
+            "before": None,
+            "after": {"db.schema.tbl.Value": {"id": 5, "k": {"long": 10}}},
+            "source": {"table": {"string": "tbl"}, "ts_ms": 1},
+            "op": "c", "ts_ms": {"long": 99}})
+        ev = debezium.parse_event(line)
+        assert ev["table"] == "tbl"
+        assert ev["data"] == {"id": 5, "k": 10}
+        assert ev["ts_ms"] == 99
+
+    def test_garbage_returns_none(self):
+        assert debezium.parse_event("not json") is None
+        assert debezium.parse_event('"just a string"') is None
+
+    def test_date_decompression(self):
+        assert debezium.decompress_local_date(0) == "1970-01-01"
+        assert debezium.decompress_local_date(19358) == "2023-01-01"
+
+
+class TestReferenceFixtureParity:
+    @pytest.mark.skipif(not os.path.exists(REF_STRING_FIXTURE),
+                        reason="reference fixture absent")
+    def test_reference_string_record(self):
+        with open(REF_STRING_FIXTURE) as f:
+            line = f.read().strip()
+        ev = debezium.parse_event(line)
+        assert ev is not None
+        # the record targets the w4 test table with PK id
+        assert "id" in ev["data"]
+        assert ev["op"] in {"c", "u", "d", "r"}
+
+    @pytest.mark.skipif(not os.path.exists(REF_AVRO_FIXTURE),
+                        reason="reference fixture absent")
+    def test_reference_avro_record(self):
+        with open(REF_AVRO_FIXTURE) as f:
+            line = f.read().strip()
+        ev = debezium.parse_event(line)
+        assert ev is not None
+        assert ev["table"] == "sbtest8"
+        assert ev["data"]["id"] == 100340
+        assert ev["op"] == "c"
+
+
+class TestParseDataset:
+    def test_parse_and_consolidate(self, ray_session):
+        import ray.data as rd
+
+        lines = [
+            _plain("orders", "c", after={"ok": "5", "line": "1"}),
+            _plain("orders", "u", after={"ok": "5", "line": "2"}),
+            _plain("orders", "d", before={"ok": "6", "line": "1"}),
+            _plain("pages", "u", after={"url": "http://a"}),
+            "corrupt {{{",
+        ]
+        ds = rd.from_items([{"text": t} for t in lines])
+        parsed = debezium.parse_change_events(
+            ds, key_columns={"orders": ["ok", "line"], "pages": ["url"]}
+        ).to_pandas()
+        assert len(parsed) == 4  # corrupt line dropped
+        okeys = set(parsed.loc[parsed["table"] == "orders", "key"])
+        assert okeys == {"5_#_1", "5_#_2", "6_#_1"}  # _#_ splice
+        logs = debezium.source_data_logs(
+            parsed, {"orders": ["ok", "line"], "pages": ["url"]})
+        by = {r["tableName"]: r for r in logs}
+        assert by["orders"]["compositePrimarys"] == ["ok", "line"]
+        assert by["orders"]["compositePrimaryValues"] == \
+            ["5_#_1", "5_#_2", "6_#_1"]
+        assert by["pages"]["compositePrimaryValues"] == ["http://a"]
+        assert by["orders"]["beginOffset"] >= 0
+
+    def test_date_column_convert(self, ray_session):
+        import ray.data as rd
+
+        line = _plain("t", "u", after={"id": "1", "d": 19358})
+        parsed = debezium.parse_change_events(
+            rd.from_items([{"text": line}]),
+            key_columns={"t": ["id", "d"]},
+            date_columns={"t": ["d"]}).to_pandas()
+        assert parsed["key"].iloc[0] == "1_#_2023-01-01"
+
+    def test_feeds_change_window(self, ray_session):
+        import ray.data as rd
+
+        lines = [_plain("t", "u", after={"id": str(i)}) for i in range(7)]
+        parsed = debezium.parse_change_events(
+            rd.from_items([{"text": t} for t in lines]),
+            key_columns={"t": ["id"]}).to_pandas()
+        win = ChangeLogWindow(IncrementConfig(count_period=5))
+        flushed = win.offer(list(parsed["key"]))
+        assert flushed == sorted(map(str, range(7)))
+
+
+class TestCdcQuery:
+    def test_cdc_debezium_orders_matches_predicate(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries,
+        )
+
+        out = queries.cdc_debezium_orders("/root/testdata/sf0.001")
+        got = set(out["key"])
+        orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                                 columns=["o_orderkey"])
+        want = {str(int(k)) for k in orders["o_orderkey"]
+                if int(k) % 97 == 0}
+        assert got == want
+        assert (out["op"] == "u").all()

@@ -26,6 +26,45 @@ class TestRepairSql:
                                    "VALUES ('2', NULL,")
         assert stmts[2] == "DELETE FROM t WHERE id = '3';"
 
+    def test_update_style_column_wise(self):
+        """UpdateDmlBuilder shape: UPDATE ... SET non-key cols WHERE pk."""
+        vio = pd.DataFrame({"key": ["2"], "kind": ["update"]})
+        src = pd.DataFrame({"id": ["2"], "name": ["x"], "n": [7]})
+        stmts = report.render_repair_sql_with_rows(
+            "t", "id", vio, src, update_style="update")
+        assert stmts == ["UPDATE t SET name = 'x', n = 7 WHERE id = '2';"]
+
+    def test_batch_delete_golden(self):
+        """BatchDeleteDmlBuilder shape: one IN list per batch_size keys."""
+        stmts = report.render_batch_delete_sql("t", ["id"],
+                                               [str(i) for i in range(5)],
+                                               batch_size=3)
+        assert stmts == [
+            "DELETE FROM t WHERE id IN ('0', '1', '2');",
+            "DELETE FROM t WHERE id IN ('3', '4');",
+        ]
+
+    def test_batch_delete_via_repair(self):
+        vio = pd.DataFrame({"key": ["a", "b", "c"],
+                            "kind": ["delete"] * 3})
+        src = pd.DataFrame({"id": pd.Series(dtype=object)})
+        stmts = report.render_repair_sql_with_rows(
+            "t", "id", vio, src, batch_delete=True)
+        assert stmts == ["DELETE FROM t WHERE id IN ('a', 'b', 'c');"]
+
+    def test_composite_key_repair(self):
+        """Composite PKs splice with _#_ in violation keys; every key
+        column must land in the WHERE (round-1 known rough edge)."""
+        vio = pd.DataFrame({"key": ["5_#_1", "6_#_2"],
+                            "kind": ["update", "delete"]})
+        src = pd.DataFrame({"ok": ["5"], "line": ["1"], "v": ["new"]})
+        stmts = report.render_repair_sql_with_rows(
+            "t", ["ok", "line"], vio, src, update_style="update")
+        assert stmts[0] == ("UPDATE t SET v = 'new' "
+                            "WHERE ok = '5' and line = '1';")
+        assert stmts[1] == ("DELETE FROM t "
+                            "WHERE ok = '6' and line = '2';")
+
 
 class TestWinnowing:
     def test_identical_docs_full_overlap(self):
