@@ -70,8 +70,12 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "64"))
+    # 256 remapped copies (~38M rows/side) in 600k-row tasks: enough
+    # parallel work that the 4-vs-16 scaling run measures the engine,
+    # not per-execution fixed costs (round-2 finding)
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "256"))
     text_repeat = int(os.environ.get("GRAFT_BENCH_TEXT_REPEAT", "192"))
+    headlines_only = os.environ.get("GRAFT_BENCH_HEADLINES_ONLY") == "1"
 
     benches = {
         # headline 1: the flagship Merkle compare, `repeat` key-remapped
@@ -82,13 +86,17 @@ def run_bench() -> dict:
         # kernels — the north payload workload)
         "text_analysis_scaled":
             lambda sf: q.text_analysis_scaled(sf, repeat=text_repeat),
-        "compare_orders_pair": q.compare_orders_pair,
-        "uniqueness_lineitem": q.uniqueness_lineitem,
-        "referential_events_smallparent": q.referential_events_smallparent,
-        "stats_by_lang": q.stats_by_lang,
-        "dedup_exact_documents": q.dedup_exact_documents,
-        "token_stats_documents": q.token_stats_documents,
     }
+    if not headlines_only:
+        benches.update({
+            "compare_orders_pair": q.compare_orders_pair,
+            "uniqueness_lineitem": q.uniqueness_lineitem,
+            "referential_events_smallparent":
+                q.referential_events_smallparent,
+            "stats_by_lang": q.stats_by_lang,
+            "dedup_exact_documents": q.dedup_exact_documents,
+            "token_stats_documents": q.token_stats_documents,
+        })
     for name, fn in benches.items():
         t0 = time.time()
         res = fn(SF_DIR)
@@ -103,6 +111,22 @@ def run_bench() -> dict:
         ValidationConfig, validate_table_pair,
     )
     from opengauss_tools_datachecker_performance_ray.sources import fixtures
+
+    if headlines_only:
+        import pyarrow.parquet as pq
+
+        n_orders = pq.ParquetFile(
+            f"{SF_DIR}/orders.parquet").metadata.num_rows
+        headline = timings["compare_orders_pair_scaled"]
+        out = {
+            "metric": "flagship_compare_sec", "value": headline,
+            "unit": "sec", "queries": timings, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "bench_repeat": repeat,
+            "rows_per_sec": round(2 * n_orders * repeat / headline, 1),
+            "total_sec": round(sum(timings.values()), 3),
+        }
+        ray.shutdown()
+        return out
 
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
     pages_dir = f"/tmp/graft_pages_bench_{n_pages}"
@@ -141,18 +165,26 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_HEADLINES_ONLY="1")
         p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(p.stdout.strip().splitlines()[-1])
+
+    def best_of(ncpu: int, trials: int) -> dict:
+        """Min-total trial per CPU level: this shared VM wobbles +-30%
+        run-to-run; min (not mean) estimates the uncontended machine."""
+        runs = [one(ncpu) for _ in range(trials)]
+        return min(runs, key=lambda r: r["total_sec"])
 
     # 4 vs 16: this sandbox machine has 16 physical cores hyperthreaded
     # to 32, so 8->32 can never exceed 0.5 efficiency on CPU-bound work;
     # 4->16 is a true 4x physical-core ratio (the N vs 4N protocol).
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), \
         int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = one(lo), one(hi)
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    r_lo, r_hi = best_of(lo, trials), best_of(hi, trials)
     # efficiency over the two scaled HEADLINE pipelines (the small
     # per-query fixtures are constant-overhead-dominated at any scale
     # and would measure Ray's session setup, not the engine)

@@ -309,26 +309,45 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
 
     path = f"{sf_dir}/orders.parquet"
 
+    import os as _os
+
+    # Each task materializes `copies` key-remapped copies (~600k rows,
+    # ~0.25 cpu-s of work): 100-TB-realistic task granularity — 150k-row
+    # tasks are ~40ms and Ray's per-task overhead dominates them (the
+    # multiprocessing control in BASELINE.md runs the same kernel at
+    # efficiency 0.78; tiny tasks measured Ray scheduling, not the
+    # engine).
+    copies = max(1, int(_os.environ.get("GRAFT_SHARD_COPIES", "4")))
+    shards = max(1, repeat // copies)
+
     def load_shard(batch) -> pa.Table:
         """One task per logical shard: read the (page-cached) parquet
-        and remap keys into the shard's own range — models a
-        multi-file input honestly (one read task per file) instead of
-        serially splitting a single file's blocks on the driver."""
+        and remap keys into the shard's own ranges — models a
+        multi-file input honestly (one read task per file group)
+        instead of serially splitting a single file's blocks on the
+        driver. Low-cardinality string columns stay DICTIONARY-encoded
+        end to end: the digest hashes the dictionary once and gathers
+        by index, so their strings never materialize."""
         import pyarrow.parquet as pq
 
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
         i = int(batch["id"][0])
-        t = pq.read_table(path, columns=ORDER_COLS, use_threads=False)
+        t = pq.read_table(path, columns=ORDER_COLS, use_threads=False,
+                          read_dictionary=["o_orderstatus",
+                                           "o_orderpriority"])
         idx = t.schema.get_field_index("o_orderkey")
         k = t.column("o_orderkey").to_numpy()
-        return t.set_column(idx, "o_orderkey",
-                            pa.array(k + np.int64(i) * 1_000_000_000,
-                                     pa.int64()))
+        outs = []
+        for j in range(copies):
+            shift = np.int64(i * copies + j) * 1_000_000_000
+            outs.append(t.set_column(
+                idx, "o_orderkey", pa.array(k + shift, pa.int64())))
+        return pa.concat_tables(outs)
 
     def side(transform=None):
-        ds = rd.range(repeat, override_num_blocks=repeat) \
+        ds = rd.range(shards, override_num_blocks=shards) \
             .map_batches(load_shard, batch_format="numpy", batch_size=None)
         if transform is not None:
             ds = ds.map_batches(transform, batch_format="pyarrow")
@@ -346,14 +365,19 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
     from ..functions import canonical, hashing
 
     def mutate_bucket0(batch: pa.Table) -> pa.Table:
-        """Bump price for rows whose key hashes to bucket 0 — the same
-        khash/bucket math the digest uses, so diffs land in exactly one
-        bucket per partition."""
+        """Bump price for rows whose key hashes to bucket 0 of
+        partition 0 — the same khash/bucket math the digest uses, so
+        diffs land in exactly ONE bucket of ONE partition: the
+        rare-violation design point (everything else prunes clean;
+        the classify fetch touches ~rows/(parts*buckets) rows). With
+        diffs in every partition the driver-side classify of ~600k
+        violation rows became the serial floor and the bench measured
+        verdict rendering, not the engine."""
         keys = canonical.key_column(batch, ["o_orderkey"])
         kh = hashing.hash64(keys)
-        _, bucket = hashing.assign_buckets(kh, cfg.num_partitions,
-                                           cfg.buckets_per_partition)
-        hit = bucket == 0
+        part, bucket = hashing.assign_buckets(kh, cfg.num_partitions,
+                                              cfg.buckets_per_partition)
+        hit = (bucket == 0) & (part == 0)
         price = batch.column("o_totalprice").to_numpy().copy()
         price[hit] += 1.0
         return batch.set_column(

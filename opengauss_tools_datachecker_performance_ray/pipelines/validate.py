@@ -100,7 +100,11 @@ class ValidationConfig:
     compare_columns: tuple[str, ...] | None = None
     partition_capacity: int = 1_000_000
     bucket_capacity: int = 256
-    batch_size: int | None = 8192       # bounded for wide html rows
+    # None = one batch per block (fusion-preserving; a numeric value
+    # here unfuses the digest map from the read and round-trips raw
+    # blocks through the object store). Wide html rows are bounded by
+    # the READ's target block size, not map batch_size.
+    batch_size: int | None = None
     check_uniqueness: bool = True
     check_drift: bool = True
     drift_columns: tuple[str, ...] | None = None
@@ -238,10 +242,7 @@ def validate_table_pair(src_path: str, snk_path: str,
                                  dcfg.buckets_per_partition)
     vio_ds = cmp.classify_differences_combined(both_d, diffs, dcfg,
                                                est_rows=est)
-    violations = (vio_ds.to_pandas() if vio_ds is not None
-                  else cmp.EMPTY_VIOLATIONS.copy())
-    if len(violations) == 0:
-        violations = cmp.EMPTY_VIOLATIONS.copy()
+    violations = cmp.to_violation_frame(vio_ds)
     result.compare = cmp.build_verdicts(table, diffs, violations)
 
     if cfg.check_uniqueness:

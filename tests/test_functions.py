@@ -297,22 +297,24 @@ class TestGoldenDigests:
         })
 
     def test_row_hash_pinned(self):
+        # pinned for DIGEST_VERSION hv4-xxhash-polars (string columns
+        # hash via polars xxHash; numeric fast path unchanged)
         h = hashing.row_hash(self._table())
         assert [int(x) for x in h] == [
-            15716889252640545984, 15198598680309554260,
-            3180528775163717078]
+            10869173578854890010, 15198598680309554260,
+            6425373631674838630]
 
     def test_khash_pinned(self):
         k = hashing.hash64(pa.array(["1", "2", "3"]))
         assert [int(x) for x in k] == [
-            17657073358939157693, 8664040719138980425,
-            17715280855021215528]
+            7367496258380212974, 9383001862303268391,
+            9641153390544606933]
 
     def test_xor_signature_and_merkle_root_pinned(self):
         h = hashing.row_hash(self._table())
         sig, cnt = hashing.xor_by_bucket(np.array([0, 1, 0]), h, 2)
         assert [int(x) for x in sig] == [
-            17743647692652935446, 15198598680309554260]
+            14987008202444838012, 15198598680309554260]
         assert list(cnt) == [2, 1]
         leaves = merkle.pad_leaves(np.array([0, 1]), sig, 4)
-        assert merkle.merkle_root(leaves) == 255263120
+        assert merkle.merkle_root(leaves) == 316146149
