@@ -994,9 +994,11 @@ def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
-    """Multimodal actor-pool pipeline over binary payloads derived
-    deterministically from documents text (rows-only; real decoders
-    are stubbed — the Ray plumbing is what's exercised)."""
+    """Multimodal actor-pool pipeline with a REAL decode: each
+    document's text bytes render deterministically into a binary ppm
+    image payload, which the pure-numpy netpbm decoder decodes +
+    resizes, then the feature stage pools into an embedding
+    (rows-only — the payload synthesis is engine-side)."""
     import pyarrow as pa  # noqa: F811
     import ray.data as rd
 
@@ -1004,17 +1006,24 @@ def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).limit(64)
     rows = ds.to_pandas()
+
+    def text_to_ppm(t: str) -> bytes:
+        raw = np.frombuffer(t.encode()[:3072].ljust(3072, b" "),
+                            dtype=np.uint8)
+        return multimodal.encode_ppm(raw.reshape(32, 32, 3))
+
     media = pa.table({
         "media_id": pa.array(rows["doc_id"].to_numpy(np.int64)),
-        "payload": pa.array([t.encode() for t in rows["text"]],
+        "payload": pa.array([text_to_ppm(t) for t in rows["text"]],
                             pa.large_binary()),
-        "mime": pa.array(["image/fake"] * len(rows)),
-        "width": pa.array(np.full(len(rows), 0, np.int32)),
-        "height": pa.array(np.full(len(rows), 0, np.int32)),
+        "mime": pa.array(["image/x-portable-pixmap"] * len(rows)),
+        "width": pa.array(np.full(len(rows), 32, np.int32)),
+        "height": pa.array(np.full(len(rows), 32, np.int32)),
         "duration_ms": pa.array(np.zeros(len(rows), np.int32)),
     })
-    out = multimodal.decode_pipeline(rd.from_arrow(media),
-                                     concurrency=2).to_pandas()
+    out = multimodal.decode_pipeline(
+        rd.from_arrow(media), concurrency=2,
+        cfg=multimodal.DecodeConfig(fake=False)).to_pandas()
     out["dim"] = out["embedding"].map(len)
     return out[["media_id", "dim"]].sort_values("media_id") \
         .reset_index(drop=True)

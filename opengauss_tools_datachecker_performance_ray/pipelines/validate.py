@@ -183,11 +183,18 @@ def validate_table_pair(src_path: str, snk_path: str,
                          f"{dcfg}|{read_cols}|{DIGEST_VERSION}")
         store = CheckpointStore(cfg.checkpoint_dir, lin)
 
-    # ONE tagged-union materialization: both sides digest concurrently
-    # in a single execution; the materialized union is reused by the
-    # signature pass, the diff classify, and the uniqueness check.
+    # Tagged digest materialization, reused by the signature pass, the
+    # diff classify, and the uniqueness check. The two sides
+    # materialize as two CONCURRENT driver-thread executions and union
+    # afterwards (a union of materialized datasets is metadata-only;
+    # materializing THROUGH a union serializes under backpressure at
+    # low core counts — see stages/compare.partition_signatures_pair).
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
     import pyarrow as pa
+
+    from ..functions.runtime import patch_ray_thread_import_race
 
     def tag(flag: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -195,11 +202,15 @@ def validate_table_pair(src_path: str, snk_path: str,
                 "side", pa.array(np.full(t.num_rows, flag)))
         return fn
 
-    both_d = digest_dataset(src, dcfg, cfg.batch_size) \
-        .map_batches(tag(True), batch_format="pyarrow") \
-        .union(digest_dataset(snk, dcfg, cfg.batch_size)
-               .map_batches(tag(False), batch_format="pyarrow")) \
-        .materialize()
+    def side_digests(ds, flag: bool):
+        return digest_dataset(ds, dcfg, cfg.batch_size) \
+            .map_batches(tag(flag), batch_format="pyarrow").materialize()
+
+    patch_ray_thread_import_race()
+    with ThreadPoolExecutor(2) as _ex:
+        _f_src = _ex.submit(side_digests, src, True)
+        _f_snk = _ex.submit(side_digests, snk, False)
+        both_d = _f_src.result().union(_f_snk.result())
 
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None

@@ -4,11 +4,15 @@ Training-data extension: payloads are ``binary`` columns with typed
 sidecar metadata; decode / feature-extract / resize / frame-sample run
 as ACTOR-POOL ``map_batches`` stages (a callable class — decoder init
 happens once per actor in ``__init__``, work per batch in
-``__call__``). The decode kernels themselves are STUBBED behind
-``NotImplementedError`` / a deterministic fake because the image/audio
-libraries are not in this container — the Ray-side plumbing (schema,
-batch sizing for large payloads, actor signature, output layout) is
-real and tested.
+``__call__``).
+
+The REAL decode path handles netpbm images (P6 ppm / P5 pgm) with a
+pure-numpy parser + vectorized nearest-neighbor resize — a genuine
+end-to-end decode exercised by tests, no external library needed.
+Formats that require PIL/libjpeg/ffmpeg (jpeg, png, video) are gated
+behind ``NotImplementedError`` because those libraries are not in this
+container; ``fake=True`` remains the deterministic stand-in for bulk
+plumbing tests.
 """
 
 from __future__ import annotations
@@ -18,6 +22,58 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# Real netpbm decode kernels (pure numpy — no external image library)
+# ---------------------------------------------------------------------------
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Decode a binary netpbm image (P6 rgb / P5 gray) -> (h, w, 3)
+    uint8. Raises ValueError on anything else."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    rgb = payload[1:2] == b"6"
+    # header: magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed through the header
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if rgb else 1
+    need = w * h * ch
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    img = raw.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (h, w, c) -> (height, width, c)."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * h / height).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(width) * w / width).astype(np.int64), w - 1)
+    return img[yi[:, None], xi[None, :]]
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 ppm bytes (fixture/sink helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 # Bound batches by PAYLOAD BYTES, not rows: a 256 KB-avg image column
 # at batch_size=4096 is a 1 GB heap spike per task. Large binary
@@ -52,13 +108,16 @@ class ImageDecodeResize:
 
     def __init__(self, cfg: DecodeConfig | None = None):
         self.cfg = cfg or DecodeConfig()
-        if self.cfg.fake:
-            self._decoder = None  # deterministic fake path
-        else:
-            # real path requires PIL/libjpeg — not in this container
-            raise NotImplementedError(
-                "real image decoding requires Pillow; run with "
-                "DecodeConfig(fake=True) or install an image library")
+        # once-per-actor setup: probe for an optional PIL install (the
+        # jpeg/png path); the netpbm path needs nothing
+        self._pil = None
+        if not self.cfg.fake:
+            try:  # pragma: no cover - PIL absent in this container
+                from PIL import Image  # noqa: F401
+
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         """Deterministic stand-in: tensor seeded by payload bytes so
@@ -68,12 +127,31 @@ class ImageDecodeResize:
         return rng.random((self.cfg.target_height, self.cfg.target_width, 3),
                           dtype=np.float32)
 
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        """REAL decode: netpbm via the pure-numpy kernel; other formats
+        via PIL when installed, else an honest NotImplementedError."""
+        if payload[:1] == b"P" and payload[1:2] in b"56":
+            img = decode_netpbm(payload)
+        elif self._pil is not None:  # pragma: no cover - no PIL here
+            import io
+
+            img = np.asarray(
+                self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        else:
+            raise NotImplementedError(
+                "only netpbm (P5/P6) decodes without Pillow; install an "
+                "image library for jpeg/png or use DecodeConfig(fake=True)")
+        img = resize_nearest(img, self.cfg.target_width,
+                             self.cfg.target_height)
+        return (img.astype(np.float32) / np.float32(255.0))
+
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
+        decode = self._fake_decode if self.cfg.fake else self._real_decode
         payloads = batch.column("payload").to_pylist()
-        tensors = [self._fake_decode(p or b"") for p in payloads]
+        tensors = [decode(p or b"") for p in payloads]
         return pd.DataFrame({
             "media_id": batch.column("media_id").to_pylist(),
             "tensor": [t.reshape(-1) for t in tensors],  # flat float32
@@ -154,5 +232,32 @@ def fake_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "mime": pa.array(["image/fake"] * n),
         "width": pa.array(np.full(n, 640, np.int32)),
         "height": pa.array(np.full(n, 480, np.int32)),
+        "duration_ms": pa.array(np.zeros(n, np.int32)),
+    })
+
+
+def ppm_media_table(n: int = 16, seed: int = 42) -> pa.Table:
+    """Media fixture whose payloads are REAL binary ppm images
+    (deterministic gradients) — drives the genuine decode path."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 128))
+        h = int(rng.integers(16, 128))
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([(x * 255 // max(1, w - 1)),
+                        (y * 255 // max(1, h - 1)),
+                        np.full((h, w), i * 255 // max(1, n - 1))],
+                       axis=2).astype(np.uint8)
+        ids.append(i)
+        payloads.append(encode_ppm(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(np.asarray(ids, np.int64)),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "mime": pa.array(["image/x-portable-pixmap"] * n),
+        "width": pa.array(np.asarray(ws, np.int32)),
+        "height": pa.array(np.asarray(hs, np.int32)),
         "duration_ms": pa.array(np.zeros(n, np.int32)),
     })
