@@ -96,6 +96,50 @@ def filter_by_keys(ds, key_columns: list[str], keys: list[str],
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=batch_size)
 
 
+def incremental_from_change_log(src_factory: Callable[[], Any],
+                                snk_factory: Callable[[], Any],
+                                key_columns: list[str],
+                                change_log_path: str,
+                                table: str,
+                                cfg: "IncrementConfig | None" = None,
+                                dcfg: DigestConfig | None = None,
+                                date_columns: dict | None = None
+                                ) -> list["IncrementResult"]:
+    """CDC mode end-to-end: a Debezium change-log dump (one JSON event
+    per line — the file-transport stand-in for the Kafka topic) parses
+    into per-table changed keys, windows by the hybrid count/time rule,
+    and each flushed batch runs the two-phase re-check. The full S5 ->
+    I1 -> I2 -> I3 chain (``DebeziumWorker`` -> ``DebeziumDataLogs`` ->
+    ``IncrementCheckThread`` choreography) as one call."""
+    from ..sources import debezium
+
+    cfg = cfg or IncrementConfig()
+    parsed = debezium.parse_change_events(
+        debezium.read_change_log(change_log_path),
+        key_columns={table: list(key_columns)},
+        date_columns=date_columns).to_pandas()
+    parsed = parsed[parsed["table"] == table].sort_values("offset")
+    results: list[IncrementResult] = []
+    win = ChangeLogWindow(cfg)
+    # events stream through the window in offset order (the consumer
+    # poll loop of DebeziumWorker); each count/time flush triggers one
+    # two-phase re-check round
+    for key in parsed["key"].astype(str):
+        if not key:
+            continue
+        flushed = win.offer([key])
+        if flushed:
+            results.append(incremental_check(
+                src_factory, snk_factory, list(key_columns), flushed,
+                table=table, cfg=cfg, dcfg=dcfg))
+    tail = win.flush()
+    if tail:
+        results.append(incremental_check(
+            src_factory, snk_factory, list(key_columns), tail,
+            table=table, cfg=cfg, dcfg=dcfg))
+    return results
+
+
 @dataclass
 class IncrementResult:
     table: str

@@ -190,6 +190,14 @@ def generate(base_dir: str, spec: PagesSpec | None = None) -> dict:
             return saved
     src, snk, exp = build_pages(spec)
     links, lexp = build_links(src, spec)
+    # regenerating under a DIFFERENT spec: clear stale shards first —
+    # a previous spec with more files would otherwise leave orphan
+    # part-*.parquet mixed into the new table (caught when a stale
+    # 1M-page dir produced 1.5M rows and ~1M phantom duplicate urls)
+    import shutil
+
+    for sub in ("pages_source", "pages_sink", "links"):
+        shutil.rmtree(os.path.join(base_dir, sub), ignore_errors=True)
     _write_sharded(src, os.path.join(base_dir, "pages_source"),
                    spec.n_files, PAGES_SCHEMA)
     _write_sharded(snk, os.path.join(base_dir, "pages_sink"),

@@ -108,6 +108,29 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_fixture_regenerate_clears_stale_shards(self, tmp_path):
+        """Regenerating a fixture dir under a different spec must not
+        leave orphan shards from the old spec mixed into the table
+        (caught: a stale 1M dir produced 1.5M rows and ~1M phantom
+        duplicate urls)."""
+        import glob
+
+        import pandas as pd
+
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            fixtures,
+        )
+
+        fixtures.generate(str(tmp_path), fixtures.PagesSpec(
+            n_rows=500, n_files=8, html_mean=3.0))
+        fixtures.generate(str(tmp_path), fixtures.PagesSpec(
+            n_rows=300, n_files=2, html_mean=3.0))
+        files = glob.glob(f"{tmp_path}/pages_source/*.parquet")
+        assert len(files) == 2
+        df = pd.concat(pd.read_parquet(f, columns=["url"]) for f in files)
+        assert len(df) == 300
+        assert df["url"].nunique() == 300
+
     def test_empty_tables_success(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 

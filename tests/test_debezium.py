@@ -137,6 +137,50 @@ class TestParseDataset:
         assert flushed == sorted(map(str, range(7)))
 
 
+class TestCdcEndToEnd:
+    def test_change_log_file_to_recheck(self, ray_session, tmp_path):
+        """Full S5 -> I1 -> I2 -> I3 chain: a change-log dump whose
+        events reference keys that genuinely differ between two tables
+        must surface exactly those keys as violations."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.incremental import (
+            IncrementConfig, incremental_from_change_log,
+        )
+
+        n = 200
+        src_t = pa.table({"id": [str(i) for i in range(n)],
+                          "v": [f"v{i}" for i in range(n)]})
+        vals = [f"v{i}" if i % 50 else f"CHANGED{i}" for i in range(n)]
+        snk_t = pa.table({"id": [str(i) for i in range(n)], "v": vals})
+        pq.write_table(src_t, str(tmp_path / "src.parquet"))
+        pq.write_table(snk_t, str(tmp_path / "snk.parquet"))
+        # CDC feed: an update event for every 10th key (includes the
+        # genuinely-changed multiples of 50 and many clean keys)
+        lines = [_plain("t", "u", after={"id": str(i), "v": "x"})
+                 for i in range(0, n, 10)]
+        log = tmp_path / "changes.jsonl"
+        log.write_text("\n".join(lines) + "\n")
+
+        def src_f():
+            return rd.read_parquet(str(tmp_path / "src.parquet"))
+
+        def snk_f():
+            return rd.read_parquet(str(tmp_path / "snk.parquet"))
+
+        res = incremental_from_change_log(
+            src_f, snk_f, ["id"], str(log), table="t",
+            cfg=IncrementConfig(count_period=8, secondary_recheck=True))
+        assert len(res) >= 2  # windowed into multiple flushes
+        bad = sorted({k for r in res
+                      for k in r.violations["key"].astype(str)})
+        assert bad == sorted(str(i) for i in range(0, n, 50))
+        assert all(r.result == "failed" for r in res
+                   if len(r.violations))
+
+
 class TestCdcQuery:
     def test_cdc_debezium_orders_matches_predicate(self, ray_session):
         from opengauss_tools_datachecker_performance_ray.pipelines import (
