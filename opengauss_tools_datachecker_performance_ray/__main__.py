@@ -53,6 +53,24 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--emit-repair", action="store_true")
     v.add_argument("--num-cpus", type=int, default=None)
 
+    i = sub.add_parser(
+        "increment",
+        help="incremental CDC re-check from a Debezium change-log dump")
+    i.add_argument("--source", required=True)
+    i.add_argument("--sink", required=True)
+    i.add_argument("--change-log", required=True,
+                   help="file of Debezium JSON change events, one per line")
+    i.add_argument("--table", required=True,
+                   help="table name as it appears in the change events")
+    i.add_argument("--keys", default="id",
+                   help="key columns, '+'-joined for composite")
+    i.add_argument("--count-period", type=int, default=1000,
+                   help="flush window at this many changed keys")
+    i.add_argument("--max-diff-count", type=int, default=5000)
+    i.add_argument("--no-secondary", action="store_true",
+                   help="skip the two-phase re-check")
+    i.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
     s.add_argument("--sink", required=True)
@@ -70,12 +88,14 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
+    owns_session = False
     if not ray.is_initialized():  # under `ray job submit` it may be
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
                   "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
+        owns_session = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -87,7 +107,11 @@ def main(argv: list[str] | None = None) -> int:
               file=sys.stderr)
         return 2
     finally:
-        ray.shutdown()
+        # only tear down a session this process created — an
+        # already-initialised session (driver, pytest fixture) is the
+        # caller's to manage
+        if owns_session:
+            ray.shutdown()
 
 
 def _run(args) -> int:
@@ -107,6 +131,29 @@ def _run(args) -> int:
                                   table=args.table)
         print(json.dumps(res.summary, default=str))
         return 0 if res.summary.get("result") == "success" else 1
+    if args.cmd == "increment":
+        import ray.data as rd
+
+        from .pipelines.incremental import (
+            IncrementConfig, incremental_from_change_log,
+        )
+
+        results = incremental_from_change_log(
+            lambda: rd.read_parquet(args.source),
+            lambda: rd.read_parquet(args.sink),
+            list(args.keys.split("+")), args.change_log, table=args.table,
+            cfg=IncrementConfig(count_period=args.count_period,
+                                max_diff_count=args.max_diff_count,
+                                secondary_recheck=not args.no_secondary))
+        ok = all(r.result == "success" for r in results)
+        print(json.dumps({
+            "result": "success" if ok else "failed",
+            "windows": len(results),
+            "checkedKeys": sum(r.checked_keys for r in results),
+            "diffKeys": sorted({k for r in results
+                                for k in r.violations["key"].astype(str)}),
+        }, default=str))
+        return 0 if ok else 1
     keys = _parse_keys(args.keys)
     rules = None
     if args.table_white or args.table_black:

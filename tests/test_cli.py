@@ -1,0 +1,82 @@
+"""CLI surface tests (`python -m opengauss_tools_datachecker_performance_ray ...`) —
+run in-process against the shared Ray session (main() must not tear
+down a session it didn't create)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.__main__ import main
+
+
+def _pair(tmp_path, src_tbl, snk_tbl):
+    a, b = tmp_path / "src", tmp_path / "snk"
+    a.mkdir(exist_ok=True); b.mkdir(exist_ok=True)
+    pq.write_table(src_tbl, str(a / "p.parquet"))
+    pq.write_table(snk_tbl, str(b / "p.parquet"))
+    return str(a), str(b)
+
+
+class TestCli:
+    def test_validate_clean_pair_exit_zero(self, ray_session, tmp_path,
+                                           capsys):
+        t = pa.table({"k": ["a", "b"], "v": ["1", "2"]})
+        src, snk = _pair(tmp_path, t, t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        import ray
+
+        assert ray.is_initialized()  # session NOT torn down
+
+    def test_validate_diff_pair_exit_one(self, ray_session, tmp_path,
+                                         capsys):
+        src_t = pa.table({"k": ["a", "b"], "v": ["1", "2"]})
+        snk_t = pa.table({"k": ["a", "b"], "v": ["1", "X"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["updateTotal"] == 1
+
+    def test_increment_from_change_log(self, ray_session, tmp_path,
+                                       capsys):
+        src_t = pa.table({"id": ["1", "2", "3"], "v": ["a", "b", "c"]})
+        snk_t = pa.table({"id": ["1", "2", "3"], "v": ["a", "B", "c"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        events = [json.dumps({"payload": {
+            "before": None, "after": {"id": k, "v": "?"},
+            "source": {"table": "t"}, "op": "u", "ts_ms": 1}})
+            for k in ("1", "2")]
+        log = tmp_path / "log.jsonl"
+        log.write_text("\n".join(events) + "\n")
+        rc = main(["increment", "--source", src, "--sink", snk,
+                   "--change-log", str(log), "--table", "t",
+                   "--keys", "id", "--count-period", "10"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["diffKeys"] == ["2"]  # only the genuinely changed key
+        assert out["checkedKeys"] == 2
+
+    def test_schema_subcommand(self, ray_session, tmp_path, capsys):
+        for side in ("s", "k"):
+            d = tmp_path / side / "t1"
+            d.mkdir(parents=True)
+            pq.write_table(pa.table({"k": ["x"], "v": ["1"]}),
+                           str(d / "p.parquet"))
+        rc = main(["schema", "--source", str(tmp_path / "s"),
+                   "--sink", str(tmp_path / "k"), "--keys", "k"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["failedCount"] == 0
+
+    def test_missing_input_clean_error(self, ray_session, tmp_path,
+                                       capsys):
+        rc = main(["validate", "--source", str(tmp_path / "nope"),
+                   "--sink", str(tmp_path / "nope2"), "--keys", "k"])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "error" in err

@@ -108,6 +108,37 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_drift_distributed_merge_matches_driver(self, ray_session):
+        """The many-groups fold (groupby over partial blobs) must give
+        the identical drift report as the driver-side fold."""
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "grp": rng.choice([f"g{i}" for i in range(12)], 40000),
+            "lang": rng.choice(["en", "de", "fr"], 40000),
+            "n": rng.normal(100, 15, 40000)})
+        df.loc[df["grp"] == "g3", "n"] += 500  # drifted group
+        ds = rd.from_pandas(df).repartition(16).materialize()
+        a = checks.drift_by_group(ds, "grp", ["lang", "n"],
+                                  batch_size=4096)
+        b = checks.drift_by_group(ds, "grp", ["lang", "n"],
+                                  batch_size=4096,
+                                  merge_distributed=True)
+        key = ["grp", "column"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert list(a["result"]) == list(b["result"])
+        # t-digest centroid compression is merge-order-sensitive:
+        # KS agrees to sketch tolerance, exact fields identically
+        assert np.allclose(a["ks"].fillna(-1), b["ks"].fillna(-1),
+                           atol=0.02)
+        assert list(a["n"]) == list(b["n"])
+        assert np.allclose(a["psi"].fillna(-1), b["psi"].fillna(-1),
+                           atol=1e-9)
+        assert set(a.loc[a["result"] == "failed", "grp"]) == {"g3"}
+
     def test_fixture_regenerate_clears_stale_shards(self, tmp_path):
         """Regenerating a fixture dir under a different spec must not
         leave orphan shards from the old spec mixed into the table
