@@ -496,10 +496,18 @@ def minhash_lsh_candidates(sf_dir: str) -> pd.DataFrame:
     exploded = ds.map_batches(bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.dedup import DEFAULT_MAX_GROUP_SIZE, _star_note
+
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
+        if len(ids) > DEFAULT_MAX_GROUP_SIZE:
+            # boilerplate bucket: O(n) star vs representative (same
+            # group-size discipline as stages/dedup.py)
+            _star_note("minhash_lsh_candidates", len(ids))
+            return pd.DataFrame({"a": np.repeat(ids[0], len(ids) - 1),
+                                 "b": ids[1:]})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 

@@ -75,6 +75,49 @@ class TestRowHashProperties:
                 assert h2[j] == h[j]
 
 
+class TestHashKernelPaths:
+    """Round-2 kernel rewrite: every encoding of the same logical
+    values must hash identically."""
+
+    @given(st.lists(st.one_of(st.none(), st.text(max_size=30)),
+                    min_size=1, max_size=60))
+    def test_dictionary_matches_decoded(self, vals):
+        arr = pa.array(vals, pa.string())
+        h_plain = hashing.column_hash(arr)
+        h_dict = hashing.column_hash(arr.dictionary_encode())
+        assert (h_plain == h_dict).all()
+
+    @given(st.lists(st.text(max_size=30), min_size=1, max_size=60))
+    def test_arrow_and_object_paths_agree(self, vals):
+        h_arrow = hashing.hash64(pa.array(vals, pa.large_string()))
+        h_obj = hashing.hash64(np.array(vals, dtype=object))
+        assert (h_arrow == h_obj).all()
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=1, max_size=60))
+    def test_uint64_full_range_no_crash_and_injective_bits(self, vals):
+        arr = pa.array(vals, pa.uint64())
+        h = hashing.column_hash(arr)
+        # equal values hash equal; sub-2^63 values match int64 hashes
+        small = [v for v in vals if v < 2**63]
+        if small:
+            hi = hashing.column_hash(pa.array(small, pa.int64()))
+            hs = hashing.column_hash(pa.array(small, pa.uint64()))
+            assert (hi == hs).all()
+        assert len(h) == len(vals)
+
+    @given(st.lists(st.one_of(st.none(),
+                              st.integers(-2**31, 2**31 - 1)),
+                    min_size=1, max_size=60))
+    def test_chunked_layout_invariant(self, vals):
+        arr = pa.array(vals, pa.int64())
+        whole = hashing.column_hash(arr)
+        if len(vals) > 1:
+            cut = len(vals) // 2
+            chunked = pa.chunked_array([arr.slice(0, cut), arr.slice(cut)])
+            assert (hashing.column_hash(chunked) == whole).all()
+
+
 class TestSignatureProperties:
     @given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200),
            st.randoms())
