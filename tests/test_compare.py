@@ -108,6 +108,78 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_distributed_signature_reduce_matches_driver(self,
+                                                         ray_session):
+        """partition_signatures_distributed (the 10^6-partition escape
+        hatch: groupby reduce, one row per partition) must produce the
+        same roots/leaves/counts as the driver XOR merge."""
+        import numpy as np
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig, digest_dataset,
+        )
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"k": [f"k{i}" for i in range(20000)],
+                           "v": rng.integers(0, 10**9, 20000)})
+        cfg = DigestConfig(key_columns=("k",), num_partitions=8,
+                           buckets_per_partition=64)
+        dig = digest_dataset(rd.from_pandas(df).repartition(8), cfg) \
+            .materialize()
+        a = cmp.partition_signatures(dig, cfg) \
+            .sort_values("part").reset_index(drop=True)
+        b = cmp.partition_signatures_distributed(dig, cfg).to_pandas() \
+            .sort_values("part").reset_index(drop=True)
+        assert list(a["part"]) == list(b["part"])
+        assert list(a["rows"]) == list(b["rows"])
+        assert [int(x) for x in a["root"]] == [int(x) for x in b["root"]]
+        assert all(bytes(x) == bytes(y)
+                   for x, y in zip(a["leaves"], b["leaves"]))
+        assert all(bytes(x) == bytes(y)
+                   for x, y in zip(a["counts"], b["counts"]))
+
+    def test_groupby_classify_matches_driver_classify(self, ray_session,
+                                                      tmp_path):
+        """The large-diff groupby classify path (est above the driver
+        threshold) must return the same violations as the driver merge."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 5000
+        src_t = pd.DataFrame({"k": [f"k{i}" for i in range(n)],
+                              "v": rng.integers(0, 10**9, n)})
+        snk_t = src_t.copy()
+        snk_t.loc[snk_t.index % 7 == 0, "v"] += 1  # many updates
+        a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+        a_dir.mkdir(); b_dir.mkdir()
+        src_t.to_parquet(a_dir / "p.parquet")
+        snk_t.to_parquet(b_dir / "p.parquet")
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=64)
+
+        def run(threshold):
+            old = cmp.DRIVER_CLASSIFY_MAX_ROWS
+            cmp.DRIVER_CLASSIFY_MAX_ROWS = threshold
+            try:
+                return cmp.compare_tables(
+                    rd.read_parquet(str(a_dir)),
+                    rd.read_parquet(str(b_dir)), cfg, table="t")
+            finally:
+                cmp.DRIVER_CLASSIFY_MAX_ROWS = old
+
+        drv = run(10**9).violations.sort_values("key").reset_index(drop=True)
+        grp = run(0).violations.sort_values("key").reset_index(drop=True)
+        assert len(drv) == len(grp) == (n + 6) // 7
+        assert list(drv["key"]) == list(grp["key"])
+        assert list(drv["kind"]) == list(grp["kind"])
+
     def test_drift_distributed_merge_matches_driver(self, ray_session):
         """The many-groups fold (groupby over partial blobs) must give
         the identical drift report as the driver-side fold."""
