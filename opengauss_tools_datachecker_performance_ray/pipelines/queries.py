@@ -474,6 +474,64 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
 
+def corpus_curation_by_lang(sf_dir: str):
+    """Flagship training-data curation pipeline in ONE streaming pass
+    + one partial-aggregated shuffle: fingerprint + token-count every
+    document (vectorized per batch), drop exact duplicates (keep the
+    lowest doc_id per identical text — a bucketed groupby over partial
+    rows, text never shuffles), drop documents outside the token-count
+    quality window, and roll up (docs, tokens) per language. Fully
+    SQL-expressible, so value-checked against the DuckDB oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    lo, hi = 5, 10_000
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def feat(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        s = pd.Series(batch.column("text").to_pylist())
+        h = textfn.fingerprint(s)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array(s.fillna("").str.count(TOKEN_RE)
+                                 .to_numpy(np.int64)),
+            "fp": pa.array(h.view(np.int64), pa.int64()),
+            "bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+        })
+
+    keyed = ds.map_batches(feat, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # one surviving row per fingerprint: the lowest doc_id's row
+        # (its lang/token count ride along — identical text does not
+        # imply identical metadata, so the row, not just the id, wins)
+        g = g.sort_values(["fp", "doc_id"]).drop_duplicates("fp")
+        return g[["doc_id", "lang", "n_tokens"]]
+
+    kept = keyed.groupby("bucket").map_groups(keep_first,
+                                              batch_format="pandas")
+    filtered = kept.filter(expr=f"n_tokens >= {lo} and n_tokens <= {hi}")
+    return filtered.groupby("lang").aggregate(
+        Count(alias_name="docs"),
+        Sum("n_tokens", alias_name="tokens"))
+
+
+CORPUS_CURATION_BY_LANG_SQL = """
+WITH kept AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), feat AS (
+    SELECT d.lang,
+           len(regexp_extract_all(d.text, '[A-Za-z0-9_'']+')) AS n_tokens
+    FROM documents d JOIN kept k USING (doc_id)
+)
+SELECT lang, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM feat WHERE n_tokens BETWEEN 5 AND 10000 GROUP BY lang
+"""
+
+
 def minhash_lsh_candidates(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup candidate PAIRS: shingle -> minhash ->
     band-bucket groupby -> within-bucket pairs. Rows-only (no SQL
@@ -953,7 +1011,7 @@ def simhash_near_dups_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n = load_table_meta(f"{sf_dir}/documents.parquet").num_rows
     return dedup.simhash_near_duplicates(ds, "doc_id", "text",
-                                         max_hamming=3,
+                                         max_hamming=3, rotations=2,
                                          approx_rows=n).to_pandas()
 
 
