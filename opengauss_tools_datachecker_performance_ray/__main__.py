@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--no-uniqueness", action="store_true")
     v.add_argument("--no-drift", action="store_true")
     v.add_argument("--emit-repair", action="store_true")
+    v.add_argument("--repair-update-style", choices=("replace", "update"),
+                   default="replace",
+                   help="update-kind repair: REPLACE VALUES or "
+                        "column-wise UPDATE ... SET")
+    v.add_argument("--repair-batch-delete", action="store_true",
+                   help="batch delete-kind repairs into "
+                        "DELETE ... WHERE pk IN (...) lists")
     v.add_argument("--num-cpus", type=int, default=None)
 
     i = sub.add_parser(
@@ -126,7 +133,9 @@ def _run(args) -> int:
             check_drift=not args.no_drift,
             report_dir=args.report_dir,
             checkpoint_dir=args.checkpoint_dir,
-            emit_repair=args.emit_repair)
+            emit_repair=args.emit_repair,
+            repair_update_style=args.repair_update_style,
+            repair_batch_delete=args.repair_batch_delete)
         res = validate_table_pair(args.source, args.sink, cfg,
                                   table=args.table)
         print(json.dumps(res.summary, default=str))

@@ -111,6 +111,10 @@ class ValidationConfig:
     report_dir: str | None = None
     checkpoint_dir: str | None = None
     emit_repair: bool = False
+    # UpdateDmlBuilder-style column-wise UPDATE ("update") vs REPLACE
+    # VALUES ("replace"); batched DELETE ... WHERE pk IN (...) lists
+    repair_update_style: str = "replace"
+    repair_batch_delete: bool = False
 
 
 @dataclass
@@ -314,7 +318,9 @@ def validate_table_pair(src_path: str, snk_path: str,
                 pqsrc.read_table(src_path, columns=read_cols),
                 list(cfg.key_columns), keys).to_pandas()
             stmts = render_repair_sql_with_rows(
-                table, list(cfg.key_columns), violations, src_rows)
+                table, list(cfg.key_columns), violations, src_rows,
+                update_style=cfg.repair_update_style,
+                batch_delete=cfg.repair_batch_delete)
             write_repair_file(writer.out_dir, table, stmts)
     return result
 

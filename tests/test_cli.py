@@ -62,6 +62,26 @@ class TestCli:
         assert out["diffKeys"] == ["2"]  # only the genuinely changed key
         assert out["checkedKeys"] == 2
 
+    def test_repair_style_flags(self, ray_session, tmp_path, capsys):
+        """--emit-repair with UPDATE style + batched DELETE writes the
+        UpdateDmlBuilder/BatchDeleteDmlBuilder-shaped statements."""
+        src_t = pa.table({"k": ["a", "b"], "v": ["1", "2"]})
+        snk_t = pa.table({"k": ["a", "b", "c"], "v": ["1", "X", "3"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        rep = tmp_path / "rep"
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--table", "t", "--no-drift",
+                   "--no-uniqueness", "--emit-repair",
+                   "--report-dir", str(rep),
+                   "--repair-update-style", "update",
+                   "--repair-batch-delete"])
+        capsys.readouterr()
+        assert rc == 1
+        sql = (rep / "repair_t.sql").read_text()
+        # repair applies the SOURCE side's value over the sink
+        assert "UPDATE t SET v = '2' WHERE k = 'b';" in sql
+        assert "DELETE FROM t WHERE k IN ('c');" in sql
+
     def test_schema_subcommand(self, ray_session, tmp_path, capsys):
         for side in ("s", "k"):
             d = tmp_path / side / "t1"

@@ -108,6 +108,40 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_partial_combiner_idempotent_and_exact(self):
+        """make_partial_combiner_fn (the tree-combine level for
+        distributed signature layouts): XOR-merging partials through
+        the combiner must equal the direct driver merge, and a second
+        combiner pass must be a no-op (idempotent same-schema fold)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig,
+        )
+
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        rng = np.random.default_rng(7)
+        n = 500
+        t = pa.table({
+            "part": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+            "bucket": pa.array(rng.integers(0, 8, n).astype(np.int32)),
+            "sig": pa.array(rng.integers(0, 2**63, n).astype(np.uint64),
+                            pa.uint64()),
+            "cnt": pa.array(np.ones(n, np.int64)),
+        })
+        combine = cmp.make_partial_combiner_fn(cfg)
+        once = combine(t)
+        twice = combine(once)
+        assert once.num_rows == twice.num_rows <= 32
+        a = cmp._merge_signature_partials(t.to_pandas(), 8)
+        b = cmp._merge_signature_partials(once.to_pandas(), 8)
+        c = cmp._merge_signature_partials(twice.to_pandas(), 8)
+        for x in (b, c):
+            assert [int(v) for v in a["root"]] == [int(v) for v in x["root"]]
+            assert list(a["rows"]) == list(x["rows"])
+
     def test_distributed_signature_reduce_matches_driver(self,
                                                          ray_session):
         """partition_signatures_distributed (the 10^6-partition escape
