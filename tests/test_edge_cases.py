@@ -17,7 +17,7 @@ from opengauss_tools_datachecker_performance_ray.stages.digest import DigestConf
 
 def _pair(tmp_path, src_tbl: pa.Table, snk_tbl: pa.Table):
     a, b = tmp_path / "src", tmp_path / "snk"
-    a.mkdir(); b.mkdir()
+    a.mkdir(parents=True, exist_ok=True); b.mkdir(parents=True, exist_ok=True)
     pq.write_table(src_tbl, str(a / "p.parquet"))
     pq.write_table(snk_tbl, str(b / "p.parquet"))
     return str(a), str(b)
@@ -99,7 +99,43 @@ class TestEdgeCases:
         assert res.summary["result"] == "success"
 
 
-class TestAdvisorRegressions:
+class TestTypedColumnCoverage:
+    """Full validate over every canonicalizer type family (M1 parity):
+    identical pairs compare clean, a single mutated value is classified
+    as exactly one update."""
+
+    @pytest.mark.parametrize("name,values,mutated", [
+        ("decimal", pa.array(["1.50", "2.00", "3.25"]).cast(
+            pa.decimal128(10, 2)),
+         pa.array(["1.50", "2.00", "9.99"]).cast(pa.decimal128(10, 2))),
+        ("date32", pa.array([18000, 18001, 18002], pa.date32()),
+         pa.array([18000, 18001, 19000], pa.date32())),
+        ("time64", pa.array([1, 2, 3], pa.time64("us")),
+         pa.array([1, 2, 999], pa.time64("us"))),
+        ("bool", pa.array([True, False, True]),
+         pa.array([True, False, False])),
+        ("large_string", pa.array(["x", "y", "z"], pa.large_string()),
+         pa.array(["x", "y", "Q"], pa.large_string())),
+        ("dictionary", pa.array(["lo", "hi", "lo"]).dictionary_encode(),
+         pa.array(["lo", "hi", "hi"]).dictionary_encode()),
+        ("binary", pa.array([b"\x00", b"\x01\x02", b""], pa.binary()),
+         pa.array([b"\x00", b"\x01\x02", b"\xff"], pa.binary())),
+    ])
+    def test_type_family_clean_and_single_update(self, ray_session,
+                                                 tmp_path, name, values,
+                                                 mutated):
+        keys = pa.array(["a", "b", "c"])
+        src_t = pa.table({"k": keys, "v": values})
+        clean_src, clean_snk = _pair(tmp_path / "clean", src_t, src_t)
+        res = validate_table_pair(clean_src, clean_snk, CFG,
+                                  table=f"{name}_clean")
+        assert res.summary["result"] == "success", name
+        snk_t = pa.table({"k": keys, "v": mutated})
+        d_src, d_snk = _pair(tmp_path / "diff", src_t, snk_t)
+        res = validate_table_pair(d_src, d_snk, CFG, table=f"{name}_diff")
+        v = res.compare.violations
+        assert list(v["kind"]) == ["update"], name
+        assert v["key"].iloc[0] == "c", name
     """Round-1 advisor findings, each pinned by a regression test."""
 
     def test_xor_cancelling_duplicates_fail_compare(self, ray_session,
