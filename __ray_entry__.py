@@ -66,9 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": q.knn_ivf_embeddings,
         "multimodal_embeddings": q.multimodal_embeddings,
         "lineitem_rollup": q.lineitem_rollup,
-        # streaming-shaped windowed operators (§2.9)
+        # streaming-shaped windowed operators (§2.9) + custom joins
         "events_tumbling_window": q.events_tumbling_window,
         "events_sessionization": q.events_sessionization,
+        "events_asof_last_order": q.events_asof_last_order,
     }
 
 
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": q.LINEITEM_ROLLUP_SQL,
         "events_tumbling_window": q.EVENTS_TUMBLING_WINDOW_SQL,
         "events_sessionization": q.EVENTS_SESSIONIZATION_SQL,
+        "events_asof_last_order": q.EVENTS_ASOF_LAST_ORDER_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,
         # minhash_lsh_candidates, simhash_documents, quality_documents
         # (float composites — exact parts oracle-checked via

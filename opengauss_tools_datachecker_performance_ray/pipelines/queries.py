@@ -474,6 +474,34 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
 
+def events_asof_last_order(sf_dir: str):
+    """As-of join (custom operator — Ray Data has none): each event
+    attaches the latest order of the same customer at or before the
+    event timestamp. Value-checked against DuckDB's ASOF JOIN."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "o_orderdate"])
+
+    orders = orders.map_batches(rename, batch_format="pyarrow")
+    out = asof_join(events, orders, key="user_id", left_ts="ts",
+                    right_ts="o_orderdate", left_cols=["event_id"],
+                    right_cols=[])
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "o_orderdate_matched"])
+
+
+EVENTS_ASOF_LAST_ORDER_SQL = """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate AS o_orderdate_matched
+FROM events e ASOF JOIN orders o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def corpus_curation_by_lang(sf_dir: str):
     """Flagship training-data curation pipeline in ONE streaming pass
     + one partial-aggregated shuffle: fingerprint + token-count every

@@ -1,0 +1,91 @@
+"""As-of join operator tests: interleaved timestamps, carried right
+columns, no-match drops, and a brute-force reference comparison."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.stages.joins import asof_join
+
+
+def _brute(left: pd.DataFrame, right: pd.DataFrame, key, lts, rts):
+    rows = []
+    for r in left.itertuples(index=False):
+        cand = right[(right[key] == getattr(r, key))
+                     & (right[rts] <= getattr(r, lts))]
+        if not len(cand):
+            continue
+        best = cand.loc[cand[rts].idxmax()]
+        rows.append({**r._asdict(), f"{rts}_matched": best[rts],
+                     "px": best["px"]})
+    return pd.DataFrame(rows)
+
+
+class TestAsofJoin:
+    def test_interleaved_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(21)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame({
+            "uid": rng.integers(0, 20, n_l),
+            "ets": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s")
+            .astype("datetime64[us]"),
+            "eid": np.arange(n_l, dtype=np.int64),
+        })
+        right = pd.DataFrame({
+            "uid": rng.integers(0, 25, n_r),  # some uids never in left
+            "qts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s")
+            .astype("datetime64[us]"),
+            "px": rng.random(n_r).round(6),
+        })
+        # unique (uid, qts) on the right => deterministic carried px
+        right = right.drop_duplicates(["uid", "qts"]).reset_index(drop=True)
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="uid", left_ts="ets", right_ts="qts",
+                        left_cols=["eid"], right_cols=["px"],
+                        num_buckets=8).to_pandas()
+        want = _brute(left, right, "uid", "ets", "qts")
+        assert len(out) == len(want)
+        o = out.sort_values("eid").reset_index(drop=True)
+        w = want.sort_values("eid").reset_index(drop=True)
+        assert list(o["eid"]) == list(w["eid"])
+        assert list(o["qts_matched"]) == list(w["qts_matched"])
+        assert np.allclose(o["px"], w["px"])
+        assert o["eid"].dtype == np.int64  # no float upcast survives
+
+    def test_no_match_side_dropped_and_empty_buckets_ok(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({
+            "uid": [1, 2, 3],
+            "ets": pd.to_datetime([100, 200, 300], unit="s")
+            .astype("datetime64[us]"),
+            "eid": np.array([0, 1, 2], np.int64)})
+        right = pd.DataFrame({
+            "uid": [1, 9],  # uid 2,3 have no quotes; uid 9 no events
+            "qts": pd.to_datetime([50, 10], unit="s")
+            .astype("datetime64[us]"),
+            "px": [1.5, 9.9]})
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="uid", left_ts="ets", right_ts="qts",
+                        left_cols=["eid"], right_cols=["px"],
+                        num_buckets=4).to_pandas()
+        assert list(out["eid"]) == [0]
+        assert out["px"].iloc[0] == pytest.approx(1.5)
+
+    def test_future_quotes_excluded(self, ray_session):
+        import ray.data as rd
+
+        left = pd.DataFrame({
+            "uid": [1], "eid": np.array([0], np.int64),
+            "ets": pd.to_datetime([100], unit="s").astype("datetime64[us]")})
+        right = pd.DataFrame({
+            "uid": [1, 1],
+            "qts": pd.to_datetime([99, 101], unit="s")
+            .astype("datetime64[us]"),
+            "px": [1.0, 2.0]})
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="uid", left_ts="ets", right_ts="qts",
+                        left_cols=["eid"], right_cols=["px"]).to_pandas()
+        assert out["px"].iloc[0] == 1.0  # the later quote never matches
