@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": q.events_tumbling_window,
         "events_sessionization": q.events_sessionization,
         "events_asof_last_order": q.events_asof_last_order,
+        "events_range_join_orders": q.events_range_join_orders,
     }
 
 
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": q.EVENTS_TUMBLING_WINDOW_SQL,
         "events_sessionization": q.EVENTS_SESSIONIZATION_SQL,
         "events_asof_last_order": q.EVENTS_ASOF_LAST_ORDER_SQL,
+        "events_range_join_orders": q.EVENTS_RANGE_JOIN_ORDERS_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,
         # minhash_lsh_candidates, simhash_documents, quality_documents
         # (float composites — exact parts oracle-checked via

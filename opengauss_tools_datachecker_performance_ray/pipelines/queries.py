@@ -502,6 +502,50 @@ ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+def events_range_join_orders(sf_dir: str):
+    """Range (inequality) join via the banding composition: each event
+    pairs with same-customer orders whose derived [lo, hi] interval
+    contains the event's derived point value (deterministic integer
+    derivations so DuckDB's inequality join is an exact oracle)."""
+    from ..stages.joins import range_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "v": pa.array((eid % 1000).astype(np.int64))})
+
+    def od(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        lo = (ok % 1000).astype(np.int64)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "user_id": batch.column("o_custkey"),
+                         "lo": pa.array(lo),
+                         "hi": pa.array(lo + 25)})
+
+    out = range_join(events.map_batches(ev, batch_format="pyarrow"),
+                     orders.map_batches(od, batch_format="pyarrow"),
+                     key="user_id", left_val="v",
+                     right_lo="lo", right_hi="hi",
+                     left_cols=["event_id"], right_cols=["o_orderkey"],
+                     band_width=32)
+    return out.select_columns(["event_id", "user_id", "v", "o_orderkey"])
+
+
+EVENTS_RANGE_JOIN_ORDERS_SQL = """
+SELECT e.event_id, e.user_id,
+       e.event_id % 1000 AS v,
+       o.o_orderkey
+FROM events e JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.event_id % 1000 BETWEEN o.o_orderkey % 1000
+                           AND o.o_orderkey % 1000 + 25
+"""
+
+
 def corpus_curation_by_lang(sf_dir: str):
     """Flagship training-data curation pipeline in ONE streaming pass
     + one partial-aggregated shuffle: fingerprint + token-count every

@@ -126,3 +126,134 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
     return lt.union(rt).groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas")
+
+
+def range_join(left, right, key: str, left_val: str,
+               right_lo: str, right_hi: str,
+               left_cols: list[str], right_cols: list[str],
+               band_width: int = 64, num_buckets: int = 64):
+    """Inequality (range) join: left rows pair with right rows of the
+    same ``key`` whose ``[right_lo, right_hi]`` interval contains
+    ``left_val`` (inclusive). Ray Data has no native inequality join;
+    this is the standard BANDING composition: every right interval
+    explodes into the value bands it spans (``band = value //
+    band_width``), left rows carry their single band, and one bucketed
+    groupby on (hash(key) % B, band) resolves candidates with an
+    in-group equi-merge + vectorized range filter. A (left, right)
+    pair co-occurs in EXACTLY one band (the left row's), so no
+    dedup pass is needed.
+
+    Partitioning assumption: candidate pairs per (key, band) stay
+    bounded — size ``band_width`` to the interval scale (bands much
+    wider than typical intervals degrade toward a per-key cross
+    join; much narrower explode the right side's row count).
+    """
+
+    rsch = _arrow_schema(right)
+    lsch = _arrow_schema(left)
+    rtypes = {c: rsch.field(c).type for c in right_cols}
+    ltypes = {c: lsch.field(c).type for c in left_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        n = batch.num_rows
+        k = batch.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        ks = k if pa.types.is_large_string(k.type) else \
+            k.cast(pa.string()).cast(pa.large_string())
+        kh = hash64(ks)
+        v = batch.column(left_val).to_numpy(zero_copy_only=False)
+        out = {key: k,
+               "__lo": batch.column(left_val),  # point "interval"
+               "__hi": batch.column(left_val),
+               "__band": pa.array((v // band_width).astype(np.int64)),
+               "__bucket": pa.array(
+                   (kh % np.uint64(num_buckets)).astype(np.int32)),
+               "__is_left": pa.array(np.ones(n, dtype=bool))}
+        for c in left_cols:
+            out[f"__l_{c}"] = batch.column(c)
+        for c in right_cols:
+            out[f"__r_{c}"] = pa.nulls(n, type=rtypes[c])
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        k = batch.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        lo = batch.column(right_lo).to_numpy(zero_copy_only=False)
+        hi = batch.column(right_hi).to_numpy(zero_copy_only=False)
+        lo_b = (lo // band_width).astype(np.int64)
+        hi_b = (hi // band_width).astype(np.int64)
+        reps = np.maximum(hi_b - lo_b + 1, 0).astype(np.int64)
+        total = int(reps.sum()) if len(reps) else 0
+        if total == 0:
+            idx = np.empty(0, dtype=np.int64)
+            bands = np.empty(0, dtype=np.int64)
+        else:
+            idx = np.repeat(np.arange(len(k)), reps)
+            # band sequence per exploded row, fully vectorized
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            offs = np.arange(total) - np.repeat(starts, reps)
+            bands = lo_b[idx] + offs
+        kk = k.take(pa.array(idx))
+        ks = kk if pa.types.is_large_string(kk.type) else \
+            kk.cast(pa.string()).cast(pa.large_string())
+        kh = hash64(ks)
+        out = {key: kk,
+               "__lo": batch.column(right_lo).take(pa.array(idx)),
+               "__hi": batch.column(right_hi).take(pa.array(idx)),
+               "__band": pa.array(bands),
+               "__bucket": pa.array(
+                   (kh % np.uint64(num_buckets)).astype(np.int32)),
+               "__is_left": pa.array(np.zeros(len(idx), dtype=bool))}
+        for c in left_cols:
+            out[f"__l_{c}"] = pa.nulls(len(idx), type=ltypes[c])
+        for c in right_cols:
+            out[f"__r_{c}"] = batch.column(c).take(pa.array(idx))
+        return pa.table(out)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    lcols = [f"__l_{c}" for c in left_cols]
+    rcols = [f"__r_{c}" for c in right_cols]
+    taken = set(left_cols) | {key, left_val}
+    rnames = {c: (c[4:] if c[4:] not in taken else c[4:] + "_r")
+              for c in rcols}
+    lpd = {f"__l_{c}": t.to_pandas_dtype() for c, t in ltypes.items()}
+    rpd = {f"__r_{c}": t.to_pandas_dtype() for c, t in rtypes.items()}
+    key_pd = lsch.field(key).type.to_pandas_dtype()
+    val_pd = lsch.field(left_val).type.to_pandas_dtype()
+
+    def join_band(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["__is_left"]]
+        ri = g[~g["__is_left"]]
+        out = pd.DataFrame()
+        if len(li) and len(ri):
+            j = li[[key, "__lo"] + lcols].rename(
+                columns={"__lo": "__v"}).merge(
+                ri[[key, "__lo", "__hi"] + rcols], on=key)
+            j = j[(j["__v"] >= j["__lo"]) & (j["__v"] <= j["__hi"])]
+        else:
+            j = pd.DataFrame(columns=[key, "__v", "__lo", "__hi"]
+                             + lcols + rcols)
+        for c in lcols:
+            out[c[4:]] = j[c].astype(lpd[c], copy=False) if len(j) \
+                else pd.Series(dtype=lpd[c])
+        out[key] = j[key].astype(key_pd, copy=False) if len(j) \
+            else pd.Series(dtype=key_pd)
+        out[left_val] = j["__v"].astype(val_pd, copy=False) if len(j) \
+            else pd.Series(dtype=val_pd)
+        for c in rcols:
+            out[rnames[c]] = j[c].astype(rpd[c], copy=False) if len(j) \
+                else pd.Series(dtype=rpd[c])
+        return out.reset_index(drop=True)
+
+    return lt.union(rt).groupby(["__bucket", "__band"]).map_groups(
+        join_band, batch_format="pandas")

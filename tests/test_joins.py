@@ -74,6 +74,54 @@ class TestAsofJoin:
         assert list(out["eid"]) == [0]
         assert out["px"].iloc[0] == pytest.approx(1.5)
 
+    def test_range_join_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.joins import (
+            range_join,
+        )
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame({
+            "uid": rng.integers(0, 10, 500),
+            "v": rng.integers(0, 500, 500).astype(np.int64),
+            "eid": np.arange(500, dtype=np.int64)})
+        lo = rng.integers(0, 480, 200).astype(np.int64)
+        right = pd.DataFrame({
+            "uid": rng.integers(0, 12, 200),
+            "lo": lo, "hi": lo + rng.integers(0, 120, 200),
+            "rid": np.arange(200, dtype=np.int64)})
+        out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                         key="uid", left_val="v", right_lo="lo",
+                         right_hi="hi", left_cols=["eid"],
+                         right_cols=["rid"], band_width=64,
+                         num_buckets=8).to_pandas()
+        want = left.merge(right, on="uid")
+        want = want[(want["v"] >= want["lo"]) & (want["v"] <= want["hi"])]
+        assert len(out) == len(want)
+        got_pairs = set(zip(out["eid"], out["rid"]))
+        want_pairs = set(zip(want["eid"], want["rid"]))
+        assert got_pairs == want_pairs  # no dupes, no misses
+        assert out["eid"].dtype == np.int64
+
+    def test_range_join_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.joins import (
+            range_join,
+        )
+
+        left = pd.DataFrame({"uid": [1], "v": np.array([5], np.int64),
+                             "eid": np.array([0], np.int64)})
+        right = pd.DataFrame({"uid": [2], "lo": np.array([0], np.int64),
+                              "hi": np.array([10], np.int64),
+                              "rid": np.array([0], np.int64)})
+        out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                         key="uid", left_val="v", right_lo="lo",
+                         right_hi="hi", left_cols=["eid"],
+                         right_cols=["rid"]).to_pandas()
+        assert len(out) == 0  # different keys never pair
+
     def test_future_quotes_excluded(self, ray_session):
         import ray.data as rd
 
