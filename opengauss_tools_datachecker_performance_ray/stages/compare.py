@@ -316,8 +316,20 @@ def make_digest_partials_fn(cfg: DigestConfig, side_flag: bool):
     return fn
 
 
+# Above this partition count the signature reduce runs as a
+# DISTRIBUTED groupby instead of a driver merge: per-block sparse
+# partials stop compressing once the global bucket space exceeds the
+# block row count, so their total volume approaches the digest row
+# count (~28 B/row) and a driver-side pandas sort becomes the sink
+# (measured: 153M rows/side -> ~2.8 GB of partials and 19 s of driver
+# sort; the groupby ships the same bytes through the distributed
+# shuffle and returns one ~1 KB row per partition).
+DRIVER_SIGNATURE_MAX_PARTITIONS = 1024
+
+
 def partition_signatures_pair(src, snk, cfg: DigestConfig,
-                              batch_size: int | None = None
+                              batch_size: int | None = None,
+                              mode: str = "auto"
                               ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Signatures for BOTH sides, streamed concurrently.
 
@@ -325,28 +337,45 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
     the two sides run as two CONCURRENT driver-thread executions
     sharing the streaming executor's resource scheduler (measured: a
     single ``union`` execution serializes poorly under backpressure at
-    low core counts — 7.1s vs 2.3s at 4 cpus on the bench pair). The
-    tiny partial rows (part, bucket, sig, cnt) come back to the driver
-    for the XOR merge. No materialization, no shuffle — one scan per
-    side total.
+    low core counts — 7.1s vs 2.3s at 4 cpus on the bench pair).
+
+    ``mode``: "driver" collects the sparse partial rows for a driver
+    XOR merge (no shuffle at all — right for small/medium partition
+    counts), "distributed" reduces via groupby(part) so only one dense
+    row per partition reaches the driver, "auto" picks by
+    ``DRIVER_SIGNATURE_MAX_PARTITIONS``.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from ..functions.runtime import patch_ray_thread_import_race
 
     patch_ray_thread_import_race()
+    B = cfg.buckets_per_partition
+    distributed = (mode == "distributed"
+                   or (mode == "auto"
+                       and cfg.num_partitions > DRIVER_SIGNATURE_MAX_PARTITIONS))
 
-    def side_pdf(ds, side_flag: bool) -> pd.DataFrame:
-        return ds.map_batches(make_digest_partials_fn(cfg, side_flag),
-                              batch_format="pyarrow", batch_size=batch_size,
-                              zero_copy_batch=True).to_pandas()
+    def side_sigs(ds, side_flag: bool) -> pd.DataFrame:
+        partials = ds.map_batches(make_digest_partials_fn(cfg, side_flag),
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size,
+                                  zero_copy_batch=True)
+        if distributed:
+            reduced = partials.groupby("part").map_groups(
+                _reduce_partition(B), batch_format="pandas")
+            pdf = reduced.to_pandas()
+            return (pdf.sort_values("part").reset_index(drop=True)
+                    if len(pdf) else pdf)
+        return partials.to_pandas()
 
     with ThreadPoolExecutor(2) as ex:
-        f_src = ex.submit(side_pdf, src, True)
-        f_snk = ex.submit(side_pdf, snk, False)
+        f_src = ex.submit(side_sigs, src, True)
+        f_snk = ex.submit(side_sigs, snk, False)
         src_pdf, snk_pdf = f_src.result(), f_snk.result()
-    B = cfg.buckets_per_partition
     empty = pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
+    if distributed:
+        return (src_pdf if len(src_pdf) else empty.copy(),
+                snk_pdf if len(snk_pdf) else empty.copy())
     src_sigs = _merge_signature_partials(src_pdf, B) if len(src_pdf) \
         else empty.copy()
     snk_sigs = _merge_signature_partials(snk_pdf, B) if len(snk_pdf) \

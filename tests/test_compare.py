@@ -108,6 +108,47 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_signature_pair_distributed_mode_matches_driver(self,
+                                                            ray_session):
+        """The large-partition-count signature route (groupby reduce,
+        one dense row per partition) must return frames identical to
+        the driver XOR merge."""
+        import numpy as np
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig,
+        )
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame({"k": [f"k{i}" for i in range(8000)],
+                           "v": rng.integers(0, 10**9, 8000)})
+        df2 = df.copy(); df2.loc[5, "v"] += 1
+        cfg = DigestConfig(key_columns=("k",), num_partitions=16,
+                           buckets_per_partition=32)
+        a_src = rd.from_pandas(df).repartition(8).materialize()
+        a_snk = rd.from_pandas(df2).repartition(8).materialize()
+        drv = cmp.partition_signatures_pair(a_src, a_snk, cfg,
+                                            mode="driver")
+        dst = cmp.partition_signatures_pair(a_src, a_snk, cfg,
+                                            mode="distributed")
+        for x, y in zip(drv, dst):
+            x = x.sort_values("part").reset_index(drop=True)
+            y = y.sort_values("part").reset_index(drop=True)
+            assert [int(v) for v in x["root"]] == \
+                   [int(v) for v in y["root"]]
+            assert list(x["rows"]) == list(y["rows"])
+            assert all(bytes(p) == bytes(q)
+                       for p, q in zip(x["leaves"], y["leaves"]))
+        # and the Merkle compare localizes the single mutation either way
+        d1 = cmp.compare_signatures(*drv, cfg)
+        d2 = cmp.compare_signatures(*dst, cfg)
+        dirty1 = [(d.part, d.diff_buckets.tolist()) for d in d1
+                  if len(d.diff_buckets)]
+        dirty2 = [(d.part, d.diff_buckets.tolist()) for d in d2
+                  if len(d.diff_buckets)]
+        assert dirty1 == dirty2 and len(dirty1) == 1
+
     def test_partial_combiner_idempotent_and_exact(self):
         """make_partial_combiner_fn (the tree-combine level for
         distributed signature layouts): XOR-merging partials through
