@@ -222,28 +222,57 @@ def validate_table_pair(src_path: str, snk_path: str,
         partials = both_d.map_batches(
             cmp.make_signature_partials_by_side_fn(dcfg),
             batch_format="pyarrow")
-        # stream the partials back block-by-block so progress.log grows
-        # DURING the table (per-slice cadence, SliceProgressService) —
-        # same bytes as to_pandas, plus one record per arriving slice
-        import pyarrow.compute as pc_
-
-        frames = []
-        rows_seen = 0
-        for bt in partials.iter_batches(batch_size=None,
-                                        batch_format="pyarrow"):
-            frames.append(bt)
-            rows_seen += int(pc_.sum(bt.column("cnt")).as_py() or 0)
-            if writer:
-                writer.slice_progress(table, rows_seen, len(frames))
-        pdf = (pa.concat_tables(frames).to_pandas() if frames
-               else pd.DataFrame())
         B = dcfg.buckets_per_partition
-        if len(pdf):
-            src_sigs = cmp._merge_signature_partials(pdf[pdf["is_src"]], B)
-            snk_sigs = cmp._merge_signature_partials(pdf[~pdf["is_src"]], B)
+        empty_sigs = pd.DataFrame(
+            columns=["part", "rows", "root", "leaves", "counts"])
+        if dcfg.num_partitions > cmp.DRIVER_SIGNATURE_MAX_PARTITIONS:
+            # large-partition route (see compare.partition_signatures_
+            # pair): groupby reduce in workers, one dense row per
+            # (partition, side) to the driver; progress streams per
+            # arriving PARTITION row instead of per digest slice
+            reduced = partials.groupby(["part", "is_src"]).map_groups(
+                cmp._reduce_partition_by_side(B), batch_format="pandas")
+            frames = []
+            rows_seen = 0
+            for bt in reduced.iter_batches(batch_size=None,
+                                           batch_format="pandas"):
+                frames.append(bt)
+                rows_seen += int(bt["rows"].sum())
+                if writer:
+                    writer.slice_progress(table, rows_seen, len(frames))
+            pdf = (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame())
+            if len(pdf):
+                src_sigs = pdf[pdf["is_src"]].drop(columns="is_src") \
+                    .sort_values("part").reset_index(drop=True)
+                snk_sigs = pdf[~pdf["is_src"]].drop(columns="is_src") \
+                    .sort_values("part").reset_index(drop=True)
+            else:
+                src_sigs = snk_sigs = empty_sigs
         else:
-            src_sigs = snk_sigs = pd.DataFrame(
-                columns=["part", "rows", "root", "leaves", "counts"])
+            # stream the partials back block-by-block so progress.log
+            # grows DURING the table (per-slice cadence,
+            # SliceProgressService) — same bytes as to_pandas, plus one
+            # record per arriving slice
+            import pyarrow.compute as pc_
+
+            frames = []
+            rows_seen = 0
+            for bt in partials.iter_batches(batch_size=None,
+                                            batch_format="pyarrow"):
+                frames.append(bt)
+                rows_seen += int(pc_.sum(bt.column("cnt")).as_py() or 0)
+                if writer:
+                    writer.slice_progress(table, rows_seen, len(frames))
+            pdf = (pa.concat_tables(frames).to_pandas() if frames
+                   else pd.DataFrame())
+            if len(pdf):
+                src_sigs = cmp._merge_signature_partials(
+                    pdf[pdf["is_src"]], B)
+                snk_sigs = cmp._merge_signature_partials(
+                    pdf[~pdf["is_src"]], B)
+            else:
+                src_sigs = snk_sigs = empty_sigs
         if store:
             store.save_signatures("source", src_sigs,
                                   {"rows": src_meta.num_rows,

@@ -97,6 +97,20 @@ def _reduce_partition(cfg_b: int):
     return reduce
 
 
+def _reduce_partition_by_side(cfg_b: int):
+    """Side-tagged variant of ``_reduce_partition`` for the combined
+    (source+sink) digest layout: group key is (part, is_src), output
+    keeps ``is_src`` so the caller can split the frames."""
+    base = _reduce_partition(cfg_b)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = base(g)
+        out["is_src"] = bool(g["is_src"].iloc[0])
+        return out
+
+    return reduce
+
+
 def make_partial_combiner_fn(cfg: DigestConfig):
     """Combine sparse partial rows (part,bucket,sig,cnt) -> fewer rows.
 

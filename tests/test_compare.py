@@ -108,6 +108,29 @@ class TestComparePipeline:
             or len(slice_recs) > 1
         assert any("completeCount" in x for x in lines)  # table record
 
+    def test_validate_distributed_signature_route_same_verdicts(
+            self, pages_fixture, monkeypatch):
+        """Forcing validate's large-partition signature route must give
+        the identical verdicts/violations as the driver route."""
+        base, exp = pages_fixture
+        cfg = ValidationConfig(key_columns=("url",), check_drift=False,
+                               check_uniqueness=False)
+        normal = validate_table_pair(f"{base}/pages_source",
+                                     f"{base}/pages_sink", cfg,
+                                     table="pages")
+        monkeypatch.setattr(cmp, "DRIVER_SIGNATURE_MAX_PARTITIONS", 0)
+        routed = validate_table_pair(f"{base}/pages_source",
+                                     f"{base}/pages_sink", cfg,
+                                     table="pages")
+        a = normal.compare.violations.sort_values(["key", "kind"]) \
+            .reset_index(drop=True)
+        b = routed.compare.violations.sort_values(["key", "kind"]) \
+            .reset_index(drop=True)
+        assert list(a["key"]) == list(b["key"])
+        assert list(a["kind"]) == list(b["kind"])
+        assert normal.summary["totalRepair"] == routed.summary["totalRepair"]
+        assert normal.summary["rowCount"] == routed.summary["rowCount"]
+
     def test_signature_pair_distributed_mode_matches_driver(self,
                                                             ray_session):
         """The large-partition-count signature route (groupby reduce,
