@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_documents_clean": q.compare_documents_clean,
         # dedup / similarity / text (training-data extensions)
         "corpus_curation_by_lang": q.corpus_curation_by_lang,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_exact_documents": q.dedup_exact_documents,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "simhash_documents": q.simhash_documents,
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "compare_orders_pair": q.COMPARE_ORDERS_PAIR_SQL,
         "compare_documents_clean": q.COMPARE_DOCUMENTS_CLEAN_SQL,
         "corpus_curation_by_lang": q.CORPUS_CURATION_BY_LANG_SQL,
+        "ngram_jaccard_pairs": q.NGRAM_JACCARD_PAIRS_SQL,
         "dedup_exact_documents": q.DEDUP_EXACT_DOCUMENTS_SQL,
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,

@@ -546,6 +546,47 @@ FROM events e JOIN orders o
 """
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Pair-verification kernel, oracle-checked: character-set (1-gram)
+    Jaccard over the deterministic pair set (doc d, doc d+1) for even
+    d — DuckDB's ``jaccard()`` computes the identical statistic. Pairs
+    co-locate via a groupby on pair id; in production this kernel runs
+    on LSH candidate sets (``dedup.ngram_jaccard_verify``), where the
+    pair list, not the corpus, is what moves."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        return pa.table({"pair": pa.array((d // 2).astype(np.int64)),
+                         "doc_id": batch.column("doc_id"),
+                         "text": batch.column("text")})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "jac": pd.Series(dtype=np.float64)})
+        if len(g) != 2:
+            return empty
+        ta, tb = str(g["text"].iloc[0] or ""), str(g["text"].iloc[1] or "")
+        if not ta or not tb:  # duckdb jaccard rejects empty strings
+            return empty
+        return pd.DataFrame({"a": [int(g["doc_id"].iloc[0])],
+                             "b": [int(g["doc_id"].iloc[1])],
+                             "jac": [textfn.jaccard_ngrams(ta, tb, n=1)]})
+
+    return ds.map_batches(tag_pairs, batch_format="pyarrow") \
+        .groupby("pair").map_groups(verify, batch_format="pandas")
+
+
+NGRAM_JACCARD_PAIRS_SQL = """
+SELECT a.doc_id AS a, b.doc_id AS b, jaccard(a.text, b.text) AS jac
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0
+  AND length(a.text) >= 1 AND length(b.text) >= 1
+"""
+
+
 def corpus_curation_by_lang(sf_dir: str):
     """Flagship training-data curation pipeline in ONE streaming pass
     + one partial-aggregated shuffle: fingerprint + token-count every
