@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--checkpoint-dir", default=None)
     v.add_argument("--no-uniqueness", action="store_true")
     v.add_argument("--no-drift", action="store_true")
+    v.add_argument("--format", choices=("parquet", "csv"),
+                   default="parquet",
+                   help="csv = the reference's CSV verification mode "
+                        "(sharded exports + completion markers)")
     v.add_argument("--emit-repair", action="store_true")
     v.add_argument("--repair-update-style", choices=("replace", "update"),
                    default="replace",
@@ -136,8 +140,14 @@ def _run(args) -> int:
             emit_repair=args.emit_repair,
             repair_update_style=args.repair_update_style,
             repair_batch_delete=args.repair_batch_delete)
-        res = validate_table_pair(args.source, args.sink, cfg,
-                                  table=args.table)
+        if args.format == "csv":
+            from .pipelines.validate import validate_csv_pair
+
+            res = validate_csv_pair(args.source, args.sink, cfg,
+                                    table=args.table)
+        else:
+            res = validate_table_pair(args.source, args.sink, cfg,
+                                      table=args.table)
         print(json.dumps(res.summary, default=str))
         return 0 if res.summary.get("result") == "success" else 1
     if args.cmd == "increment":

@@ -11,6 +11,7 @@ receipts for resume.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -351,6 +352,54 @@ def validate_table_pair(src_path: str, snk_path: str,
                 update_style=cfg.repair_update_style,
                 batch_delete=cfg.repair_batch_delete)
             write_repair_file(writer.out_dir, table, stmts)
+    return result
+
+
+def validate_csv_pair(src_dir: str, snk_dir: str,
+                      cfg: ValidationConfig | None = None,
+                      table: str | None = None,
+                      mark_done: bool = True) -> ValidationResult:
+    """CSV verification mode (reference §3.2: pre-sharded CSV exports,
+    ``CsvListener``/``CsvSliceProcessor``): the same digest + Merkle
+    compare over two CSV shard directories, with column-set structure
+    check up front and completion markers written per source shard on
+    success (sidecar ``_DONE.*`` files — inputs stay immutable,
+    ``sources.csvsrc.pending_shards`` drives resume)."""
+    from ..sources import csvsrc
+
+    cfg = cfg or ValidationConfig()
+    table = table or os.path.basename(src_dir.rstrip("/"))
+    t0 = time.time()
+    src = csvsrc.read_csv_table(src_dir)
+    snk = csvsrc.read_csv_table(snk_dir)
+    result = ValidationResult(table=table, structure={})
+
+    src_cols = {f.name.lower() for f in src.schema().base_schema}
+    snk_cols = {f.name.lower() for f in snk.schema().base_schema}
+    result.structure = {
+        "table": table,
+        "structureResult": "success" if src_cols == snk_cols else "failed",
+        "onlyInSource": sorted(src_cols - snk_cols),
+        "onlyInSink": sorted(snk_cols - src_cols),
+    }
+    if result.structure["structureResult"] != "success":
+        result.summary = {"table": table, "result": "failed",
+                          "message": "csv structure mismatch",
+                          **result.structure}
+        return result
+
+    approx = src.count()  # CSV has no footer counts — one cheap scan
+    dcfg = DigestConfig.for_rows(cfg.key_columns, approx,
+                                 compare_columns=cfg.compare_columns,
+                                 partition_capacity=cfg.partition_capacity,
+                                 bucket_capacity=cfg.bucket_capacity)
+    result.compare = cmp.compare_tables(src, snk, dcfg, table=table,
+                                        batch_size=cfg.batch_size)
+    result.summary = {**result.compare.summary,
+                      "cost": round(time.time() - t0, 3)}
+    if mark_done and result.compare.ok:
+        for shard in csvsrc.pending_shards(src_dir):
+            csvsrc.mark_shard_done(shard)
     return result
 
 

@@ -143,6 +143,43 @@ class TestIncremental:
 
 
 class TestCsvSource:
+    def test_validate_csv_pair_end_to_end(self, ray_session, tmp_path):
+        """CSV-mode validation (§3.2): clean pair passes and writes
+        completion markers; a mutated pair localizes the diff and
+        leaves shards pending for the rerun."""
+        import csv
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+            ValidationConfig, validate_csv_pair,
+        )
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            csvsrc,
+        )
+
+        def write(dirname, rows):
+            d = tmp_path / dirname
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(2):
+                with open(d / f"shard{i}.csv", "w", newline="") as f:
+                    w = csv.writer(f)
+                    w.writerow(["k", "v"])
+                    w.writerows(rows[i::2])
+            return str(d)
+
+        rows = [[f"k{i}", f"v{i}"] for i in range(40)]
+        src = write("src", rows)
+        snk = write("snk", rows)
+        cfg = ValidationConfig(key_columns=("k",))
+        res = validate_csv_pair(src, snk, cfg, table="t")
+        assert res.summary["result"] == "success"
+        assert csvsrc.pending_shards(src) == []  # markers written
+        bad = [r[:] for r in rows]
+        bad[7][1] = "MUT"
+        snk2 = write("snk2", bad)
+        res2 = validate_csv_pair(src, snk2, cfg, table="t")
+        v = res2.compare.violations
+        assert list(v["kind"]) == ["update"] and v["key"].iloc[0] == "k7"
+
     def test_read_and_markers(self, ray_session, tmp_path):
         d = tmp_path / "csvdir"
         d.mkdir()
