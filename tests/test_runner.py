@@ -143,6 +143,28 @@ class TestIncremental:
 
 
 class TestCsvSource:
+    def test_real_table_shapes_self_validate(self, ray_session, tmp_path):
+        """Every real testdata schema shape — including the embeddings
+        table's list<float> column through the canonical fallback —
+        self-validates clean at sf0.001."""
+        import os
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+            ValidationConfig, validate_schema,
+        )
+
+        keys = {"region": ("r_regionkey",), "nation": ("n_nationkey",),
+                "embeddings": ("vec_id",), "documents": ("doc_id",)}
+        for side in ("src", "snk"):
+            os.makedirs(tmp_path / side)
+            for t in keys:
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           tmp_path / side / f"{t}.parquet")
+        out = validate_schema(str(tmp_path / "src"), str(tmp_path / "snk"),
+                              keys, ValidationConfig(check_drift=False))
+        assert out["summary"]["failedCount"] == 0
+        assert out["summary"]["successCount"] == 4
+
     def test_validate_csv_pair_end_to_end(self, ray_session, tmp_path):
         """CSV-mode validation (§3.2): clean pair passes and writes
         completion markers; a mutated pair localizes the diff and
