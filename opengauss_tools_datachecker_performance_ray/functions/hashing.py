@@ -43,7 +43,7 @@ HASH_SEED = 199972221018  # LongHashFunctionWrapper.java:31-36
 
 # Bump when row-digest semantics change — folded into checkpoint
 # lineage so receipts from an older hash never mix with fresh ones.
-DIGEST_VERSION = "hv4-xxhash-polars" if _pl is not None \
+DIGEST_VERSION = "hv5-xxhash-nested" if _pl is not None \
     else "hv3-null-sentinel"
 
 
@@ -173,6 +173,22 @@ def column_hash(arr, out: np.ndarray | None = None,
         if nulls:
             h[mask] = _NULL_SENTINEL  # h is owned scratch — in place
         return h
+    if _pl is not None and (pa.types.is_list(t) or pa.types.is_large_list(t)
+                            or pa.types.is_fixed_size_list(t)
+                            or pa.types.is_struct(t)):
+        # nested columns (embeddings list<float>, struct metadata):
+        # polars hashes the nested buffers directly — ~100x the
+        # canonical str()-per-row fallback; identical-value lists hash
+        # equal, nulls get the uniform sentinel
+        try:
+            h = _pl.from_arrow(arr).hash(seed=HASH_SEED).to_numpy()
+            if arr.null_count:
+                mask = arr.is_null().to_numpy(zero_copy_only=False)
+                h = h.copy()
+                h[mask] = _NULL_SENTINEL
+            return h
+        except Exception:  # exotic nesting: fall through to canonical
+            pass
     h = hash64(canonical.canonicalize_column(arr))
     # uniform null semantics across ALL types: null hashes to the
     # sentinel, so null != "" for strings too (stricter than the

