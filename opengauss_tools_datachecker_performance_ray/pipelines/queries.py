@@ -57,7 +57,9 @@ def stats_documents(sf_dir: str) -> pd.DataFrame:
     distinct count (bucketed groupby — the driver never sees the key
     column; round-1 verdict item). The one-pass HLL estimate lives in
     ``hll_profile_documents``."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    # doc_id deliberately NOT in this read: the scalar partial never
+    # touches it; the distinct count does its own single-column scan
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import pickle
@@ -318,7 +320,7 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
     # efficiency 0.78; tiny tasks measured Ray scheduling, not the
     # engine).
     copies = max(1, int(_os.environ.get("GRAFT_SHARD_COPIES", "4")))
-    shards = max(1, repeat // copies)
+    shards = max(1, -(-repeat // copies))  # ceil: total copies == repeat
 
     def load_shard(batch) -> pa.Table:
         """One task per logical shard: read the (page-cached) parquet
@@ -340,7 +342,11 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
         idx = t.schema.get_field_index("o_orderkey")
         k = t.column("o_orderkey").to_numpy()
         outs = []
-        for j in range(copies):
+        # the last shard carries the remainder so total copies across
+        # all shards is EXACTLY `repeat` (bench throughput and
+        # partition sizing divide by it)
+        n_copies = min(copies, repeat - i * copies)
+        for j in range(n_copies):
             shift = np.int64(i * copies + j) * 1_000_000_000
             outs.append(t.set_column(
                 idx, "o_orderkey", pa.array(k + shift, pa.int64())))

@@ -68,12 +68,13 @@ def apply_row_rule(ds, key_column: str, offset: int, count: int):
     sees the key column), then a vectorized range filter selects the
     window. Full rows never sort, shuffle, or materialize; the keys-only
     sort moves ~8-byte digests and spills via the object store."""
+    if count <= 0:  # LIMIT off,0 — empty window, no sort needed
+        return ds.limit(0)
     keys_sorted = (ds.select_columns([key_column])
                    .sort(key_column).materialize())
     head = keys_sorted.split_at_indices([offset, offset + 1])[1].take_all()
     if not head:
-        return ds.filter(expr=f"{key_column} is null and "
-                              f"{key_column} is not null")  # empty
+        return ds.limit(0)  # offset beyond the table -> empty window
     lo = head[0][key_column]
     tail = keys_sorted.split_at_indices(
         [offset + count - 1, offset + count])[1].take_all()

@@ -102,7 +102,11 @@ def make_event_parser(key_columns: dict[str, list[str]],
     ts_ms) rows. ``key_columns`` maps table -> PK column list (the
     catalog's primaryMetas analog); events for unknown tables pass
     through with table kept and an empty key so the caller can route
-    them to a table-miss verdict instead of silently dropping."""
+    them to a table-miss verdict instead of silently dropping. Pass
+    ``offset_col`` when the transport carries real offsets; the
+    fallback numbers events batch-locally, which is globally monotone
+    ONLY for single-block inputs (``read_change_log`` reads that way).
+    """
     date_cols = {t: set(c) for t, c in (date_columns or {}).items()}
 
     def parse(batch: pa.Table) -> pa.Table:
@@ -167,7 +171,14 @@ def source_data_logs(parsed: pd.DataFrame,
 
 def read_change_log(path: str):
     """Read a change-log dump (one JSON event per line) as a Dataset —
-    the file-transport stand-in for the reference's Kafka topic."""
+    the file-transport stand-in for the reference's Kafka topic.
+
+    Read as ONE block so the parser's batch-local fallback offsets are
+    globally monotone (stream replay order and per-table beginOffset
+    depend on it; with multiple blocks each would restart at 0). A CDC
+    window dump is bounded by the increment window, so a single block
+    is fine; transports that carry REAL offsets (Kafka) should instead
+    put them in a column and pass ``offset_col`` to the parser."""
     import ray.data as rd
 
-    return rd.read_text(path)
+    return rd.read_text(path, override_num_blocks=1)

@@ -409,6 +409,12 @@ class PartitionDiff:
     diff_buckets: np.ndarray  # empty => clean partition (pruned)
     src_root: int = 0
     snk_root: int = 0
+    # buckets whose per-side ROW COUNTS differ: identical multisets
+    # always have equal bucket counts, so a non-empty value proves the
+    # partition dirty even when the key-level classify finds nothing
+    # (cross-key compensating duplicates: src=[a,a,b] vs snk=[a,b,b])
+    count_diff_buckets: np.ndarray = field(
+        default_factory=lambda: np.empty(0, dtype=np.int64))
 
 
 def compare_signatures(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
@@ -450,6 +456,7 @@ def compare_signatures(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
             diff_buckets=db,
             src_root=merkle.merkle_root(s_leaves),
             snk_root=merkle.merkle_root(k_leaves),
+            count_diff_buckets=cnt_diff.astype(np.int64),
         ))
     return out
 
@@ -611,10 +618,26 @@ def build_verdicts(table: str, diffs: list[PartitionDiff],
         dele = int((v["kind"] == "delete").sum()) if v is not None else 0
         # A partition can have zero key-level violations yet differing
         # row counts (duplicate-key multiplicity skew — the classify
-        # join collapses duplicates per key); that is still a failure.
-        rows_ok = d.src_rows == d.snk_rows
-        ok = rows_ok and ((len(d.diff_buckets) == 0)
-                          or (ins + upd + dele == 0))
+        # join collapses duplicates per key). Identical multisets have
+        # equal counts in EVERY bucket, so a count-differing bucket
+        # with no key-level violations proves the partition dirty even
+        # when partition totals coincide (cross-key compensating
+        # duplicates, src=[a,a,b] vs snk=[a,b,b] — round-2 review
+        # finding). Insert/delete violations legitimately change
+        # bucket counts, so count skew only fails a partition the
+        # classify could not explain.
+        # ... and a bucket whose SIGNATURE differs without any
+        # explaining violation is equally damning: identical multisets
+        # always produce identical signatures, so an unexplained
+        # mismatch means within-bucket multiplicity skew the key-level
+        # join cannot see (e.g. both keys share the bucket and the
+        # counts coincide too).
+        violated = ins + upd + dele > 0
+        blind_count_mismatch = (not violated) and (
+            d.src_rows != d.snk_rows
+            or len(d.count_diff_buckets) > 0
+            or len(d.diff_buckets) > 0)
+        ok = not violated and not blind_count_mismatch
         rec = {
             "table": table, "part": d.part,
             "rowCount": max(d.src_rows, d.snk_rows),
@@ -622,10 +645,19 @@ def build_verdicts(table: str, diffs: list[PartitionDiff],
             "insertTotal": ins, "updateTotal": upd, "deleteTotal": dele,
             "result": "success" if ok else "failed",
         }
-        if not rows_ok:
+        if blind_count_mismatch:
             count_mismatch_parts += 1
-            rec["message"] = (f"row count mismatch: src={d.src_rows} "
-                              f"snk={d.snk_rows}")
+            if d.src_rows != d.snk_rows:
+                rec["message"] = (f"row count mismatch: src={d.src_rows} "
+                                  f"snk={d.snk_rows}")
+            elif len(d.count_diff_buckets):
+                rec["message"] = (f"bucket row-count mismatch in "
+                                  f"{len(d.count_diff_buckets)} bucket(s) "
+                                  f"(duplicate multiplicity skew)")
+            else:
+                rec["message"] = (f"unexplained signature mismatch in "
+                                  f"{len(d.diff_buckets)} bucket(s) "
+                                  f"(duplicate multiplicity skew)")
         if v is not None and not ok:
             for kind, label in (("insert", "keyInsert"), ("update", "keyUpdate"),
                                 ("delete", "keyDelete")):

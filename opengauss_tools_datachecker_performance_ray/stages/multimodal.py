@@ -56,6 +56,10 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
     need = w * h * ch
     raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
     img = raw.reshape(h, w, ch)
+    if maxval != 255:
+        # low-depth netpbm (maxval < 255) stores samples in 0..maxval;
+        # rescale to full 8-bit intensity (round-2 review finding)
+        img = (img.astype(np.uint16) * 255 // maxval).astype(np.uint8)
     if ch == 1:
         img = np.repeat(img, 3, axis=2)
     return img

@@ -273,6 +273,12 @@ class TestMultimodal:
         assert img.shape == (2, 2, 3)
         assert img[1, 1, 0] == 255 and (img[0, 0] == 0).all()
 
+    def test_netpbm_low_maxval_rescaled(self):
+        """maxval < 255 samples rescale to full 8-bit intensity."""
+        payload = b"P5\n2 1\n15\n" + bytes([0, 15])
+        img = multimodal.decode_netpbm(payload)
+        assert img[0, 0, 0] == 0 and img[0, 1, 0] == 255
+
     def test_non_netpbm_without_pil_raises(self):
         dec = multimodal.ImageDecodeResize(
             multimodal.DecodeConfig(fake=False))

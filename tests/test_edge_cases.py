@@ -157,6 +157,32 @@ class TestTypedColumnCoverage:
                   if p["result"] == "failed"]
         assert failed and "row count mismatch" in failed[0]["message"]
 
+    def test_cross_key_compensating_duplicates_fail(self, ray_session,
+                                                    tmp_path):
+        """src=[a,a,b] vs snk=[a,b,b]: same values per key, equal
+        PARTITION totals, but per-bucket counts differ — must fail
+        (round-2 review finding: partition-total check alone passed)."""
+        src_t = pa.table({"k": ["a", "a", "b"], "v": ["1", "1", "2"]})
+        snk_t = pa.table({"k": ["a", "b", "b"], "v": ["1", "2", "2"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="crosskey")
+        assert res.summary["result"] == "failed"
+        assert res.summary["countMismatchPartitions"] >= 1
+        failed = [p for p in res.compare.partitions
+                  if p["result"] == "failed"]
+        assert any("mismatch" in p.get("message", "") for p in failed)
+
+    def test_row_rule_zero_count_empty(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+            apply_row_rule,
+        )
+
+        ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "c"]}))
+        out = apply_row_rule(ds, "k", offset=0, count=0)
+        assert out.count() == 0
+
     def test_odd_multiplicity_duplicate_detected(self, ray_session,
                                                  tmp_path):
         """1 vs 3 copies: signature ALSO cancels (x ^ x ^ x = x) —
