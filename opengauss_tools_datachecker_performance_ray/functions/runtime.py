@@ -48,6 +48,20 @@ def patch_ray_thread_import_race() -> None:
     _patched_http_check = True
 
 
+def run_concurrently(*thunks):
+    """Run driver-side thunks in parallel threads and return their
+    results in order. Concurrent Ray Data executions from one driver
+    share the streaming executor's resource scheduler — the pattern
+    that replaced union-based side pairing (measured in
+    stages/compare.py). Applies the fsspec import-race guard first."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    patch_ray_thread_import_race()
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def pin_worker_threads(n: int = 1) -> None:
     global _pinned
     if _pinned:

@@ -79,15 +79,20 @@ def stats_documents(sf_dir: str) -> pd.DataFrame:
 
     import pickle
 
-    parts = [pickle.loads(r["p"]) for r in
-             ds.map_batches(partial, batch_format="pyarrow").take_all()]
+    from ..functions.runtime import run_concurrently
+
+    # the scalar-partial scan and the distinct-count scan are
+    # independent — run them as concurrent driver executions
+    rows, distinct_doc = run_concurrently(
+        lambda: ds.map_batches(partial, batch_format="pyarrow").take_all(),
+        lambda: checks.exact_distinct_count(
+            _read(sf_dir, "documents", ["doc_id"]), "doc_id"))
+    parts = [pickle.loads(r["p"]) for r in rows]
     langs = set()
     for p in parts:
         langs |= p["langs"]
     mins = [p["min_chars"] for p in parts if p["min_chars"] is not None]
     maxs = [p["max_chars"] for p in parts if p["max_chars"] is not None]
-    distinct_doc = checks.exact_distinct_count(
-        _read(sf_dir, "documents", ["doc_id"]), "doc_id")
     return pd.DataFrame([{
         "cnt": sum(p["cnt"] for p in parts),
         "text_nonnull": sum(p["text_nonnull"] for p in parts),

@@ -83,7 +83,6 @@ def apply_row_rule(ds, key_column: str, offset: int, count: int):
     if hi is None:
         hi = keys_sorted.split_at_indices(
             [keys_sorted.count() - 1])[1].take_all()[0][key_column]
-    import pyarrow.compute as pc_  # noqa: F401
 
     def rng(batch):
         col = batch.column(key_column)
@@ -195,12 +194,10 @@ def validate_table_pair(src_path: str, snk_path: str,
     # afterwards (a union of materialized datasets is metadata-only;
     # materializing THROUGH a union serializes under backpressure at
     # low core counts — see stages/compare.partition_signatures_pair).
-    from concurrent.futures import ThreadPoolExecutor
-
     import numpy as np
     import pyarrow as pa
 
-    from ..functions.runtime import patch_ray_thread_import_race
+    from ..functions.runtime import run_concurrently
 
     def tag(flag: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -212,11 +209,9 @@ def validate_table_pair(src_path: str, snk_path: str,
         return digest_dataset(ds, dcfg, cfg.batch_size) \
             .map_batches(tag(flag), batch_format="pyarrow").materialize()
 
-    patch_ray_thread_import_race()
-    with ThreadPoolExecutor(2) as _ex:
-        _f_src = _ex.submit(side_digests, src, True)
-        _f_snk = _ex.submit(side_digests, snk, False)
-        both_d = _f_src.result().union(_f_snk.result())
+    _src_d, _snk_d = run_concurrently(lambda: side_digests(src, True),
+                                      lambda: side_digests(snk, False))
+    both_d = _src_d.union(_snk_d)
 
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None

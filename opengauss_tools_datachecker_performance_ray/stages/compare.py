@@ -359,11 +359,8 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
     row per partition reaches the driver, "auto" picks by
     ``DRIVER_SIGNATURE_MAX_PARTITIONS``.
     """
-    from concurrent.futures import ThreadPoolExecutor
+    from ..functions.runtime import run_concurrently
 
-    from ..functions.runtime import patch_ray_thread_import_race
-
-    patch_ray_thread_import_race()
     B = cfg.buckets_per_partition
     distributed = (mode == "distributed"
                    or (mode == "auto"
@@ -382,10 +379,8 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
                     if len(pdf) else pdf)
         return partials.to_pandas()
 
-    with ThreadPoolExecutor(2) as ex:
-        f_src = ex.submit(side_sigs, src, True)
-        f_snk = ex.submit(side_sigs, snk, False)
-        src_pdf, snk_pdf = f_src.result(), f_snk.result()
+    src_pdf, snk_pdf = run_concurrently(lambda: side_sigs(src, True),
+                                        lambda: side_sigs(snk, False))
     empty = pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
     if distributed:
         return (src_pdf if len(src_pdf) else empty.copy(),
@@ -565,15 +560,10 @@ def classify_differences(src_digests, snk_digests,
     if est_rows is not None and est_rows <= DRIVER_CLASSIFY_MAX_ROWS:
         # two concurrent executions (see partition_signatures_pair for
         # why not union) -> one driver-side vectorized merge
-        from concurrent.futures import ThreadPoolExecutor
+        from ..functions.runtime import run_concurrently
 
-        from ..functions.runtime import patch_ray_thread_import_race
-
-        patch_ray_thread_import_race()
-        with ThreadPoolExecutor(2) as ex:
-            f_s = ex.submit(src_f.to_pandas)
-            f_k = ex.submit(snk_f.to_pandas)
-            g = pd.concat([f_s.result(), f_k.result()], ignore_index=True)
+        g = pd.concat(run_concurrently(src_f.to_pandas, snk_f.to_pandas),
+                      ignore_index=True)
         if not len(g):
             return None
         out = _classify_frame(g)

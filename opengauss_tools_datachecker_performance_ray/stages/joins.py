@@ -40,6 +40,17 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(list(zip(s.names, s.types)))
 
 
+def _key_bucket(k, num_buckets: int) -> tuple[pa.Array, pa.Array]:
+    """Canonical (key array, int32 bucket = hash64(key) % B) pair —
+    the co-partitioning tag every join side applies."""
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    ks = k if pa.types.is_large_string(k.type) else \
+        k.cast(pa.string()).cast(pa.large_string())
+    kh = hash64(ks)
+    return k, pa.array((kh % np.uint64(num_buckets)).astype(np.int32))
+
+
 def asof_join(left, right, key: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
               num_buckets: int = 64, direction: str = "backward"):
@@ -61,15 +72,9 @@ def asof_join(left, right, key: str, left_ts: str, right_ts: str,
 
             pin_worker_threads()
             n = batch.num_rows
-            k = batch.column(key)
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            ks = k if pa.types.is_large_string(k.type) else \
-                k.cast(pa.string()).cast(pa.large_string())
-            kh = hash64(ks)
+            k, bucket = _key_bucket(batch.column(key), num_buckets)
             out = {key: k,
-                   "__bucket": pa.array(
-                       (kh % np.uint64(num_buckets)).astype(np.int32)),
+                   "__bucket": bucket,
                    "__is_left": pa.array(np.full(n, is_left)),
                    "__ts": batch.column(ts_col).cast(ts_type)}
             for c in left_cols:
@@ -159,19 +164,13 @@ def range_join(left, right, key: str, left_val: str,
 
         pin_worker_threads()
         n = batch.num_rows
-        k = batch.column(key)
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        ks = k if pa.types.is_large_string(k.type) else \
-            k.cast(pa.string()).cast(pa.large_string())
-        kh = hash64(ks)
+        k, bucket = _key_bucket(batch.column(key), num_buckets)
         v = batch.column(left_val).to_numpy(zero_copy_only=False)
         out = {key: k,
                "__lo": batch.column(left_val),  # point "interval"
                "__hi": batch.column(left_val),
                "__band": pa.array((v // band_width).astype(np.int64)),
-               "__bucket": pa.array(
-                   (kh % np.uint64(num_buckets)).astype(np.int32)),
+               "__bucket": bucket,
                "__is_left": pa.array(np.ones(n, dtype=bool))}
         for c in left_cols:
             out[f"__l_{c}"] = batch.column(c)
@@ -201,16 +200,12 @@ def range_join(left, right, key: str, left_val: str,
             starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
             offs = np.arange(total) - np.repeat(starts, reps)
             bands = lo_b[idx] + offs
-        kk = k.take(pa.array(idx))
-        ks = kk if pa.types.is_large_string(kk.type) else \
-            kk.cast(pa.string()).cast(pa.large_string())
-        kh = hash64(ks)
+        kk, bucket = _key_bucket(k.take(pa.array(idx)), num_buckets)
         out = {key: kk,
                "__lo": batch.column(right_lo).take(pa.array(idx)),
                "__hi": batch.column(right_hi).take(pa.array(idx)),
                "__band": pa.array(bands),
-               "__bucket": pa.array(
-                   (kh % np.uint64(num_buckets)).astype(np.int32)),
+               "__bucket": bucket,
                "__is_left": pa.array(np.zeros(len(idx), dtype=bool))}
         for c in left_cols:
             out[f"__l_{c}"] = pa.nulls(len(idx), type=ltypes[c])
