@@ -220,32 +220,40 @@ def validate_table_pair(src_path: str, snk_path: str,
             cmp.make_signature_partials_by_side_fn(dcfg),
             batch_format="pyarrow")
         B = dcfg.buckets_per_partition
-        empty_sigs = pd.DataFrame(
-            columns=["part", "rows", "root", "leaves", "counts"])
         if dcfg.num_partitions > cmp.DRIVER_SIGNATURE_MAX_PARTITIONS:
-            # large-partition route (see compare.partition_signatures_
-            # pair): groupby reduce in workers, one dense row per
-            # (partition, side) to the driver; progress streams per
-            # arriving PARTITION row instead of per digest slice
+            # large-partition route: groupby reduce in workers; the
+            # driver collects only the (part, rows, root, croot)
+            # scalars for every (partition, side) — the dense
+            # leaves/counts blobs stay in the object store and are
+            # fetched in a second filtered pass SOLELY for differing
+            # partitions (driver memory scales with the diff count,
+            # not the partition count). Progress streams per arriving
+            # PARTITION scalar row instead of per digest slice.
             reduced = partials.groupby(["part", "is_src"]).map_groups(
-                cmp._reduce_partition_by_side(B), batch_format="pandas")
+                cmp._reduce_partition_by_side(B),
+                batch_format="pandas").materialize()
             frames = []
             rows_seen = 0
-            for bt in reduced.iter_batches(batch_size=None,
-                                           batch_format="pandas"):
+            for bt in reduced.select_columns(
+                    ["part", "is_src", "rows", "root", "croot"]) \
+                    .iter_batches(batch_size=None, batch_format="pandas"):
                 frames.append(bt)
-                rows_seen += int(bt["rows"].sum())
+                # progress counts ONE side (SliceProgressService
+                # semantics — summing both sides doubled rowCount)
+                rows_seen += int(bt.loc[bt["is_src"], "rows"].sum())
                 if writer:
                     writer.slice_progress(table, rows_seen, len(frames))
-            pdf = (pd.concat(frames, ignore_index=True) if frames
-                   else pd.DataFrame())
-            if len(pdf):
-                src_sigs = pdf[pdf["is_src"]].drop(columns="is_src") \
-                    .sort_values("part").reset_index(drop=True)
-                snk_sigs = pdf[~pdf["is_src"]].drop(columns="is_src") \
-                    .sort_values("part").reset_index(drop=True)
-            else:
-                src_sigs = snk_sigs = empty_sigs
+            roots = (pd.concat(frames, ignore_index=True) if frames
+                     else pd.DataFrame(columns=["part", "is_src", "rows",
+                                                "root", "croot"]))
+            roots_s = roots[roots["is_src"]].drop(columns="is_src")
+            roots_k = roots[~roots["is_src"]].drop(columns="is_src")
+            dirty = cmp._dirty_parts(roots_s, roots_k)
+            blobs = cmp._fetch_blobs(reduced, dirty, extra_cols=("is_src",))
+            src_sigs = cmp._sparse_sig_frame(
+                roots_s, blobs[blobs["is_src"]] if len(blobs) else blobs)
+            snk_sigs = cmp._sparse_sig_frame(
+                roots_k, blobs[~blobs["is_src"]] if len(blobs) else blobs)
         else:
             # stream the partials back block-by-block so progress.log
             # grows DURING the table (per-slice cadence,
@@ -258,7 +266,12 @@ def validate_table_pair(src_path: str, snk_path: str,
             for bt in partials.iter_batches(batch_size=None,
                                             batch_format="pyarrow"):
                 frames.append(bt)
-                rows_seen += int(pc_.sum(bt.column("cnt")).as_py() or 0)
+                # count ONE side only (advisor round-2: summing both
+                # sides' cnt doubled rowCount/avgSpeed vs the
+                # reference's SliceProgressService semantics)
+                src_part = bt.filter(bt.column("is_src"))
+                rows_seen += int(pc_.sum(src_part.column("cnt")).as_py()
+                                 or 0)
                 if writer:
                     writer.slice_progress(table, rows_seen, len(frames))
             pdf = (pa.concat_tables(frames).to_pandas() if frames
@@ -269,7 +282,7 @@ def validate_table_pair(src_path: str, snk_path: str,
                 snk_sigs = cmp._merge_signature_partials(
                     pdf[~pdf["is_src"]], B)
             else:
-                src_sigs = snk_sigs = empty_sigs
+                src_sigs = snk_sigs = cmp.empty_sig_frame()
         if store:
             store.save_signatures("source", src_sigs,
                                   {"rows": src_meta.num_rows,

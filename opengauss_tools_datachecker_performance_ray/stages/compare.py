@@ -42,6 +42,31 @@ from .digest import DigestConfig, digest_dataset
 # (check/modules/check/CheckResultConstants.java:34).
 MAX_DISPLAY_KEYS = 100
 
+# Canonical signature-frame schema. ``croot`` is the Merkle root over
+# the per-bucket COUNT blob — a partition is provably clean iff
+# (rows, root, croot) all match, so the distributed route can decide
+# clean/dirty from these three scalars alone and fetch the dense
+# ``leaves``/``counts`` blobs ONLY for dirty partitions (sparse
+# frames: clean rows carry None blobs).
+SIG_COLUMNS = ["part", "rows", "root", "croot", "leaves", "counts"]
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+# root/croot of an all-empty partition, per bucket count (tiny cache).
+_EMPTY_ROOTS: dict[int, int] = {}
+
+
+def _empty_root(B: int) -> int:
+    r = _EMPTY_ROOTS.get(B)
+    if r is None:
+        r = merkle.merkle_root(np.zeros(B, dtype=np.uint64))
+        _EMPTY_ROOTS[B] = r
+    return r
+
+
+def empty_sig_frame() -> pd.DataFrame:
+    return pd.DataFrame(columns=SIG_COLUMNS)
+
 
 # --------------------------------------------------------------------------
 # Stage 1: per-batch sparse signature partials (inside map_batches)
@@ -90,6 +115,7 @@ def _reduce_partition(cfg_b: int):
             "part": [part],
             "rows": [int(cnt.sum())],
             "root": [np.uint64(merkle.merkle_root(sig))],
+            "croot": [np.uint64(merkle.merkle_root(cnt.view(np.uint64)))],
             "leaves": [sig.tobytes()],
             "counts": [cnt.astype(np.int64).tobytes()],
         })
@@ -188,11 +214,104 @@ def partition_signatures_distributed(digests, cfg: DigestConfig):
         _reduce_partition(cfg.buckets_per_partition), batch_format="pandas")
 
 
+def _dirty_parts(roots_src: pd.DataFrame,
+                 roots_snk: pd.DataFrame) -> np.ndarray:
+    """Partition ids whose (rows, root, croot) scalars differ between
+    sides — including partitions present on only one side (present
+    means rows > 0, so one-sided is always dirty). These are the ONLY
+    partitions whose dense blobs the driver ever needs."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        # nullable UInt64 so the outer merge never coerces 64-bit roots
+        # to float64 (same guard as _classify_frame's vhash columns)
+        return pd.DataFrame({
+            "part": df["part"].to_numpy(np.int64) if len(df) else
+            np.empty(0, np.int64),
+            "rows": pd.array(df["rows"].to_numpy(np.int64) if len(df)
+                             else [], dtype="Int64"),
+            "root": pd.array(df["root"].to_numpy(np.uint64) if len(df)
+                             else [], dtype="UInt64"),
+            "croot": pd.array(df["croot"].to_numpy(np.uint64) if len(df)
+                              else [], dtype="UInt64"),
+        })
+
+    m = norm(roots_src).merge(norm(roots_snk), on="part", how="outer",
+                              suffixes=("_s", "_k"))
+    same = ((m["rows_s"] == m["rows_k"])
+            & (m["root_s"] == m["root_k"])
+            & (m["croot_s"] == m["croot_k"]))
+    dirty = m.loc[~same.fillna(False).to_numpy(dtype=bool), "part"]
+    return np.sort(dirty.to_numpy(np.int64))
+
+
+def _fetch_blobs(reduced, dirty: np.ndarray,
+                 extra_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Second (tiny, filtered) pass over a materialized reduced-
+    signature Dataset: fetch leaves/counts blobs ONLY for the given
+    dirty partitions."""
+    cols = ["part", *extra_cols, "leaves", "counts"]
+    if not len(dirty):
+        return pd.DataFrame(columns=cols)
+    d = np.sort(np.asarray(dirty, dtype=np.int64))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy()
+        pos = np.minimum(np.searchsorted(d, part), len(d) - 1)
+        return batch.select(cols).filter(pa.array(d[pos] == part))
+
+    return reduced.map_batches(filt, batch_format="pyarrow").to_pandas()
+
+
+def _sparse_sig_frame(roots: pd.DataFrame,
+                      blobs: pd.DataFrame) -> pd.DataFrame:
+    """Assemble a sparse signature frame: every partition's scalars,
+    blobs only where fetched (None elsewhere)."""
+    out = roots[["part", "rows", "root", "croot"]].copy()
+    if len(blobs):
+        bl = blobs.set_index("part")
+        lv = out["part"].map(bl["leaves"])
+        ct = out["part"].map(bl["counts"])
+        out["leaves"] = lv.where(lv.notna(), None)
+        out["counts"] = ct.where(ct.notna(), None)
+    else:
+        out["leaves"] = None
+        out["counts"] = None
+    return out.sort_values("part").reset_index(drop=True)
+
+
+def collect_sparse_signature_pair(red_src, red_snk
+                                  ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Driver collection for the distributed signature route.
+
+    Only the (part, rows, root, croot) scalar columns come back for
+    every partition (~40 B each); the dense leaves/counts blobs
+    (8-16 KB each) are fetched in a second filtered pass SOLELY for
+    partitions whose scalars differ. Driver-resident signature bytes
+    therefore scale with the number of DIFFERING partitions, not the
+    partition count — the driver prunes the same way the Merkle
+    comparator does (``check/slice/SliceCheckWorker.java:243-261``).
+    Both inputs must be materialized Datasets of ``_reduce_partition``
+    rows.
+    """
+    from ..functions.runtime import run_concurrently
+
+    roots_cols = ["part", "rows", "root", "croot"]
+    roots_s, roots_k = run_concurrently(
+        lambda: red_src.select_columns(roots_cols).to_pandas(),
+        lambda: red_snk.select_columns(roots_cols).to_pandas())
+    dirty = _dirty_parts(roots_s, roots_k)
+    blobs_s, blobs_k = run_concurrently(
+        lambda: _fetch_blobs(red_src, dirty),
+        lambda: _fetch_blobs(red_snk, dirty))
+    return (_sparse_sig_frame(roots_s, blobs_s),
+            _sparse_sig_frame(roots_k, blobs_k))
+
+
 def _merge_signature_partials(pdf: pd.DataFrame, B: int) -> pd.DataFrame:
     """Driver-side XOR merge of sparse partials, vectorized with one
     global sort + ``reduceat`` over runs (ufunc.at is ~20x slower)."""
     if not len(pdf):
-        return pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
+        return empty_sig_frame()
     part = pdf["part"].to_numpy(np.int64)
     bucket = pdf["bucket"].to_numpy(np.int64)
     sig = pdf["sig"].to_numpy().astype(np.uint64)
@@ -217,6 +336,8 @@ def _merge_signature_partials(pdf: pd.DataFrame, B: int) -> pd.DataFrame:
         counts[ubuckets[s:e]] = ucnt[s:e]
         rows.append({"part": p, "rows": int(counts.sum()),
                      "root": np.uint64(merkle.merkle_root(leaves)),
+                     "croot": np.uint64(
+                         merkle.merkle_root(counts.view(np.uint64))),
                      "leaves": leaves.tobytes(),
                      "counts": counts.tobytes()})
     return pd.DataFrame(rows).sort_values("part").reset_index(drop=True)
@@ -355,8 +476,10 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
 
     ``mode``: "driver" collects the sparse partial rows for a driver
     XOR merge (no shuffle at all — right for small/medium partition
-    counts), "distributed" reduces via groupby(part) so only one dense
-    row per partition reaches the driver, "auto" picks by
+    counts), "distributed" reduces via groupby(part) and collects only
+    the per-partition (rows, root, croot) scalars, fetching dense
+    leaves/counts blobs solely for differing partitions (sparse
+    frames — see ``collect_sparse_signature_pair``), "auto" picks by
     ``DRIVER_SIGNATURE_MAX_PARTITIONS``.
     """
     from ..functions.runtime import run_concurrently
@@ -366,29 +489,29 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
                    or (mode == "auto"
                        and cfg.num_partitions > DRIVER_SIGNATURE_MAX_PARTITIONS))
 
-    def side_sigs(ds, side_flag: bool) -> pd.DataFrame:
-        partials = ds.map_batches(make_digest_partials_fn(cfg, side_flag),
-                                  batch_format="pyarrow",
-                                  batch_size=batch_size,
-                                  zero_copy_batch=True)
-        if distributed:
-            reduced = partials.groupby("part").map_groups(
-                _reduce_partition(B), batch_format="pandas")
-            pdf = reduced.to_pandas()
-            return (pdf.sort_values("part").reset_index(drop=True)
-                    if len(pdf) else pdf)
-        return partials.to_pandas()
+    def side_partials(ds, side_flag: bool):
+        return ds.map_batches(make_digest_partials_fn(cfg, side_flag),
+                              batch_format="pyarrow",
+                              batch_size=batch_size,
+                              zero_copy_batch=True)
 
-    src_pdf, snk_pdf = run_concurrently(lambda: side_sigs(src, True),
-                                        lambda: side_sigs(snk, False))
-    empty = pd.DataFrame(columns=["part", "rows", "root", "leaves", "counts"])
     if distributed:
-        return (src_pdf if len(src_pdf) else empty.copy(),
-                snk_pdf if len(snk_pdf) else empty.copy())
+        def side_reduced(ds, side_flag: bool):
+            return side_partials(ds, side_flag).groupby("part").map_groups(
+                _reduce_partition(B), batch_format="pandas").materialize()
+
+        red_src, red_snk = run_concurrently(
+            lambda: side_reduced(src, True),
+            lambda: side_reduced(snk, False))
+        return collect_sparse_signature_pair(red_src, red_snk)
+
+    src_pdf, snk_pdf = run_concurrently(
+        lambda: side_partials(src, True).to_pandas(),
+        lambda: side_partials(snk, False).to_pandas())
     src_sigs = _merge_signature_partials(src_pdf, B) if len(src_pdf) \
-        else empty.copy()
+        else empty_sig_frame()
     snk_sigs = _merge_signature_partials(snk_pdf, B) if len(snk_pdf) \
-        else empty.copy()
+        else empty_sig_frame()
     return src_sigs, snk_sigs
 
 
@@ -412,9 +535,42 @@ class PartitionDiff:
         default_factory=lambda: np.empty(0, dtype=np.int64))
 
 
+def _sig_scalar_arrays(sigs: pd.DataFrame, n: int, B: int):
+    """Align a (possibly sparse) signature frame to dense per-partition
+    scalar arrays + a blob lookup. Legacy frames without ``croot``
+    derive it from the counts blobs when present."""
+    rows = np.zeros(n, dtype=np.int64)
+    er = np.uint64(_empty_root(B))
+    root = np.full(n, er, dtype=np.uint64)
+    croot = np.full(n, er, dtype=np.uint64)
+    blob: dict[int, tuple] = {}
+    if len(sigs):
+        parts = sigs["part"].to_numpy(np.int64)
+        rows[parts] = sigs["rows"].to_numpy(np.int64)
+        root[parts] = sigs["root"].to_numpy(np.uint64)
+        counts = (list(sigs["counts"]) if "counts" in sigs.columns
+                  else [None] * len(sigs))
+        if "croot" in sigs.columns:
+            croot[parts] = sigs["croot"].to_numpy(np.uint64)
+        else:
+            croot[parts] = [
+                np.uint64(merkle.merkle_root(
+                    np.frombuffer(c, dtype=np.int64).view(np.uint64)))
+                if c is not None else er for c in counts]
+        for p, lv, ct in zip(parts, sigs["leaves"], counts):
+            blob[int(p)] = (lv, ct)
+    return rows, root, croot, blob
+
+
 def compare_signatures(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
                        cfg: DigestConfig) -> list[PartitionDiff]:
     """Per-partition Merkle compare; descends only into differing roots.
+
+    A partition is provably clean iff its (rows, root, croot) scalars
+    match — the compare is one vectorized pass over those arrays, and
+    the dense leaves/counts blobs are touched ONLY for dirty partitions
+    (which is why sparse frames from the distributed route, where clean
+    rows carry None blobs, compare without ever fetching them).
 
     A partition present on only one side compares against an empty
     leaf array (bucket alignment, ``SliceCheckWorker.java:410-452``).
@@ -422,35 +578,45 @@ def compare_signatures(src_sigs: pd.DataFrame, snk_sigs: pd.DataFrame,
     A bucket differs when EITHER its XOR signature OR its row count
     differs: duplicate-key multiplicities whose vhashes XOR-cancel
     (1 vs 3 copies, 2 vs 0) leave the signature unchanged but never
-    the count, so the count compare closes that blind spot. The dense
-    count blobs already sit next to the leaves in the signature frame
+    the count — ``croot`` (the Merkle root over the count blob)
+    carries that blind-spot detection into the scalar compare
     (advisor finding, round 1).
     """
     B = cfg.buckets_per_partition
-    src_by = {int(r.part): r for r in src_sigs.itertuples()}
-    snk_by = {int(r.part): r for r in snk_sigs.itertuples()}
-    empty = np.zeros(B, dtype=np.uint64)
-    empty_cnt = np.zeros(B, dtype=np.int64)
+    n = cfg.num_partitions
+    s_rows, s_root, s_croot, s_blob = _sig_scalar_arrays(src_sigs, n, B)
+    k_rows, k_root, k_croot, k_blob = _sig_scalar_arrays(snk_sigs, n, B)
+    dirty = ((s_root != k_root) | (s_croot != k_croot)
+             | (s_rows != k_rows))
+    zeros_u = np.zeros(B, dtype=np.uint64)
+    zeros_i = np.zeros(B, dtype=np.int64)
     out: list[PartitionDiff] = []
-    for p in range(cfg.num_partitions):
-        s, k = src_by.get(p), snk_by.get(p)
-        s_leaves = np.frombuffer(s.leaves, dtype=np.uint64) if s is not None else empty
-        k_leaves = np.frombuffer(k.leaves, dtype=np.uint64) if k is not None else empty
+    for p in range(n):
+        if not dirty[p]:
+            out.append(PartitionDiff(
+                part=p, src_rows=int(s_rows[p]), snk_rows=int(k_rows[p]),
+                diff_buckets=_EMPTY_I64,
+                src_root=int(s_root[p]), snk_root=int(k_root[p])))
+            continue
+        s_lv, s_ct = s_blob.get(p, (None, None))
+        k_lv, k_ct = k_blob.get(p, (None, None))
+        s_leaves = (np.frombuffer(s_lv, dtype=np.uint64)
+                    if s_lv is not None else zeros_u)
+        k_leaves = (np.frombuffer(k_lv, dtype=np.uint64)
+                    if k_lv is not None else zeros_u)
         db = merkle.diff_buckets(s_leaves, k_leaves)
-        s_cnt = (np.frombuffer(s.counts, dtype=np.int64)
-                 if s is not None and "counts" in src_sigs.columns else empty_cnt)
-        k_cnt = (np.frombuffer(k.counts, dtype=np.int64)
-                 if k is not None and "counts" in snk_sigs.columns else empty_cnt)
+        s_cnt = (np.frombuffer(s_ct, dtype=np.int64)
+                 if s_ct is not None else zeros_i)
+        k_cnt = (np.frombuffer(k_ct, dtype=np.int64)
+                 if k_ct is not None else zeros_i)
         cnt_diff = np.nonzero(s_cnt != k_cnt)[0]
         if len(cnt_diff):
             db = np.union1d(db, cnt_diff).astype(np.int64)
         out.append(PartitionDiff(
             part=p,
-            src_rows=int(s.rows) if s is not None else 0,
-            snk_rows=int(k.rows) if k is not None else 0,
+            src_rows=int(s_rows[p]), snk_rows=int(k_rows[p]),
             diff_buckets=db,
-            src_root=merkle.merkle_root(s_leaves),
-            snk_root=merkle.merkle_root(k_leaves),
+            src_root=int(s_root[p]), snk_root=int(k_root[p]),
             count_diff_buckets=cnt_diff.astype(np.int64),
         ))
     return out
@@ -726,8 +892,7 @@ def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
             src_sigs = _merge_signature_partials(pdf[pdf["is_src"]], B)
             snk_sigs = _merge_signature_partials(pdf[~pdf["is_src"]], B)
         else:
-            src_sigs = snk_sigs = pd.DataFrame(
-                columns=["part", "rows", "root", "leaves", "counts"])
+            src_sigs = snk_sigs = empty_sig_frame()
         diffs = compare_signatures(src_sigs, snk_sigs, cfg)
         est = estimate_diff_rows(src_sigs, snk_sigs, diffs, B)
         vio_ds = classify_differences_combined(both, diffs, cfg,

@@ -48,20 +48,33 @@ class CheckpointStore:
 
     def save_signatures(self, side: str, sigs: pd.DataFrame,
                         metrics: dict[str, Any] | None = None) -> None:
-        """Persist the per-partition signature frame for one side."""
+        """Persist the per-partition signature frame for one side.
+
+        Sparse frames (the distributed route: dense blobs present only
+        for partitions that differed) store the blob rows separately,
+        indexed by partition id, so receipt size also scales with the
+        diff count."""
         tmp = self._path(side) + ".tmp"
+        has_blob = [i for i, b in enumerate(sigs["leaves"])
+                    if b is not None] if len(sigs) else []
         np.savez_compressed(
             tmp,
             part=sigs["part"].to_numpy(np.int64),
             rows=sigs["rows"].to_numpy(np.int64),
             root=sigs["root"].to_numpy(np.uint64),
-            leaves=np.stack([np.frombuffer(b, dtype=np.uint64)
-                             for b in sigs["leaves"]])
-            if len(sigs) else np.empty((0, 0), dtype=np.uint64),
-            counts=np.stack([np.frombuffer(b, dtype=np.int64)
-                             for b in sigs["counts"]])
-            if len(sigs) and "counts" in sigs.columns
-            else np.empty((0, 0), dtype=np.int64),
+            croot=(sigs["croot"].to_numpy(np.uint64)
+                   if "croot" in sigs.columns and len(sigs)
+                   else np.empty(0, dtype=np.uint64)),
+            blob_part=sigs["part"].to_numpy(np.int64)[has_blob]
+            if len(sigs) else np.empty(0, dtype=np.int64),
+            leaves=np.stack([np.frombuffer(sigs["leaves"].iloc[i],
+                                           dtype=np.uint64)
+                             for i in has_blob])
+            if has_blob else np.empty((0, 0), dtype=np.uint64),
+            counts=np.stack([np.frombuffer(sigs["counts"].iloc[i],
+                                           dtype=np.int64)
+                             for i in has_blob])
+            if has_blob else np.empty((0, 0), dtype=np.int64),
         )
         # numpy appends .npz to the tmp name
         os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
@@ -75,18 +88,23 @@ class CheckpointStore:
         if not os.path.exists(path):
             return None
         z = np.load(path)
-        if "counts" not in z.files or (len(z["part"])
-                                       and not z["counts"].size):
-            return None  # pre-counts receipt format: recompute
+        if "croot" not in z.files or (len(z["part"]) and not z["croot"].size):
+            return None  # pre-croot receipt format: recompute
+        n = len(z["part"])
+        blob_of = {int(p): i for i, p in enumerate(z["blob_part"])}
         leaves = z["leaves"]
         counts = z["counts"]
         return pd.DataFrame({
             "part": z["part"].astype(int),
             "rows": z["rows"].astype(int),
             "root": z["root"],
-            "leaves": [leaves[i].tobytes() for i in range(len(z["part"]))],
-            "counts": [counts[i].tobytes() for i in range(len(z["part"]))],
-        })
+            "croot": z["croot"],
+            "leaves": [leaves[blob_of[int(p)]].tobytes()
+                       if int(p) in blob_of else None for p in z["part"]],
+            "counts": [counts[blob_of[int(p)]].tobytes()
+                       if int(p) in blob_of else None for p in z["part"]],
+        }) if n else pd.DataFrame(
+            columns=["part", "rows", "root", "croot", "leaves", "counts"])
 
     def save_verdicts(self, verdicts: list[dict[str, Any]]) -> None:
         tmp = os.path.join(self.dir, "verdicts.json.tmp")
