@@ -656,47 +656,22 @@ FROM feat WHERE n_tokens BETWEEN 5 AND 10000 GROUP BY lang
 """
 
 
-def minhash_lsh_candidates(sf_dir: str) -> pd.DataFrame:
+def minhash_lsh_candidates(sf_dir: str):
     """MinHash-LSH near-dup candidate PAIRS: shingle -> minhash ->
     band-bucket groupby -> within-bucket pairs. Rows-only (no SQL
-    oracle for LSH)."""
+    oracle for LSH).
+
+    Pairs arrive EXACTLY-ONCE from the stage (first-matching-band
+    suppression inside the group reduce, ``stages/dedup.py``), so no
+    driver-side dedup happens — the result streams back as a Dataset
+    (round-2 verdict #2). ``verify_threshold=0`` keeps every candidate
+    (this query reports the raw LSH candidate set)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def bands(batch: pa.Table) -> pa.Table:
-        texts = pd.Series(batch.column("text").to_pylist())
-        di, sh = textfn.shingle_hashes(texts, k=5)
-        sig = textfn.minhash_signatures(di, sh, len(texts), num_perm=64)
-        keys = textfn.lsh_band_keys(sig, bands=16)
-        n, b = keys.shape
-        return pa.table({
-            "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
-            "bkey": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
-            "doc_id": pa.array(np.repeat(
-                batch.column("doc_id").to_numpy(), b)),
-        })
-
-    exploded = ds.map_batches(bands, batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.dedup import DEFAULT_MAX_GROUP_SIZE, _star_note
-
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64)})
-        if len(ids) > DEFAULT_MAX_GROUP_SIZE:
-            # boilerplate bucket: O(n) star vs representative (same
-            # group-size discipline as stages/dedup.py)
-            _star_note("minhash_lsh_candidates", len(ids))
-            return pd.DataFrame({"a": np.repeat(ids[0], len(ids) - 1),
-                                 "b": ids[1:]})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
-
-    cand = exploded.groupby(["band", "bkey"]).map_groups(
-        pairs, batch_format="pandas")
-    df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    return df
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", k=5, num_perm=64,
+                              bands=16, verify_threshold=0.0)
+    return pairs.select_columns(["a", "b"])
 
 
 def simhash_documents(sf_dir: str) -> pd.DataFrame:

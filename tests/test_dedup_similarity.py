@@ -104,10 +104,73 @@ class TestGroupCaps:
         out = dedup.minhash_lsh_pairs(
             rd.from_pandas(df), "doc_id", "text",
             max_group_size=256).to_pandas()
-        # each band bucket emits the star; identical docs -> sim 1.0
+        # each band bucket star-matches, but first-matching-band
+        # suppression keeps ONE row per pair even through capped groups
         assert (out["sim_est"] == 1.0).all()
         assert (out["a"] == 0).all()
         assert set(out["b"]) == set(range(1, n))
+        assert len(out) == n - 1
+
+    def test_minhash_exactly_once_across_bands(self, docs_ds):
+        """Round-2 verdict #2: exact dups match in EVERY band; the
+        stage output (a Dataset, no driver-side dedup) must still carry
+        exactly one row per pair."""
+        ds, _ = docs_ds
+        out = dedup.minhash_lsh_pairs(ds, "doc_id", "text", k=3,
+                                      verify_threshold=0.0).to_pandas()
+        assert not out.duplicated(["a", "b"]).any()
+        pairs = {(int(r.a), int(r.b)) for r in out.itertuples()}
+        assert (0, 10) in pairs and (2, 12) in pairs
+
+    def test_minhash_capped_group_no_pair_loss(self, ray_session):
+        """Round-2 advisor: a pair whose FIRST matching band lands in a
+        star-capped group (not involving the rep) must be re-emitted by
+        a later matching band — exactly once, not lost."""
+        import ray.data as rd
+
+        n = 600
+        boiler = "common boilerplate words repeated across the corpus " * 3
+        texts = [boiler] * n
+        # two IDENTICAL variants sharing most shingles with the cluster:
+        # several bands co-group them with the capped cluster (star drops
+        # the pair there), other bands group them alone (emit)
+        variant = boiler + " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+        texts += [variant, variant]
+        df = pd.DataFrame({"doc_id": np.arange(n + 2, dtype=np.int64),
+                           "text": texts})
+        ds = rd.from_pandas(df)
+        capped = dedup.minhash_lsh_pairs(
+            ds, "doc_id", "text", max_group_size=256).to_pandas()
+        vp = capped[(capped["a"] == n) & (capped["b"] == n + 1)]
+        assert len(vp) == 1          # found, exactly once
+        assert (vp["sim_est"] == 1.0).all()
+        assert not capped.duplicated(["a", "b"]).any()
+        # sanity: the construction really does co-group the variants
+        # with the capped cluster in at least one band (else this test
+        # exercises nothing) — the variants' sim_est vs rep 0 is high
+        star = capped[(capped["a"] == 0) & (capped["b"] >= n)]
+        assert len(star) == 2
+
+    def test_simhash_capped_rotation_no_pair_loss(self, ray_session):
+        """Round-2 advisor: with rotations>1, a match inside a capped
+        prefix group must not suppress later rotations' emission."""
+        import ray.data as rd
+
+        n = 600
+        boiler = "shared footer text on every page of the site " * 4
+        variant = boiler + " unique trailing tokens alpha beta gamma"
+        texts = [boiler] * n + [variant, variant]
+        df = pd.DataFrame({"doc_id": np.arange(n + 2, dtype=np.int64),
+                           "text": texts})
+        ds = rd.from_pandas(df)
+        out = dedup.simhash_near_duplicates(
+            ds, "doc_id", "text", max_hamming=3, rotations=4,
+            max_group_size=256).to_pandas()
+        vp = out[(out["a"] == n) & (out["b"] == n + 1)]
+        # identical variants: hamming 0, present at least once (capped
+        # groups may duplicate — bounded duplication beats silent loss)
+        assert len(vp) >= 1
+        assert (vp["hamming"] == 0).all()
 
     def test_embedding_capped_cluster_star(self, ray_session):
         import ray.data as rd
