@@ -49,8 +49,27 @@ _AVRO_UNION_KEYS = frozenset(
     {"string", "int", "long", "float", "double", "boolean", "bytes"})
 
 
-def _unwrap(v: Any) -> Any:
-    """Unwrap Avro-JSON union / named-record single-key wrappers."""
+def _unwrap_record(v: Any) -> tuple[Any, bool]:
+    """Unwrap the Avro named-record envelope form
+    ``{"db.table.Value": {...}}`` (single dotted key, dict value) and
+    report whether it was present — the presence of this form is the
+    per-event Avro-JSON sniff. A plain-JSON row whose single column is
+    literally named ``a.b`` has a scalar value, not a dict, so it is
+    NOT unwrapped (advisor finding, round 2: the old any-dotted-key
+    rule mangled such rows and dropped one-column tables whose column
+    was named after an Avro primitive)."""
+    if isinstance(v, dict) and len(v) == 1:
+        k = next(iter(v))
+        if "." in k and isinstance(v[k], dict):
+            return v[k], True
+    return v, False
+
+
+def _unwrap_union(v: Any) -> Any:
+    """Unwrap Avro-JSON union wrappers (``{"string": x}``,
+    ``{"long": x}``, confluent named defaults). Applied ONLY when the
+    event is known to be Avro-JSON — opt-in via ``parse_event(avro=)``
+    or sniffed from the named-record envelope."""
     while isinstance(v, dict) and len(v) == 1:
         k = next(iter(v))
         if k in _AVRO_UNION_KEYS or "." in k:
@@ -67,9 +86,16 @@ def decompress_local_date(compress_date: int) -> str:
             + datetime.timedelta(days=int(compress_date))).isoformat()
 
 
-def parse_event(line: str) -> dict | None:
+def parse_event(line: str, avro: bool | None = None) -> dict | None:
     """One raw change-event JSON -> {table, op, ts_ms, data} or None
-    for tombstones / unparseable records (logged upstream)."""
+    for tombstones / unparseable records (logged upstream).
+
+    ``avro`` selects the Avro-JSON union-unwrapping dialect
+    (``DebeziumAvroHandler`` vs ``DebeziumStringHandler``): ``None``
+    sniffs per event from the named-record ``{"db.table.Value": {...}}``
+    envelope, ``True``/``False`` pin it for transports whose dialect is
+    known. Plain-JSON events never have field values union-unwrapped,
+    so a column named ``string``/``long``/``a.b`` survives intact."""
     try:
         rec = json.loads(line)
     except (json.JSONDecodeError, TypeError):
@@ -79,25 +105,40 @@ def parse_event(line: str) -> dict | None:
     payload = rec.get("payload", rec)  # schema+payload envelope or flat
     if not isinstance(payload, dict):
         return None
-    before = _unwrap(payload.get("before"))
-    after = _unwrap(payload.get("after"))
+    before, b_avro = _unwrap_record(payload.get("before"))
+    after, a_avro = _unwrap_record(payload.get("after"))
+    is_avro = avro if avro is not None else (a_avro or b_avro)
     data = after if after is not None else before
     if not isinstance(data, dict):
         return None
-    source = _unwrap(payload.get("source")) or {}
-    table = _unwrap(source.get("table")) if isinstance(source, dict) else None
+    source = payload.get("source")
+    if is_avro:
+        source = _unwrap_union(source)
+    table = None
+    if isinstance(source, dict):
+        table = source.get("table")
+        if is_avro:
+            table = _unwrap_union(table)
     op = payload.get("op")
-    ts = _unwrap(payload.get("ts_ms"))
+    ts = _unwrap_union(payload.get("ts_ms")) if is_avro \
+        else payload.get("ts_ms")
+    if is_avro:
+        data = {k: _unwrap_union(v) for k, v in data.items()}
+    try:
+        ts = int(ts) if ts is not None else None
+    except (TypeError, ValueError):  # non-integer transport timestamp
+        ts = None
     return {"table": str(table) if table is not None else "",
             "op": str(op) if op is not None else "",
-            "ts_ms": int(ts) if ts is not None else None,
-            "data": {k: _unwrap(v) for k, v in data.items()}}
+            "ts_ms": ts,
+            "data": data}
 
 
 def make_event_parser(key_columns: dict[str, list[str]],
                       date_columns: dict[str, list[str]] | None = None,
                       line_col: str = "text",
-                      offset_col: str | None = None):
+                      offset_col: str | None = None,
+                      avro: bool | None = None):
     """map_batches fn: raw-JSON-line batch -> (table, key, op, offset,
     ts_ms) rows. ``key_columns`` maps table -> PK column list (the
     catalog's primaryMetas analog); events for unknown tables pass
@@ -116,7 +157,7 @@ def make_event_parser(key_columns: dict[str, list[str]],
                    else range(len(lines)))
         out = {"table": [], "key": [], "op": [], "offset": [], "ts_ms": []}
         for off, line in zip(offsets, lines):
-            ev = parse_event(line)
+            ev = parse_event(line, avro=avro)
             if ev is None:
                 continue
             table = ev["table"]
@@ -145,10 +186,12 @@ def make_event_parser(key_columns: dict[str, list[str]],
 def parse_change_events(ds, key_columns: dict[str, list[str]],
                         date_columns: dict[str, list[str]] | None = None,
                         line_col: str = "text",
-                        offset_col: str | None = None):
+                        offset_col: str | None = None,
+                        avro: bool | None = None):
     """Dataset of raw JSON lines -> Dataset of parsed change-key rows."""
     return ds.map_batches(
-        make_event_parser(key_columns, date_columns, line_col, offset_col),
+        make_event_parser(key_columns, date_columns, line_col, offset_col,
+                          avro),
         batch_format="pyarrow")
 
 

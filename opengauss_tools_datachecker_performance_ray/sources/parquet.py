@@ -90,8 +90,15 @@ def hash_class(t: pa.DataType) -> str:
         return hash_class(t.value_type)
     if pa.types.is_boolean(t):
         return "int"  # bool casts through int8 -> int64 (True == 1)
+    if pa.types.is_uint64(t):
+        # uint64 hashes its RAW bits (it cannot cast to int64), so
+        # int64 -1 and uint64 2^64-1 would digest identically — a
+        # signed/unsigned BIGINT pair with values outside the shared
+        # [0, 2^63) range must fail structure_check up front rather
+        # than report a false 'success' (advisor finding, round 2).
+        return "uint64"
     if pa.types.is_integer(t) and t.bit_width <= 64:
-        return "int"  # all widths cast losslessly; uint64 shares bits
+        return "int"  # remaining widths cast losslessly to int64
     if pa.types.is_float16(t):
         return "other:halffloat"  # canonical string path, not raw bits
     if pa.types.is_floating(t):

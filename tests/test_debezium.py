@@ -55,6 +55,36 @@ class TestParseEvent:
         assert ev["data"] == {"id": 5, "k": 10}
         assert ev["ts_ms"] == 99
 
+    def test_plain_json_primitive_named_column_survives(self):
+        """Advisor (round 2): a one-column table whose column is named
+        'string' / 'long' must NOT be treated as an Avro union wrapper
+        — the event used to be silently dropped."""
+        ev = debezium.parse_event(_plain("t", "c", after={"string": "7"}))
+        assert ev is not None
+        assert ev["data"] == {"string": "7"}
+        ev = debezium.parse_event(_plain("t", "c", after={"long": 5}))
+        assert ev["data"] == {"long": 5}
+
+    def test_plain_json_dotted_column_not_mangled(self):
+        """A column literally named 'a.b' keeps its value in plain
+        JSON; only the Avro named-record (dict-valued) form unwraps."""
+        ev = debezium.parse_event(_plain("t", "u", after={"a.b": "v1"}))
+        assert ev["data"] == {"a.b": "v1"}
+
+    def test_avro_flag_pins_dialect(self):
+        # field values union-wrapped but NO named-record envelope: the
+        # sniff sees plain JSON, so only an explicit avro=True unwraps
+        line = json.dumps({"before": None,
+                           "after": {"id": 5, "k": {"long": 10}},
+                           "source": {"table": {"string": "t"}},
+                           "op": "c", "ts_ms": {"long": 99}})
+        ev = debezium.parse_event(line, avro=True)
+        assert ev["data"] == {"id": 5, "k": 10}
+        assert ev["table"] == "t" and ev["ts_ms"] == 99
+        # default (sniff) keeps the literal dict values — plain JSON
+        ev = debezium.parse_event(line)
+        assert ev["data"] == {"id": 5, "k": {"long": 10}}
+
     def test_garbage_returns_none(self):
         assert debezium.parse_event("not json") is None
         assert debezium.parse_event('"just a string"') is None

@@ -246,6 +246,21 @@ class TestTypedColumnCoverage:
         assert res.structure["structureResult"] == "failed"
         assert any("v:" in m for m in res.structure["typeMismatches"])
 
+    def test_structure_signed_unsigned_bigint_fails_fast(self, ray_session,
+                                                         tmp_path):
+        """int64 -1 and uint64 2^64-1 share raw bits, so data compare
+        would report a false 'success' — the pair must fail
+        structure_check instead (advisor finding, round 2)."""
+        src_t = pa.table({"k": ["a", "b"],
+                          "v": pa.array([-1, 6], pa.int64())})
+        snk_t = pa.table({"k": ["a", "b"],
+                          "v": pa.array([2**64 - 1, 6], pa.uint64())})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        res = validate_table_pair(src, snk, CFG, table="signmix")
+        assert res.summary["result"] == "failed"
+        assert res.structure["structureResult"] == "failed"
+        assert any("v:" in m for m in res.structure["typeMismatches"])
+
     def test_structure_compatible_widths_pass(self, ray_session, tmp_path):
         """int32 vs int64 share a hash class (lossless cast) — equal
         values compare equal across the width difference."""

@@ -297,7 +297,7 @@ class TestGoldenDigests:
         })
 
     def test_row_hash_pinned(self):
-        # pinned for DIGEST_VERSION hv4-xxhash-polars (string columns
+        # pinned for DIGEST_VERSION hv5-xxhash-nested (string columns
         # hash via polars xxHash; numeric fast path unchanged)
         h = hashing.row_hash(self._table())
         assert [int(x) for x in h] == [
