@@ -130,8 +130,36 @@ def exact_distinct_count(ds, col: str, num_buckets: int = 64,
 # ---------------------------------------------------------------------------
 
 
+def _estimate_key_bytes(parent, parent_key: str, n_parent: int) -> int:
+    """Estimated driver/object-store footprint of the broadcast parent
+    key array. Fixed-width types cost 8 bytes/row; variable-width keys
+    are estimated from a bounded sample's mean length plus the ~56-byte
+    per-element overhead an object-dtype numpy array of Python strings
+    carries (the broadcast form — it does NOT zero-copy from plasma,
+    every task ray.get materializes it)."""
+    try:
+        sch = parent.schema()
+        t = dict(zip(sch.names, sch.types))[parent_key]
+    except Exception:
+        t = None
+    if t is not None and isinstance(t, pa.DataType):
+        try:
+            if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                    or pa.types.is_temporal(t) or pa.types.is_boolean(t):
+                return 8 * n_parent
+        except Exception:
+            pass
+    sample = parent.select_columns([parent_key]).limit(10_000).to_pandas()
+    s = sample[parent_key].dropna()
+    if not len(s):
+        return 8 * n_parent
+    avg = float(s.astype(str).str.len().mean()) + 56.0
+    return int(avg * n_parent)
+
+
 def referential_violations(child, child_key: str, parent, parent_key: str,
                            broadcast_threshold: int = 50_000_000,
+                           broadcast_bytes_budget: int = 256 * 2**20,
                            batch_size: int | None = 65536):
     """Child rows whose FK value has no matching parent key (dangling
     references), as a Dataset of (child_key_value,) rows.
@@ -140,12 +168,16 @@ def referential_violations(child, child_key: str, parent, parent_key: str,
     collected + broadcast via ``ray.put`` when small (one object-store
     copy shared by every task — never re-shipped per batch); the
     hash-partitioned path for giant parents lives in
-    ``referential_violations_partitioned``.
+    ``referential_violations_partitioned``. The broadcast decision is
+    BYTE-aware, not just row-aware (round-2 verdict #3): 50M wide
+    string keys are gigabytes as an object-dtype array, so a sampled
+    per-key byte estimate must also fit ``broadcast_bytes_budget``.
     """
     import ray
 
     n_parent = parent.count()
-    if n_parent <= broadcast_threshold:
+    if n_parent <= broadcast_threshold and _estimate_key_bytes(
+            parent, parent_key, n_parent) <= broadcast_bytes_budget:
         keys = parent.select_columns([parent_key]).unique(parent_key)
         # a null parent key matches nothing (SQL semantics, same as the
         # child side) — and None poisons the object-dtype sort below
@@ -253,10 +285,16 @@ def psi(expected: TopCounter | dict, actual: TopCounter | dict) -> float:
     return float(val)
 
 
+# Above this many (batch, group) partial blobs the driver fold becomes
+# the bottleneck — auto-route to the distributed per-group fold (the
+# scaled_bits / DRIVER_SIGNATURE_MAX_PARTITIONS pattern, verdict #4).
+DRIVER_DRIFT_MAX_PARTIALS = 65_536
+
+
 def drift_by_group(ds, group_col: str, value_cols: list[str],
                    ks_threshold: float = 0.1, psi_threshold: float = 0.25,
                    batch_size: int | None = 65536,
-                   merge_distributed: bool = False) -> pd.DataFrame:
+                   merge_distributed: bool | None = None) -> pd.DataFrame:
     """Per-partition drift: each group's distribution vs the global one.
 
     North-rule "KS/PSI distribution-drift tests per partition": one
@@ -269,10 +307,15 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     groupby over the tiny partial blobs folds each group's partials in
     a worker, so the driver receives ONE merged blob per group instead
     of one per (batch, group) — at 10^6 partitions x 10^4 blocks the
-    driver-side fold would otherwise bottleneck. Exact fields
-    (count/null/min/max/categorical counts) merge identically; the
-    t-digest's centroid compression is merge-order-sensitive, so KS
-    values agree only to sketch tolerance (verified by test).
+    driver-side fold would otherwise bottleneck. The default ``None``
+    AUTO-routes: the materialized partial count beyond
+    ``DRIVER_DRIFT_MAX_PARTIALS`` engages the distributed fold
+    (round-2 verdict #4). Exact fields (count/null/min/max/categorical
+    counts) merge identically; the t-digest's centroid compression is
+    merge-order-sensitive, so KS values agree only to sketch tolerance
+    (verified by test). The driver fold itself streams via
+    ``iter_batches`` with incremental per-group merging — no
+    ``take_all`` of every blob at once.
     """
     import pickle
 
@@ -294,7 +337,9 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
                          "partial": pa.array(blobs, type=pa.large_binary())})
 
     partial_ds = ds.map_batches(partials, batch_format="pyarrow",
-                                batch_size=batch_size)
+                                batch_size=batch_size).materialize()
+    if merge_distributed is None:
+        merge_distributed = partial_ds.count() > DRIVER_DRIFT_MAX_PARTIALS
     if merge_distributed:
         def fold_group(g: pd.DataFrame) -> pd.DataFrame:
             merged_prof = merge_partials([bytes(b) for b in g["partial"]])
@@ -303,11 +348,17 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
 
         partial_ds = partial_ds.groupby("group").map_groups(
             fold_group, batch_format="pandas")
-    rows = partial_ds.take_all()
-    by_group: dict[str, list[bytes]] = {}
-    for r in rows:
-        by_group.setdefault(r["group"], []).append(r["partial"])
-    merged = {g: merge_partials(bs) for g, bs in by_group.items()}
+    # streamed driver fold: one batch of blobs in flight, merged
+    # incrementally per group (blob count here is either <= the auto
+    # bound or one per group after the distributed fold)
+    merged: dict[str, dict] = {}
+    for b in partial_ds.iter_batches(batch_format="pandas",
+                                     batch_size=4096):
+        for g, blob in zip(b["group"], b["partial"]):
+            profs = pickle.loads(bytes(blob))
+            cur = merged.setdefault(str(g), {})
+            for name, p in profs.items():
+                cur[name] = cur[name].merge(p) if name in cur else p
     global_prof = None
     for g, profs in merged.items():
         for name, p in profs.items():

@@ -1226,31 +1226,44 @@ FROM events GROUP BY user_id, hour_bucket
 """
 
 
-def events_sessionization(sf_dir: str):
-    """Sessionization (30-min inactivity gap): per-user sorted-by-ts
+def sessionize_events(ds, gap_us: int = 30 * 60 * 1_000_000):
+    """Sessionization (inactivity-gap sessions): per-user sorted-by-ts
     session assignment inside ``groupby(user).map_groups`` — the
     within-group sort provides the event-time ordering Ray Data lacks.
     Returns one row per (user_id, session_id) with event count and
-    session start. Partitioning assumption: one user's events fit one
-    group (hash-partitioned by user_id)."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    session start.
 
-    GAP_US = 30 * 60 * 1_000_000
+    Partitioning assumption: one user's events fit one group
+    (hash-partitioned by user_id). The in-group kernel is guarded for
+    pathological users (round-2 verdict #10): pure int64 numpy
+    (lexsort + diff + segment counts), no pandas sort/groupby copies —
+    peak memory is ~3 int64 arrays of the group, so a 500k-event user
+    costs ~12 MB and a 100M-event user ~2.4 GB (one worker's heap, the
+    documented ceiling; beyond that, pre-split by coarse time slice
+    and stitch sessions at slice boundaries)."""
+    GAP = np.int64(gap_us)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
         us = g["ts"].astype("int64").to_numpy()
-        new_session = np.r_[True, np.diff(us) > GAP_US]
-        sid = np.cumsum(new_session) - 1
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                            "session_id": sid})
-        agg = out.groupby("session_id", sort=True).agg(
-            user_id=("user_id", "first"), n_events=("session_id", "size"))
-        agg["session_start_us"] = us[np.flatnonzero(new_session)]
-        return agg.reset_index()[["user_id", "session_id", "n_events",
-                                  "session_start_us"]]
+        order = np.lexsort((g["event_id"].to_numpy(), us))
+        us = us[order]
+        new_session = np.r_[True, np.diff(us) > GAP]
+        starts = np.flatnonzero(new_session)
+        counts = np.diff(np.r_[starts, len(us)])
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], len(starts)),
+            "session_id": np.arange(len(starts), dtype=np.int64),
+            "n_events": counts.astype(np.int64),
+            "session_start_us": us[starts]})
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def events_sessionization(sf_dir: str):
+    """Sessionization (30-min inactivity gap) over the events table —
+    see ``sessionize_events``."""
+    return sessionize_events(_read(sf_dir, "events",
+                                   ["user_id", "ts", "event_id"]))
 
 
 EVENTS_SESSIONIZATION_SQL = """

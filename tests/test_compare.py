@@ -131,6 +131,40 @@ class TestComparePipeline:
         assert normal.summary["totalRepair"] == routed.summary["totalRepair"]
         assert normal.summary["rowCount"] == routed.summary["rowCount"]
 
+    def test_large_partition_count_auto_engages_distributed(
+            self, pages_fixture):
+        """Round-2 verdict #9: a partition count beyond the 1024 driver
+        bound (partition_capacity=2 on 3000 rows -> 1501 partitions)
+        must auto-engage the distributed signature route — no
+        monkeypatch — and match the driver route's verdicts exactly."""
+        base, exp = pages_fixture
+        driver_cfg = ValidationConfig(key_columns=("url",),
+                                      check_drift=False,
+                                      check_uniqueness=False)
+        auto_cfg = ValidationConfig(key_columns=("url",),
+                                    check_drift=False,
+                                    check_uniqueness=False,
+                                    partition_capacity=2)
+        drv = validate_table_pair(f"{base}/pages_source",
+                                  f"{base}/pages_sink", driver_cfg,
+                                  table="pages")
+        auto = validate_table_pair(f"{base}/pages_source",
+                                   f"{base}/pages_sink", auto_cfg,
+                                   table="pages")
+        a = drv.compare.violations.sort_values(["key", "kind"]) \
+            .reset_index(drop=True)
+        b = auto.compare.violations.sort_values(["key", "kind"]) \
+            .reset_index(drop=True)
+        assert list(a["key"]) == list(b["key"])
+        assert list(a["kind"]) == list(b["kind"])
+        assert drv.summary["totalRepair"] == auto.summary["totalRepair"]
+        # rowCount sums per-partition max(src, snk), so it legitimately
+        # grows with partition count when inserts and deletes land in
+        # different partitions (each inflates its own partition's max)
+        drift = auto.summary["rowCount"] - drv.summary["rowCount"]
+        assert 0 <= drift <= len(exp["insert_keys"]) + \
+            len(exp["delete_keys"])
+
     def test_signature_pair_distributed_mode_matches_driver(self,
                                                             ray_session):
         """The large-partition-count signature route (groupby reduce,
@@ -419,6 +453,30 @@ class TestComparePipeline:
         assert np.allclose(a["psi"].fillna(-1), b["psi"].fillna(-1),
                            atol=1e-9)
         assert set(a.loc[a["result"] == "failed", "grp"]) == {"g3"}
+
+    def test_drift_auto_routes_distributed_on_many_partials(
+            self, ray_session, monkeypatch):
+        """Round-2 verdict #4: with the partial-blob count beyond the
+        driver bound, the default (merge_distributed=None) must take
+        the distributed fold and still produce the same verdicts."""
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "grp": rng.choice([f"g{i}" for i in range(10)], 8000),
+            "v": rng.normal(0, 1, 8000)})
+        df.loc[df["grp"] == "g5", "v"] += 30
+        ds = rd.from_pandas(df).repartition(8).materialize()
+        base = checks.drift_by_group(ds, "grp", ["v"],
+                                     merge_distributed=False)
+        monkeypatch.setattr(checks, "DRIVER_DRIFT_MAX_PARTIALS", 1)
+        auto = checks.drift_by_group(ds, "grp", ["v"])  # auto -> distributed
+        key = ["grp", "column"]
+        base = base.sort_values(key).reset_index(drop=True)
+        auto = auto.sort_values(key).reset_index(drop=True)
+        assert list(base["result"]) == list(auto["result"])
+        assert set(auto.loc[auto["result"] == "failed", "grp"]) == {"g5"}
 
     def test_fixture_regenerate_clears_stale_shards(self, tmp_path):
         """Regenerating a fixture dir under a different spec must not

@@ -246,6 +246,43 @@ class TestTypedColumnCoverage:
         assert res.structure["structureResult"] == "failed"
         assert any("v:" in m for m in res.structure["typeMismatches"])
 
+    def test_referential_byte_budget_routes_partitioned(self, ray_session,
+                                                        monkeypatch):
+        """Round-2 verdict #3: a parent whose KEY BYTES blow the
+        broadcast budget must take the partitioned anti-join even when
+        its row count is under the row threshold — with identical
+        violations either way."""
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        wide = ["http://example.com/very/long/path/segment/%06d" % i
+                for i in range(3000)]
+        parent = rd.from_pandas(pd.DataFrame({"pk": wide}))
+        child = rd.from_pandas(pd.DataFrame(
+            {"fk": wide[:100] + ["http://missing/x", "http://missing/y"]}))
+        routed = {}
+        real = checks.referential_violations_partitioned
+
+        def spy(*a, **k):
+            routed["partitioned"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(checks, "referential_violations_partitioned",
+                            spy)
+        bad = checks.referential_violations(
+            child, "fk", parent, "pk",
+            broadcast_bytes_budget=64 * 1024)  # ~300KB of keys > 64KB
+        assert routed.get("partitioned")
+        assert sorted(r["fk"] for r in bad.take_all()) == \
+            ["http://missing/x", "http://missing/y"]
+        # same parent under the default budget broadcasts (no spy hit)
+        routed.clear()
+        bad2 = checks.referential_violations(child, "fk", parent, "pk")
+        assert "partitioned" not in routed
+        assert sorted(r["fk"] for r in bad2.take_all()) == \
+            ["http://missing/x", "http://missing/y"]
+
     def test_structure_signed_unsigned_bigint_fails_fast(self, ray_session,
                                                          tmp_path):
         """int64 -1 and uint64 2^64-1 share raw bits, so data compare
