@@ -204,3 +204,59 @@ def incremental_check(src_factory: Callable[[], Any],
                            violations=vio.reset_index(drop=True),
                            result="success" if ok else "failed",
                            message=msg, phases=phases)
+
+
+def incremental_stream(src_factory: Callable[[], Any],
+                       snk_factory: Callable[[], Any],
+                       key_columns: list[str],
+                       tailer,
+                       table: str,
+                       cfg: "IncrementConfig | None" = None,
+                       dcfg: DigestConfig | None = None,
+                       poll_interval_s: float = 0.2,
+                       max_idle_polls: int | None = None,
+                       stop: Callable[[], bool] | None = None):
+    """Continuous incremental verification: the live-stream front-end
+    the reference runs as its Debezium worker + periodic analysis timer
+    (``extract/debezium/DebeziumWorker.java:37-76`` poll loop feeding
+    ``IncrementDataAnalysisService.java:102-170``'s count/time
+    triggers). A GENERATOR: yields one ``IncrementResult`` per window
+    flush, so the caller consumes verdicts as the stream progresses.
+
+    ``tailer`` is any object with ``poll() -> DataFrame`` of parsed
+    change rows (``sources.debezium.ChangeLogTailer`` tails a change-log
+    directory with real offsets; a Kafka consumer adapter would look
+    identical). Events stream through ``ChangeLogWindow`` in offset
+    order; each count/time flush triggers one two-phase
+    ``incremental_check``. Termination: ``stop()`` truthy, or
+    ``max_idle_polls`` consecutive empty polls (None = poll forever);
+    the final partial window flushes on termination."""
+    import time as _time
+
+    cfg = cfg or IncrementConfig()
+    win = ChangeLogWindow(cfg)
+    idle = 0
+    while True:
+        if stop is not None and stop():
+            break
+        events = tailer.poll()
+        events = events[(events["table"] == table) & (events["key"] != "")] \
+            if len(events) else events
+        if not len(events):
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                break
+            _time.sleep(poll_interval_s)
+            continue
+        idle = 0
+        for key in events.sort_values("offset")["key"].astype(str):
+            flushed = win.offer([key])
+            if flushed:
+                yield incremental_check(
+                    src_factory, snk_factory, list(key_columns), flushed,
+                    table=table, cfg=cfg, dcfg=dcfg)
+    tail = win.flush()
+    if tail:
+        yield incremental_check(
+            src_factory, snk_factory, list(key_columns), tail,
+            table=table, cfg=cfg, dcfg=dcfg)

@@ -406,6 +406,31 @@ def validate_csv_pair(src_dir: str, snk_dir: str,
                                         batch_size=cfg.batch_size)
     result.summary = {**result.compare.summary,
                       "cost": round(time.time() - t0, 3)}
+    v = result.compare.violations
+    if cfg.report_dir and len(v):
+        # failed_detail.log: locate each violation key's shard file +
+        # row index so a CSV-export user can repair by hand (reference
+        # SliceCheckResultManager.java:187-206). insert/update rows
+        # exist at SOURCE; delete rows only at SINK.
+        from ..state.report import ReportWriter
+
+        frames = []
+        src_keys = v.loc[v["kind"].isin(["insert", "update"]), "key"]
+        if len(src_keys):
+            loc = csvsrc.locate_keys_in_shards(
+                src_dir, list(cfg.key_columns), src_keys.astype(str).tolist())
+            frames.append(loc.merge(
+                v[["key", "kind"]].astype({"key": str}), on="key"))
+        snk_keys = v.loc[v["kind"] == "delete", "key"]
+        if len(snk_keys):
+            loc = csvsrc.locate_keys_in_shards(
+                snk_dir, list(cfg.key_columns), snk_keys.astype(str).tolist())
+            frames.append(loc.merge(
+                v[["key", "kind"]].astype({"key": str}), on="key"))
+        located = (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=["key", "fileName", "idx",
+                                              "kind"]))
+        ReportWriter(cfg.report_dir).csv_failed_details(table, located)
     if mark_done and result.compare.ok:
         for shard in csvsrc.pending_shards(src_dir):
             csvsrc.mark_shard_done(shard)

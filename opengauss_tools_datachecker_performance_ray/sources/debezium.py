@@ -225,3 +225,80 @@ def read_change_log(path: str):
     import ray.data as rd
 
     return rd.read_text(path, override_num_blocks=1)
+
+
+class ChangeLogTailer:
+    """Live-stream transport stand-in: tails a DIRECTORY of change-log
+    files (one JSON event per line, append-only — new files and
+    appended lines both count) the way the reference's DebeziumWorker
+    continuously polls its Kafka topic
+    (``extract/debezium/DebeziumWorker.java:37-76``).
+
+    Each ``poll()`` returns the newly arrived events parsed into
+    changed-key rows with REAL globally-monotone offsets (a running
+    counter in arrival order, fed through the parser's ``offset_col``
+    path — never the batch-local fallback). Per-file byte positions
+    track consumption; a partial trailing line (a writer caught
+    mid-append) stays unconsumed until its newline arrives. Files are
+    visited in sorted-name order, matching log-rotation conventions.
+    """
+
+    def __init__(self, dir_path: str, key_columns: dict[str, list[str]],
+                 date_columns: dict[str, list[str]] | None = None,
+                 pattern: str = "*", avro: bool | None = None):
+        import glob as _glob
+
+        self._glob = _glob
+        self.dir_path = dir_path
+        self.pattern = pattern
+        self._positions: dict[str, int] = {}
+        self._next_offset = 0
+        self._parse = make_event_parser(key_columns, date_columns,
+                                        offset_col="offset", avro=avro)
+
+    @property
+    def next_offset(self) -> int:
+        """The offset the next arriving event will receive (resume
+        bookmark, ``SourceDataLog.beginOffset`` analog)."""
+        return self._next_offset
+
+    def poll(self) -> pd.DataFrame:
+        """Parse and return events appended since the last poll
+        (possibly empty), columns (table, key, op, offset, ts_ms)."""
+        import os as _os
+
+        lines: list[str] = []
+        offsets: list[int] = []
+        paths = sorted(self._glob.glob(
+            _os.path.join(self.dir_path, self.pattern)))
+        for p in paths:
+            if not _os.path.isfile(p):
+                continue
+            pos = self._positions.get(p, 0)
+            try:
+                size = _os.path.getsize(p)
+            except OSError:
+                continue
+            if size <= pos:
+                continue
+            with open(p, "rb") as f:
+                f.seek(pos)
+                chunk = f.read()
+            last_nl = chunk.rfind(b"\n")
+            if last_nl < 0:
+                continue  # no complete line yet
+            self._positions[p] = pos + last_nl + 1
+            for raw in chunk[:last_nl].split(b"\n"):
+                s = raw.decode("utf-8", errors="replace").strip()
+                if not s:
+                    continue
+                lines.append(s)
+                offsets.append(self._next_offset)
+                self._next_offset += 1
+        if not lines:
+            return pd.DataFrame(columns=["table", "key", "op", "offset",
+                                         "ts_ms"])
+        tbl = self._parse(pa.table({
+            "text": pa.array(lines, pa.large_string()),
+            "offset": pa.array(offsets, pa.int64())}))
+        return tbl.to_pandas()

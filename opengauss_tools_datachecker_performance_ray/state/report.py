@@ -65,6 +65,37 @@ class ReportWriter:
             "cost": round(elapsed, 3),
         })
 
+    def csv_failed_details(self, table: str,
+                           located: pd.DataFrame) -> None:
+        """CSV-mode per-violation detail records: one JSON object per
+        shard file with any violations, carrying the (key, idx) row
+        locators per diff kind — the reference's ``failed_detail.log``
+        (``CheckCsvFailed``/``CsvFileFailed`` shapes,
+        ``common/entry/report/CheckCsvFailed.java:34-66``, written by
+        ``check/modules/report/SliceCheckResultManager.java:187-206``
+        with a trailing comma per record, reproduced for parity).
+        ``located`` columns: key, fileName, idx, kind."""
+        if not len(located):
+            return
+        path = os.path.join(self.out_dir, "failed_detail.log")
+        with open(path, "a") as f:
+            for fname, g in located.groupby("fileName", sort=True):
+                diffs = {k: [] for k in ("keyInsert", "keyUpdate",
+                                         "keyDelete")}
+                for r in g.sort_values(["idx", "key"]).itertuples():
+                    bucket = {"insert": "keyInsert", "update": "keyUpdate",
+                              "delete": "keyDelete"}.get(str(r.kind))
+                    if bucket is not None:
+                        diffs[bucket].append({"key": str(r.key),
+                                              "idx": int(r.idx)})
+                size = sum(len(v) for v in diffs.values())
+                if not size:
+                    continue
+                rec = {"table": table,
+                       "fileFailed": {"fileName": str(fname), "size": size,
+                                      **diffs}}
+                f.write(json.dumps(rec, default=str) + ",\n")
+
     def summary(self, results: list[dict[str, Any]]) -> dict[str, Any]:
         ok = [r for r in results if r.get("result") == "success"]
         rec = {

@@ -225,3 +225,88 @@ class TestCdcQuery:
                 if int(k) % 97 == 0}
         assert got == want
         assert (out["op"] == "u").all()
+
+
+class TestCdcStreaming:
+    def test_tailer_tracks_appends_and_offsets(self, tmp_path):
+        """New files AND appended lines both surface, with globally
+        monotone offsets; a partial trailing line waits for its
+        newline."""
+        d = tmp_path / "stream"
+        d.mkdir()
+        tail = debezium.ChangeLogTailer(str(d), {"t": ["id"]})
+        assert len(tail.poll()) == 0
+        (d / "log_000.jsonl").write_text(
+            _plain("t", "u", after={"id": "1"}) + "\n"
+            + _plain("t", "u", after={"id": "2"}) + "\n")
+        ev1 = tail.poll()
+        assert list(ev1["key"]) == ["1", "2"]
+        assert list(ev1["offset"]) == [0, 1]
+        # append to the SAME file + a partial line (no newline yet)
+        with open(d / "log_000.jsonl", "a") as f:
+            f.write(_plain("t", "u", after={"id": "3"}) + "\n")
+            f.write('{"partial":')
+        ev2 = tail.poll()
+        assert list(ev2["key"]) == ["3"]
+        assert list(ev2["offset"]) == [2]
+        # complete the partial line and add a NEW file
+        with open(d / "log_000.jsonl", "a") as f:
+            f.write(' 1}\n')  # completes to garbage -> parsed away
+        (d / "log_001.jsonl").write_text(
+            _plain("t", "d", before={"id": "4"}) + "\n")
+        ev3 = tail.poll()
+        assert list(ev3["key"]) == ["4"]
+        # offset 3 went to the completed garbage line (consumed),
+        # offset 4 to the new event — monotone, never reused
+        assert list(ev3["offset"]) == [4]
+        assert tail.next_offset == 5
+        assert len(tail.poll()) == 0  # fully drained
+
+    def test_stream_flushes_and_rechecks_in_order(self, ray_session,
+                                                  tmp_path):
+        """Round-2 verdict #7: events appended across multiple files
+        drive window flushes + two-phase re-checks IN ORDER through
+        the live tail loop."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.incremental import (
+            IncrementConfig, incremental_stream,
+        )
+
+        n = 100
+        src_t = pa.table({"id": [str(i) for i in range(n)],
+                          "v": [f"v{i}" for i in range(n)]})
+        vals = [f"v{i}" if i % 20 else f"CHANGED{i}" for i in range(n)]
+        snk_t = pa.table({"id": [str(i) for i in range(n)], "v": vals})
+        pq.write_table(src_t, str(tmp_path / "src.parquet"))
+        pq.write_table(snk_t, str(tmp_path / "snk.parquet"))
+        d = tmp_path / "stream"
+        d.mkdir()
+        tail = debezium.ChangeLogTailer(str(d), {"t": ["id"]})
+        gen = incremental_stream(
+            lambda: rd.read_parquet(str(tmp_path / "src.parquet")),
+            lambda: rd.read_parquet(str(tmp_path / "snk.parquet")),
+            ["id"], tail, table="t",
+            cfg=IncrementConfig(count_period=5, secondary_recheck=True),
+            poll_interval_s=0.01, max_idle_polls=3)
+        # file 1: keys 0..6 -> one flush of 5 (keys 0..4, incl. bad 0)
+        (d / "a.jsonl").write_text("".join(
+            _plain("t", "u", after={"id": str(i)}) + "\n" for i in range(7)))
+        r1 = next(gen)
+        assert r1.checked_keys == 5
+        assert [p["phase"] for p in r1.phases] == ["primary", "secondary"]
+        assert list(r1.violations["key"]) == ["0"]
+        # file 2 appended AFTER the first flush: keys 7..14 -> flushes
+        # of (5,6,7,8,9) then (10..14); key 20-multiples differ
+        (d / "b.jsonl").write_text("".join(
+            _plain("t", "u", after={"id": str(i)}) + "\n"
+            for i in range(7, 15)))
+        r2 = next(gen)
+        assert sorted(r2.violations["key"]) == []  # 5..9 all clean
+        assert r2.result == "success"
+        r3 = next(gen)
+        assert r3.checked_keys == 5  # 10..14
+        # idle polls exhaust; no partial tail remains (15 = 3 flushes)
+        assert list(gen) == []
