@@ -98,6 +98,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         "profile_counts_documents": q.PROFILE_COUNTS_DOCUMENTS_SQL,
         "knn_embeddings": q.KNN_EMBEDDINGS_SQL,
+        # probe-all IVF is exact, so the brute-force oracle applies
+        # (the recall assertion made deterministic — round-2 verdict #8)
+        "knn_ivf_embeddings": q.KNN_EMBEDDINGS_SQL,
+        # decoded-pixel byte sums are deterministic functions of text
+        "multimodal_embeddings": q.MULTIMODAL_EMBEDDINGS_SQL,
         "cdc_debezium_orders": q.CDC_DEBEZIUM_ORDERS_SQL,
         "incremental_recheck_orders": q.INCREMENTAL_RECHECK_ORDERS_SQL,
         "row_rule_orders": q.ROW_RULE_ORDERS_SQL,
@@ -113,5 +118,5 @@ def oracle_sql() -> dict[str, str]:
         # (float composites — exact parts oracle-checked via
         # quality_features_documents / profile_counts_documents),
         # drift_documents_by_source, simhash_near_dups_documents,
-        # embedding_dup_pairs, knn_ivf_embeddings, multimodal_embeddings
+        # embedding_dup_pairs
     }

@@ -1128,9 +1128,15 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate top-10 neighbors of vec 0 via the PARTITIONED
-    index + pruned probe (only the probed cells' parquet files open —
-    the genuine scale path; rows-only)."""
+    """IVF top-10 neighbors of vec 0 via the PARTITIONED index + probe
+    (only the probed cells' parquet files open — the genuine scale
+    path). The GATE configuration probes ALL cells in float64, which
+    makes IVF exact — the recall-vs-brute-force assertion made
+    deterministic (round-2 verdict #8): the result must equal
+    ``knn_embeddings`` and is oracle-checked by the same DuckDB
+    ``list_cosine_similarity`` SQL. The pruned ``nprobe < cells``
+    configuration is exercised by tests and remains the scale
+    default of ``stages.similarity.ivf_topk_pruned``."""
     import shutil
     import tempfile
 
@@ -1142,34 +1148,48 @@ def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
         m = b[b["vec_id"] == 0]
         if len(m):
             q = np.asarray(list(m["embedding"])[0],
-                           dtype=np.float32)[None, :]
+                           dtype=np.float64)[None, :]
             break
     assert q is not None
-    cent = similarity.train_ivf_centroids(ds, "embedding", num_cells=8)
+    num_cells = 8
+    cent = similarity.train_ivf_centroids(ds, "embedding",
+                                          num_cells=num_cells)
     idx = tempfile.mkdtemp(prefix="ivf_idx_")
     try:
         similarity.ivf_write_index(
             similarity.ivf_assign(ds, "vec_id", "embedding", cent), idx)
         out = similarity.ivf_topk_pruned(idx, "vec_id", "embedding",
-                                         cent, q, k=11, nprobe=4)
+                                         cent, q, k=11, nprobe=num_cells,
+                                         dtype=np.float64)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, False])
     out = out[out["vec_id"] != 0].head(10)
-    return out[["vec_id", "cos"]].reset_index(drop=True)
+    return out[["vec_id"]].reset_index(drop=True)
 
 
 def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
     """Multimodal actor-pool pipeline with a REAL decode: each
     document's text bytes render deterministically into a binary ppm
     image payload, which the pure-numpy netpbm decoder decodes +
-    resizes, then the feature stage pools into an embedding
-    (rows-only — the payload synthesis is engine-side)."""
+    resizes, then the feature stage pools into an embedding.
+
+    ORACLE-CHECKED (round-2 verdict #8): the ppm pixels are exactly
+    the first 3072 UTF-8 bytes of the text (space-padded), the 32->224
+    nearest-neighbor resize repeats every pixel exactly 7x7 (uniform
+    weights), and the 64 pooled chunks are equal-sized — so
+    round(mean(embedding) * 255 * 3072) recovers the EXACT integer
+    byte sum of the padded prefix, which DuckDB computes from
+    hex(encode(text)). Float error budget: chunk means are float32
+    (rel ~1e-7), sum <= 3072*255 ~ 7.8e5, absolute error ~0.2 < 0.5 —
+    the round is always exact."""
     import pyarrow as pa  # noqa: F811
     import ray.data as rd
 
     from ..stages import multimodal
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).limit(64)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr="doc_id < 64")
     rows = ds.to_pandas()
 
     def text_to_ppm(t: str) -> bytes:
@@ -1190,8 +1210,36 @@ def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
         rd.from_arrow(media), concurrency=2,
         cfg=multimodal.DecodeConfig(fake=False)).to_pandas()
     out["dim"] = out["embedding"].map(len)
-    return out[["media_id", "dim"]].sort_values("media_id") \
-        .reset_index(drop=True)
+    out["byte_sum"] = [
+        int(round(float(np.mean(np.asarray(e, dtype=np.float64)))
+                  * 255.0 * 3072.0))
+        for e in out["embedding"]]
+    return out[["media_id", "dim", "byte_sum"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+MULTIMODAL_EMBEDDINGS_SQL = """
+WITH sel AS (
+    SELECT doc_id AS media_id, encode(text) AS b
+    FROM documents WHERE doc_id < 64
+), padded AS (
+    SELECT media_id, hex(b) AS hx,
+           least(octet_length(b), 3072) AS n,
+           3072 - least(octet_length(b), 3072) AS pad
+    FROM sel
+), sums AS (
+    SELECT media_id,
+           sum(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1)
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS s
+    FROM padded, generate_series(1, 3072) AS g(i)
+    WHERE i <= n
+    GROUP BY media_id
+)
+SELECT p.media_id, 64 AS dim,
+       CAST(COALESCE(s.s, 0) + p.pad * 32 AS BIGINT) AS byte_sum
+FROM padded p LEFT JOIN sums s USING (media_id)
+ORDER BY p.media_id
+"""
 
 
 # ---------------------------------------------------------------------------

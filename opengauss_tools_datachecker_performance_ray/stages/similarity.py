@@ -22,16 +22,20 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def brute_force_topk(ds, id_col: str, emb_col: str,
                      queries: np.ndarray, k: int = 10,
-                     batch_size: int | None = None) -> pd.DataFrame:
+                     batch_size: int | None = None,
+                     dtype=np.float32) -> pd.DataFrame:
     """Exact top-k cosine neighbors for each query row.
 
     ``queries``: (Q, D) float array. Per batch: one (B, D) x (D, Q)
     matmul; per-batch top-k heaps merge on the driver (k*Q rows per
     batch stream back — tiny). Returns (query_idx, vec_id, cos) rows.
+    ``dtype``: float32 (default, the scale path — half the bandwidth)
+    or float64 when the ranking must match a double-precision oracle
+    bit-for-bit (DuckDB ``list_cosine_similarity``).
     """
     import ray
 
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=dtype))
     ref = ray.put(qn)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -39,7 +43,7 @@ def brute_force_topk(ds, id_col: str, emb_col: str,
 
         pin_worker_threads()
         q = ray.get(ref)
-        mat = _normalize(np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+        mat = _normalize(np.stack(batch[emb_col].to_numpy()).astype(dtype))
         sims = mat @ q.T                      # (B, Q)
         out = []
         kk = min(k, len(batch))
@@ -149,7 +153,8 @@ def ivf_write_index(assigned, path: str) -> None:
 
 def ivf_topk_pruned(index_path: str, id_col: str, emb_col: str,
                     centroids: np.ndarray, queries: np.ndarray,
-                    k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+                    k: int = 10, nprobe: int = 4,
+                    dtype=np.float32) -> pd.DataFrame:
     """Approximate top-k over a persisted partitioned IVF index: read
     ONLY the probed cells' directories (O(N * nprobe / C) bytes off
     storage — the scale path promised by ``ivf_assign``'s docstring)."""
@@ -169,4 +174,4 @@ def ivf_topk_pruned(index_path: str, id_col: str, emb_col: str,
     if not files:
         return pd.DataFrame(columns=["query_idx", id_col, "cos"])
     ds = rd.read_parquet(files, columns=[id_col, emb_col])
-    return brute_force_topk(ds, id_col, emb_col, qn, k=k)
+    return brute_force_topk(ds, id_col, emb_col, queries, k=k, dtype=dtype)

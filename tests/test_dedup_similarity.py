@@ -256,6 +256,31 @@ class TestSimilarity:
 
 
 class TestIvfPrunedIndex:
+    def test_probe_all_cells_equals_brute_force(self, ray_session,
+                                                tmp_path):
+        """Round-2 verdict #8: probing ALL cells makes IVF exact — the
+        recall assertion made deterministic (ids AND order equal the
+        float64 brute force)."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        mat = rng.standard_normal((400, 16)).astype(np.float32)
+        df = pd.DataFrame({"vid": np.arange(400, dtype=np.int64),
+                           "emb": list(mat)})
+        ds = rd.from_pandas(df)
+        cent = similarity.train_ivf_centroids(ds, "emb", num_cells=8,
+                                              sample_size=400)
+        idx = str(tmp_path / "ivf_all")
+        similarity.ivf_write_index(
+            similarity.ivf_assign(ds, "vid", "emb", cent), idx)
+        q = mat[42:43].astype(np.float64)
+        via_ivf = similarity.ivf_topk_pruned(idx, "vid", "emb", cent, q,
+                                             k=7, nprobe=8,
+                                             dtype=np.float64)
+        exact = similarity.brute_force_topk(ds, "vid", "emb", q, k=7,
+                                            dtype=np.float64)
+        assert list(via_ivf["vid"]) == list(exact["vid"])
+
     def test_pruned_probe_reads_only_probed_cells(self, ray_session,
                                                   tmp_path):
         """Write the hive-partitioned index, CORRUPT an unprobed cell's
