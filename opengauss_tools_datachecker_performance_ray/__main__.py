@@ -70,7 +70,18 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--source", required=True)
     i.add_argument("--sink", required=True)
     i.add_argument("--change-log", required=True,
-                   help="file of Debezium JSON change events, one per line")
+                   help="file of Debezium JSON change events, one per "
+                        "line — or, with --stream, a DIRECTORY to tail")
+    i.add_argument("--stream", action="store_true",
+                   help="tail --change-log as a live directory "
+                        "(DebeziumWorker poll-loop analog): new files "
+                        "and appended lines keep feeding windows until "
+                        "--idle-polls empty polls")
+    i.add_argument("--poll-interval", type=float, default=1.0,
+                   help="seconds between stream polls")
+    i.add_argument("--idle-polls", type=int, default=30,
+                   help="stop streaming after this many consecutive "
+                        "empty polls")
     i.add_argument("--table", required=True,
                    help="table name as it appears in the change events")
     i.add_argument("--keys", default="id",
@@ -155,15 +166,30 @@ def _run(args) -> int:
 
         from .pipelines.incremental import (
             IncrementConfig, incremental_from_change_log,
+            incremental_stream,
         )
 
-        results = incremental_from_change_log(
-            lambda: rd.read_parquet(args.source),
-            lambda: rd.read_parquet(args.sink),
-            list(args.keys.split("+")), args.change_log, table=args.table,
-            cfg=IncrementConfig(count_period=args.count_period,
-                                max_diff_count=args.max_diff_count,
-                                secondary_recheck=not args.no_secondary))
+        icfg = IncrementConfig(count_period=args.count_period,
+                               max_diff_count=args.max_diff_count,
+                               secondary_recheck=not args.no_secondary)
+        if args.stream:
+            from .sources.debezium import ChangeLogTailer
+
+            tailer = ChangeLogTailer(
+                args.change_log,
+                {args.table: list(args.keys.split("+"))})
+            results = list(incremental_stream(
+                lambda: rd.read_parquet(args.source),
+                lambda: rd.read_parquet(args.sink),
+                list(args.keys.split("+")), tailer, table=args.table,
+                cfg=icfg, poll_interval_s=args.poll_interval,
+                max_idle_polls=args.idle_polls))
+        else:
+            results = incremental_from_change_log(
+                lambda: rd.read_parquet(args.source),
+                lambda: rd.read_parquet(args.sink),
+                list(args.keys.split("+")), args.change_log,
+                table=args.table, cfg=icfg)
         ok = all(r.result == "success" for r in results)
         print(json.dumps({
             "result": "success" if ok else "failed",

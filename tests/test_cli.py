@@ -62,6 +62,28 @@ class TestCli:
         assert out["diffKeys"] == ["2"]  # only the genuinely changed key
         assert out["checkedKeys"] == 2
 
+    def test_increment_stream_mode(self, ray_session, tmp_path, capsys):
+        """--stream tails a change-log DIRECTORY until idle polls."""
+        src_t = pa.table({"id": ["1", "2", "3"], "v": ["a", "b", "c"]})
+        snk_t = pa.table({"id": ["1", "2", "3"], "v": ["a", "B", "c"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        d = tmp_path / "cdc"
+        d.mkdir()
+        events = [json.dumps({"payload": {
+            "before": None, "after": {"id": k, "v": "?"},
+            "source": {"table": "t"}, "op": "u", "ts_ms": 1}})
+            for k in ("1", "2", "3")]
+        (d / "a.jsonl").write_text("\n".join(events) + "\n")
+        rc = main(["increment", "--source", src, "--sink", snk,
+                   "--change-log", str(d), "--table", "t", "--keys", "id",
+                   "--count-period", "2", "--stream",
+                   "--poll-interval", "0.01", "--idle-polls", "2"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["diffKeys"] == ["2"]
+        assert out["windows"] == 2  # flush of 2 + tail flush of 1
+        assert out["checkedKeys"] == 3
+
     def test_repair_style_flags(self, ray_session, tmp_path, capsys):
         """--emit-repair with UPDATE style + batched DELETE writes the
         UpdateDmlBuilder/BatchDeleteDmlBuilder-shaped statements."""
