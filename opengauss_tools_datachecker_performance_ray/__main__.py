@@ -173,8 +173,19 @@ def _run(args) -> int:
                                max_diff_count=args.max_diff_count,
                                secondary_recheck=not args.no_secondary)
         if args.stream:
+            import os
+
             from .sources.debezium import ChangeLogTailer
 
+            if not os.path.isdir(args.change_log):
+                # a file (or typo) would glob to zero events and report
+                # a vacuous success after idle polls (review finding)
+                print(json.dumps({
+                    "result": "failed",
+                    "message": f"--stream requires --change-log to be a "
+                               f"directory to tail, got "
+                               f"{args.change_log!r}"}))
+                return 2
             tailer = ChangeLogTailer(
                 args.change_log,
                 {args.table: list(args.keys.split("+"))})

@@ -131,12 +131,16 @@ def exact_distinct_count(ds, col: str, num_buckets: int = 64,
 
 
 def _estimate_key_bytes(parent, parent_key: str, n_parent: int) -> int:
-    """Estimated driver/object-store footprint of the broadcast parent
-    key array. Fixed-width types cost 8 bytes/row; variable-width keys
-    are estimated from a bounded sample's mean length plus the ~56-byte
+    """EXACT driver/object-store footprint of the broadcast parent key
+    array. Fixed-width types cost 8 bytes/row; variable-width keys are
+    measured with one distributed per-block length pass (tiny partials
+    back to the driver — never a head sample, whose position-correlated
+    widths would defeat the budget; review finding) plus the ~56-byte
     per-element overhead an object-dtype numpy array of Python strings
     carries (the broadcast form — it does NOT zero-copy from plasma,
-    every task ray.get materializes it)."""
+    every task ray.get materializes it). The pass streams the same
+    column the broadcast itself would read, so it at most doubles the
+    decision's I/O and stays distributed."""
     try:
         sch = parent.schema()
         t = dict(zip(sch.names, sch.types))[parent_key]
@@ -149,12 +153,26 @@ def _estimate_key_bytes(parent, parent_key: str, n_parent: int) -> int:
                 return 8 * n_parent
         except Exception:
             pass
-    sample = parent.select_columns([parent_key]).limit(10_000).to_pandas()
-    s = sample[parent_key].dropna()
-    if not len(s):
+
+    def part(batch: pa.Table) -> pa.Table:
+        col = batch.column(parent_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type) or pa.types.is_binary(col.type)
+                or pa.types.is_large_binary(col.type)):
+            col = col.cast(pa.large_string())
+        nbytes = pc.sum(pc.binary_length(col)).as_py() or 0
+        return pa.table({"n": pa.array([len(col)], pa.int64()),
+                         "b": pa.array([int(nbytes)], pa.int64())})
+
+    stats = parent.select_columns([parent_key]) \
+        .map_batches(part, batch_format="pyarrow").to_pandas()
+    n = int(stats["n"].sum())
+    if not n:
         return 8 * n_parent
-    avg = float(s.astype(str).str.len().mean()) + 56.0
-    return int(avg * n_parent)
+    return int(stats["b"].sum()) + 56 * n
 
 
 def referential_violations(child, child_key: str, parent, parent_key: str,
@@ -337,8 +355,11 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
                          "partial": pa.array(blobs, type=pa.large_binary())})
 
     partial_ds = ds.map_batches(partials, batch_format="pyarrow",
-                                batch_size=batch_size).materialize()
+                                batch_size=batch_size)
     if merge_distributed is None:
+        # only the auto-route needs the partial count (and hence the
+        # materialize); explicit callers stream straight through
+        partial_ds = partial_ds.materialize()
         merge_distributed = partial_ds.count() > DRIVER_DRIFT_MAX_PARTIALS
     if merge_distributed:
         def fold_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -228,9 +228,12 @@ def incremental_stream(src_factory: Callable[[], Any],
     directory with real offsets; a Kafka consumer adapter would look
     identical). Events stream through ``ChangeLogWindow`` in offset
     order; each count/time flush triggers one two-phase
-    ``incremental_check``. Termination: ``stop()`` truthy, or
-    ``max_idle_polls`` consecutive empty polls (None = poll forever);
-    the final partial window flushes on termination."""
+    ``incremental_check`` — INCLUDING the time trigger while the
+    stream is idle (the reference's analysis timer fires regardless of
+    new events). Termination: ``stop()`` truthy, or ``max_idle_polls``
+    consecutive polls with NO raw events at all (a live feed of other
+    tables keeps the stream alive; None = poll forever); the final
+    partial window flushes on termination."""
     import time as _time
 
     cfg = cfg or IncrementConfig()
@@ -239,11 +242,20 @@ def incremental_stream(src_factory: Callable[[], Any],
     while True:
         if stop is not None and stop():
             break
-        events = tailer.poll()
-        events = events[(events["table"] == table) & (events["key"] != "")] \
-            if len(events) else events
+        raw = tailer.poll()
+        events = raw[(raw["table"] == table) & (raw["key"] != "")] \
+            if len(raw) else raw
         if not len(events):
-            idle += 1
+            # time-based flush must fire while idle too: the window
+            # only evaluates its clock inside offer() (review finding)
+            flushed = win.offer([])
+            if flushed:
+                yield incremental_check(
+                    src_factory, snk_factory, list(key_columns), flushed,
+                    table=table, cfg=cfg, dcfg=dcfg)
+            # idle = no RAW events; other tables' traffic keeps the
+            # transport demonstrably live (review finding)
+            idle = idle + 1 if not len(raw) else 0
             if max_idle_polls is not None and idle >= max_idle_polls:
                 break
             _time.sleep(poll_interval_s)

@@ -56,9 +56,13 @@ def capped_group_keys(keyed, key_cols: list[str], max_group_size: int,
     def part(batch: pa.Table) -> pa.Table:
         gb = batch.select(key_cols + [id_col]).group_by(key_cols) \
             .aggregate([([], "count_all"), (id_col, "min")])
-        # pyarrow lays out group keys first, aggregates after, in
-        # aggregate-spec order
-        return gb.rename_columns(list(key_cols) + ["n_part", "rep_part"])
+        # select by the DETERMINISTIC aggregate output names — the
+        # key/aggregate column ORDER differs across pyarrow versions
+        # (review finding), the names do not
+        return pa.table(
+            {c: gb.column(c) for c in key_cols}
+            | {"n_part": gb.column("count_all"),
+               "rep_part": gb.column(f"{id_col}_min")})
 
     partials = keyed.map_batches(part, batch_format="pyarrow")
     sums = partials.groupby(list(key_cols)).aggregate(

@@ -122,3 +122,23 @@ class TestCli:
         assert rc == 2
         err = capsys.readouterr().err
         assert "error" in err
+
+
+class TestStreamPathValidation:
+    def test_stream_rejects_file_path(self, ray_session, tmp_path,
+                                      capsys):
+        """Review finding: --stream on a FILE (the non-stream shape)
+        must fail loudly, not report a vacuous 0-window success."""
+        import pyarrow as pa
+
+        src_t = pa.table({"id": ["1"], "v": ["a"]})
+        src, snk = _pair(tmp_path, src_t, src_t)
+        log = tmp_path / "events.jsonl"
+        log.write_text("")
+        rc = main(["increment", "--source", src, "--sink", snk,
+                   "--change-log", str(log), "--table", "t",
+                   "--keys", "id", "--stream", "--idle-polls", "2",
+                   "--poll-interval", "0.01"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 2 and out["result"] == "failed"
+        assert "directory" in out["message"]

@@ -310,3 +310,78 @@ class TestCdcStreaming:
         assert r3.checked_keys == 5  # 10..14
         # idle polls exhaust; no partial tail remains (15 = 3 flushes)
         assert list(gen) == []
+
+    def test_stream_time_flush_fires_while_idle(self, ray_session,
+                                                tmp_path):
+        """Review finding: keys below count_period must still flush on
+        the TIME trigger while the stream is idle."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.incremental import (
+            IncrementConfig, incremental_stream,
+        )
+
+        t = pa.table({"id": ["1", "2"], "v": ["a", "b"]})
+        pq.write_table(t, str(tmp_path / "t.parquet"))
+        d = tmp_path / "s"
+        d.mkdir()
+        (d / "a.jsonl").write_text(
+            _plain("t", "u", after={"id": "1"}) + "\n")
+        tail = debezium.ChangeLogTailer(str(d), {"t": ["id"]})
+        gen = incremental_stream(
+            lambda: rd.read_parquet(str(tmp_path / "t.parquet")),
+            lambda: rd.read_parquet(str(tmp_path / "t.parquet")),
+            ["id"], tail, table="t",
+            cfg=IncrementConfig(count_period=1000, time_period_s=0.05),
+            poll_interval_s=0.03, max_idle_polls=50)
+        # count_period never reached; the flush must come from the
+        # time trigger during IDLE polls, well before 50 idle polls
+        r = next(gen)
+        assert r.checked_keys == 1 and r.result == "success"
+
+    def test_stream_other_table_traffic_keeps_alive(self, ray_session,
+                                                    tmp_path):
+        """Review finding: polls carrying only OTHER tables' events are
+        not 'empty' — the stream must stay alive and catch a late
+        event for the target table."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines.incremental import (
+            IncrementConfig, incremental_stream,
+        )
+
+        t = pa.table({"id": ["1"], "v": ["a"]})
+        pq.write_table(t, str(tmp_path / "t.parquet"))
+        d = tmp_path / "s"
+        d.mkdir()
+        # 6 polls' worth of other-table chatter with max_idle_polls=3:
+        # old semantics would terminate before the 't' event lands
+        import threading
+        import time as _time
+
+        def writer():
+            for i in range(6):
+                with open(d / "a.jsonl", "a") as f:
+                    f.write(_plain("other", "u", after={"id": str(i)})
+                            + "\n")
+                _time.sleep(0.05)
+            with open(d / "a.jsonl", "a") as f:
+                f.write(_plain("t", "u", after={"id": "1"}) + "\n")
+
+        th = threading.Thread(target=writer)
+        th.start()
+        tail = debezium.ChangeLogTailer(
+            str(d), {"t": ["id"], "other": ["id"]})
+        gen = incremental_stream(
+            lambda: rd.read_parquet(str(tmp_path / "t.parquet")),
+            lambda: rd.read_parquet(str(tmp_path / "t.parquet")),
+            ["id"], tail, table="t",
+            cfg=IncrementConfig(count_period=1),
+            poll_interval_s=0.04, max_idle_polls=3)
+        results = list(gen)
+        th.join()
+        assert sum(r.checked_keys for r in results) == 1
