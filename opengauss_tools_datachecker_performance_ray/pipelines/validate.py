@@ -274,13 +274,13 @@ def validate_table_pair(src_path: str, snk_path: str,
                                  or 0)
                 if writer:
                     writer.slice_progress(table, rows_seen, len(frames))
-            pdf = (pa.concat_tables(frames).to_pandas() if frames
-                   else pd.DataFrame())
-            if len(pdf):
+            ptab = pa.concat_tables(frames) if frames else None
+            if ptab is not None and ptab.num_rows:
+                mask = ptab.column("is_src")
                 src_sigs = cmp._merge_signature_partials(
-                    pdf[pdf["is_src"]], B)
+                    ptab.filter(mask), B)
                 snk_sigs = cmp._merge_signature_partials(
-                    pdf[~pdf["is_src"]], B)
+                    ptab.filter(pc_.invert(mask)), B)
             else:
                 src_sigs = snk_sigs = cmp.empty_sig_frame()
         if store:

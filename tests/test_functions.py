@@ -131,6 +131,82 @@ class TestMerkle:
         with pytest.raises(AssertionError):
             merkle.build_levels(np.zeros(3, dtype=np.uint64))
 
+    def test_merkle_root_many_matches_scalar(self):
+        # the vectorized multi-tree root must be bit-identical to the
+        # per-tree zlib.adler32 reference for every row
+        rng = np.random.default_rng(7)
+        for B in (1, 2, 4, 64, 1024):
+            trees = rng.integers(0, 2**64, size=(13, B), dtype=np.uint64)
+            trees[0] = 0                          # all-zero tree
+            trees[1, : B // 2 or 1] = 2**64 - 1   # max-valued bytes
+            many = merkle.merkle_root_many(trees)
+            for i in range(trees.shape[0]):
+                assert many[i] == merkle.merkle_root(trees[i]), (B, i)
+
+    def test_merkle_root_many_counts_view(self):
+        # croot path: int64 counts viewed as uint64, as compare.py does
+        cnt = np.arange(8, dtype=np.int64)
+        assert merkle.merkle_root_many(cnt.view(np.uint64)[None, :])[0] \
+            == merkle.merkle_root(cnt.view(np.uint64))
+
+
+class TestXorCountByGid:
+    def _cases(self):
+        rng = np.random.default_rng(3)
+        n = 5000
+        gid = rng.integers(0, 97, size=n).astype(np.int64)
+        vhash = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        cnt = rng.integers(1, 9, size=n).astype(np.int64)
+        return gid, vhash, cnt
+
+    def _reference(self, gid, vhash, cnt):
+        out = {}
+        for g, v, c in zip(gid, vhash, cnt if cnt is not None
+                           else np.ones(len(gid), np.int64)):
+            s, t = out.get(g, (np.uint64(0), 0))
+            out[g] = (s ^ v, t + int(c))
+        keys = sorted(out)
+        return (np.array(keys, np.int64),
+                np.array([out[k][0] for k in keys], np.uint64),
+                np.array([out[k][1] for k in keys], np.int64))
+
+    @pytest.mark.parametrize("with_cnt", [False, True])
+    def test_matches_reference(self, with_cnt):
+        from opengauss_tools_datachecker_performance_ray.stages.compare import (
+            _xor_count_by_gid,
+        )
+
+        gid, vhash, cnt = self._cases()
+        g, s, c = _xor_count_by_gid(gid, vhash, cnt if with_cnt else None)
+        order = np.argsort(g)
+        g, s, c = g[order], s[order], c[order]
+        rg, rs, rc = self._reference(gid, vhash, cnt if with_cnt else None)
+        assert np.array_equal(g, rg)
+        assert np.array_equal(s, rs)
+        assert np.array_equal(c, rc)
+
+    def test_numpy_fallback_matches_polars(self, monkeypatch):
+        import builtins
+
+        from opengauss_tools_datachecker_performance_ray.stages import compare
+
+        gid, vhash, cnt = self._cases()
+        with_pl = compare._xor_count_by_gid(gid, vhash, cnt)
+
+        real_import = builtins.__import__
+
+        def no_polars(name, *a, **k):
+            if name == "polars":
+                raise ImportError("forced for test")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_polars)
+        without = compare._xor_count_by_gid(gid, vhash, cnt)
+        # polars group order is hash-dependent; compare as sorted triples
+        za = sorted(zip(*map(list, with_pl)))
+        zb = sorted(zip(*map(list, without)))
+        assert za == zb
+
 
 class TestSketches:
     def test_hll_accuracy(self):
