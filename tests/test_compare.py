@@ -351,6 +351,44 @@ class TestComparePipeline:
             assert [int(v) for v in a["root"]] == [int(v) for v in x["root"]]
             assert list(a["rows"]) == list(x["rows"])
 
+    def test_raw_prefilter_selects_same_rows_as_post_digest_filter(self):
+        """make_raw_bucket_prefilter_fn (the classify re-scan pruner)
+        must select EXACTLY the rows the post-digest gid filter keeps:
+        prefiltered-then-digested == digested-then-filtered."""
+        import numpy as np
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            DigestConfig, make_digest_fn,
+        )
+
+        cfg = DigestConfig(key_columns=("k",), num_partitions=8,
+                           buckets_per_partition=16)
+        rng = np.random.default_rng(11)
+        n = 4000
+        batch = pa.table({
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, n)),
+            "s": pa.array([f"s{i%37}" for i in range(n)]),
+        })
+        digest = make_digest_fn(cfg)
+        full = digest(batch)
+        gid_all = (full.column("part").to_numpy().astype(np.int64) * 16
+                   + full.column("bucket").to_numpy())
+        gids = np.unique(gid_all)[::5]  # every 5th (part,bucket) dirty
+        pre = cmp.make_raw_bucket_prefilter_fn(gids, cfg)
+        via_pre = digest(pre(batch))
+        mask = np.isin(gid_all, gids)
+        direct = full.filter(pa.array(mask))
+        assert via_pre.num_rows == direct.num_rows > 0
+        for col in ("key", "khash", "vhash", "part", "bucket"):
+            assert via_pre.column(col).to_pylist() == \
+                direct.column(col).to_pylist(), col
+        # empty dirty set -> empty selection, schema intact
+        none = cmp.make_raw_bucket_prefilter_fn(
+            np.empty(0, np.int64), cfg)(batch)
+        assert none.num_rows == 0 and none.schema == batch.schema
+
     def test_distributed_signature_reduce_matches_driver(self,
                                                          ray_session):
         """partition_signatures_distributed (the 10^6-partition escape
