@@ -213,6 +213,49 @@ def validate_table_pair(src_path: str, snk_path: str,
                                       lambda: side_digests(snk, False))
     both_d = _src_d.union(_snk_d)
 
+    # The uniqueness groupby and the drift profile are independent of
+    # the signature/classify chain (they consume the materialized
+    # digests / the raw files directly), so they run in background
+    # driver threads OVERLAPPED with it — concurrent Ray Data
+    # executions share the streaming executor's resource scheduler
+    # (same pattern as the side-digest pair above). At bench scale the
+    # serialized layout paid each phase's fixed execution cost end to
+    # end; overlapping hides the shorter phases entirely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _uniqueness_phase() -> pd.DataFrame:
+        # one bucketed groupby over BOTH sides (side is part of the
+        # grouping key), reusing the materialized digests
+        dup = checks.uniqueness_violations(
+            both_d.select_columns(["key", "side"]), ["key", "side"],
+            approx_rows=src_meta.num_rows + snk_meta.num_rows)
+        df = dup.to_pandas()
+        if "side" in df.columns and len(df):
+            df["side"] = np.where(df["side"], "source", "sink")
+        else:
+            df = pd.DataFrame(columns=["key", "side", "n"])
+        return df[["key", "side", "n"]] if len(df) else df
+
+    def _drift_phase() -> pd.DataFrame:
+        cols = (list(cfg.drift_columns) if cfg.drift_columns
+                else [f.name for f in src_meta.schema
+                      if f.name not in cfg.key_columns
+                      # binary payloads have no profilable distribution
+                      # — skip so drift never lifts html blobs off disk
+                      and not (pa.types.is_binary(f.type)
+                               or pa.types.is_large_binary(f.type)
+                               or pa.types.is_fixed_size_binary(f.type))])
+        sp = prof.profile_dataset(
+            pqsrc.read_table(src_path, columns=cols), cols)
+        kp = prof.profile_dataset(
+            pqsrc.read_table(snk_path, columns=cols), cols)
+        return checks.drift_report(sp, kp)
+
+    bg = ThreadPoolExecutor(max_workers=2)
+    uniq_fut = (bg.submit(_uniqueness_phase) if cfg.check_uniqueness
+                else None)
+    drift_fut = bg.submit(_drift_phase) if cfg.check_drift else None
+
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None
     if src_sigs is None or snk_sigs is None:
@@ -299,33 +342,11 @@ def validate_table_pair(src_path: str, snk_path: str,
     violations = cmp.to_violation_frame(vio_ds)
     result.compare = cmp.build_verdicts(table, diffs, violations)
 
-    if cfg.check_uniqueness:
-        # one bucketed groupby over BOTH sides (side is part of the
-        # grouping key), reusing the materialized digests
-        dup = checks.uniqueness_violations(
-            both_d.select_columns(["key", "side"]), ["key", "side"],
-            approx_rows=src_meta.num_rows + snk_meta.num_rows)
-        df = dup.to_pandas()
-        if "side" in df.columns and len(df):
-            df["side"] = np.where(df["side"], "source", "sink")
-        else:
-            df = pd.DataFrame(columns=["key", "side", "n"])
-        result.uniqueness = df[["key", "side", "n"]] if len(df) else df
-
-    if cfg.check_drift:
-        cols = (list(cfg.drift_columns) if cfg.drift_columns
-                else [f.name for f in src_meta.schema
-                      if f.name not in cfg.key_columns
-                      # binary payloads have no profilable distribution
-                      # — skip so drift never lifts html blobs off disk
-                      and not (pa.types.is_binary(f.type)
-                               or pa.types.is_large_binary(f.type)
-                               or pa.types.is_fixed_size_binary(f.type))])
-        sp = prof.profile_dataset(
-            pqsrc.read_table(src_path, columns=cols), cols)
-        kp = prof.profile_dataset(
-            pqsrc.read_table(snk_path, columns=cols), cols)
-        result.drift = checks.drift_report(sp, kp)
+    if uniq_fut is not None:
+        result.uniqueness = uniq_fut.result()
+    if drift_fut is not None:
+        result.drift = drift_fut.result()
+    bg.shutdown()
 
     n_unique_viol = int(len(result.uniqueness)) if result.uniqueness is not None else 0
     n_drift = (int((result.drift["result"] == "failed").sum())
