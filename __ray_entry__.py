@@ -96,6 +96,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
+        # bit-exact: same IEEE-double expression order + argmax
+        # tie-break ladder as the Ray implementation (see docstring)
+        "quality_documents": q.QUALITY_DOCUMENTS_SQL,
         "profile_counts_documents": q.PROFILE_COUNTS_DOCUMENTS_SQL,
         "knn_embeddings": q.KNN_EMBEDDINGS_SQL,
         # probe-all IVF is exact, so the brute-force oracle applies
@@ -114,9 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_last_order": q.EVENTS_ASOF_LAST_ORDER_SQL,
         "events_range_join_orders": q.EVENTS_RANGE_JOIN_ORDERS_SQL,
         # rows-only (no SQL equivalent): hll_profile_documents,
-        # minhash_lsh_candidates, simhash_documents, quality_documents
-        # (float composites — exact parts oracle-checked via
-        # quality_features_documents / profile_counts_documents),
+        # minhash_lsh_candidates, simhash_documents,
         # drift_documents_by_source, simhash_near_dups_documents,
         # embedding_dup_pairs
     }

@@ -801,7 +801,13 @@ def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
 
 
 def quality_documents(sf_dir: str) -> pd.DataFrame:
-    """Heuristic quality + language-id scores (rows-only: float formulas)."""
+    """Heuristic quality + language-id scores.
+
+    Oracle-matched BIT-EXACT: the score is pure IEEE-double arithmetic
+    over integer regex counts, evaluated in the same operation order as
+    ``QUALITY_DOCUMENTS_SQL`` (clip = least/greatest, left-associated
+    weighted sum), and ``lang_id``'s argmax first-index tie-break maps
+    to the SQL CASE ladder in declaration order."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def q(batch: pa.Table) -> pa.Table:
@@ -847,6 +853,40 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
        len(regexp_extract_all(text, '[0-9]')) AS n_digit
 FROM documents
+"""
+
+# Stopword alternations generated from the SAME textfn.STOPWORDS sets
+# (sorted, like quality_score/lang_id build their patterns) so the SQL
+# can never drift from the Python heuristic. Safe for the ASCII corpus:
+# RE2's \w/\b are ASCII-only while Python's are Unicode — identical on
+# ASCII text, which is what the testdata documents table contains.
+_STOP_PATS = {
+    _l: r"\b(?:" + "|".join(sorted(textfn.STOPWORDS[_l])) + r")\b"
+    for _l in textfn.STOPWORDS
+}
+_GREATEST_ALL = "greatest(" + ",".join(
+    f"c_{_l}" for _l in textfn.STOPWORDS) + ")"
+QUALITY_DOCUMENTS_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[\\w'']+')) AS n_tokens,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    {','.join(
+        "len(regexp_extract_all(lower(text), '" + _STOP_PATS[_l] + "'))"
+        " AS c_" + _l for _l in textfn.STOPWORDS)}
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  least(greatest(n_tokens/200.0,0),1)*0.4
+  + least(greatest(1.0 - (n_punct/greatest(n_chars,1))*4.0,0),1)*0.3
+  + least(greatest((c_en/greatest(n_tokens,1))*5.0,0),1)*0.3 AS quality,
+  CASE WHEN {_GREATEST_ALL}=0 THEN 'und'
+       {' '.join(
+           "WHEN c_" + _l + "=" + _GREATEST_ALL + " THEN '" + _l + "'"
+           for _l in list(textfn.STOPWORDS)[:-1])}
+       ELSE '{list(textfn.STOPWORDS)[-1]}' END AS lang_pred
+FROM f
 """
 
 
