@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_lang_counts": q.csv_lang_counts,
         "simhash_near_dups_documents": q.simhash_near_dups_documents,
         "embedding_dup_pairs": q.embedding_dup_pairs,
+        "embedding_dup_pairs_exact": q.embedding_dup_pairs_exact,
         "knn_ivf_embeddings": q.knn_ivf_embeddings,
         "multimodal_embeddings": q.multimodal_embeddings,
         "lineitem_rollup": q.lineitem_rollup,
@@ -101,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": q.QUALITY_DOCUMENTS_SQL,
         "profile_counts_documents": q.PROFILE_COUNTS_DOCUMENTS_SQL,
         "knn_embeddings": q.KNN_EMBEDDINGS_SQL,
+        # exact all-pairs baseline (audited 1e-4 threshold margin)
+        "embedding_dup_pairs_exact": q.EMBEDDING_DUP_PAIRS_EXACT_SQL,
         # probe-all IVF is exact, so the brute-force oracle applies
         # (the recall assertion made deterministic — round-2 verdict #8)
         "knn_ivf_embeddings": q.KNN_EMBEDDINGS_SQL,
@@ -119,5 +122,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no SQL equivalent): hll_profile_documents,
         # minhash_lsh_candidates, simhash_documents,
         # drift_documents_by_source, simhash_near_dups_documents,
-        # embedding_dup_pairs
+        # embedding_dup_pairs (LSH scale path; its exact baseline
+        # embedding_dup_pairs_exact IS value-matched above)
     }

@@ -1167,6 +1167,31 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
         approx_rows=n).to_pandas()
 
 
+def embedding_dup_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs embedding-cosine pairs at 0.45 — the oracle-
+    checkable brute-force baseline for ``embedding_dup_pairs`` (whose
+    LSH route and 0.99 threshold stay the scale path; the testdata has
+    no pairs above 0.52, so a verifying threshold must sit in the real
+    cosine mass). Threshold margin audited over the testdata: the
+    nearest pair cosine is >= 1e-4 from 0.45 at every sf, four orders
+    of magnitude above float32-vs-float64 evaluation noise, so the
+    float64 matmul here and DuckDB's ``list_cosine_similarity`` select
+    the identical id set."""
+    from ..stages import dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_cosine_duplicates_exact(
+        ds, "vec_id", "embedding", threshold=0.45).to_pandas()
+
+
+EMBEDDING_DUP_PAIRS_EXACT_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.45
+"""
+
+
 def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
     """IVF top-10 neighbors of vec 0 via the PARTITIONED index + probe
     (only the probed cells' parquet files open — the genuine scale

@@ -359,6 +359,53 @@ def ngram_jaccard_verify(pairs_df: pd.DataFrame, docs_df: pd.DataFrame,
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
 
+def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
+                                      threshold: float = 0.95):
+    """EXACT all-pairs cosine near-dup pairs — the brute-force baseline
+    the LSH variant is measured against (same role as brute-force knn
+    vs the IVF index). The normalized float64 matrix is broadcast once
+    (``ray.put``), then each block computes its rows x ALL columns in
+    one matmul and keeps ``id_a < id_b`` — every qualifying pair is
+    emitted exactly once (from the block holding its smaller id), with
+    no shuffle and no per-pair Python. O(n^2/blocks) per task and an
+    O(n*d) broadcast: correct at any block split, affordable only
+    while the embedding table fits the object store — at corpus scale
+    use ``embedding_cosine_duplicates`` (hyperplane-LSH buckets).
+
+    Returns (a, b) id pairs only: the float scores' last-ulp bytes are
+    engine-specific, the id set is oracle-checkable against DuckDB's
+    ``list_cosine_similarity`` (thresholds must sit >~1e-6 from every
+    pair's cosine — see the testdata margin audit in queries.py).
+    """
+    import ray
+
+    mats, idss = [], []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pandas", batch_size=None):
+        mats.append(np.stack(b[emb_col].to_numpy()).astype(np.float64))
+        idss.append(b[id_col].to_numpy(np.int64))
+    mat = np.concatenate(mats)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = np.concatenate(idss)
+    ref = ray.put((mat, ids))
+
+    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        all_mat, all_ids = ray.get(ref)
+        bm = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
+        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bids = batch[id_col].to_numpy(np.int64)
+        sims = bm @ all_mat.T
+        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+        ia, ib = np.nonzero(keep)
+        return pd.DataFrame({"a": bids[ia], "b": all_ids[ib]})
+
+    return ds.map_batches(block_pairs, batch_format="pandas",
+                          batch_size=None)
+
+
 def embedding_cosine_duplicates(ds, id_col: str, emb_col: str,
                                 threshold: float = 0.95,
                                 num_buckets: int = 32, seed: int = 42,

@@ -73,3 +73,47 @@ class TestQualityDocumentsOracle:
         assert mine.loc[4, "lang_pred"] == "und"  # punct-only
         # 250 tokens: length term clipped to exactly 0.4
         assert mine.loc[6, "quality"] >= 0.4
+
+
+class TestEmbeddingDupPairsExactOracle:
+    """embedding_dup_pairs_exact vs the DuckDB cross-join oracle."""
+
+    def test_sql_parity_on_testdata(self, ray_session, sf_dir):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = q.embedding_dup_pairs_exact(sf_dir)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/embeddings.parquet')")
+        oracle = con.execute(q.EMBEDDING_DUP_PAIRS_EXACT_SQL).df()
+        got = {tuple(r) for r in mine[["a", "b"]].to_numpy()}
+        want = {tuple(r) for r in oracle[["a", "b"]].to_numpy()}
+        assert len(got) == len(mine)  # exactly-once emission
+        assert got == want
+        assert len(want) > 0  # threshold sits inside the cosine mass
+
+    def test_block_split_invariance(self, ray_session):
+        """The a<b dedup must hold for ANY block layout, including the
+        one where both members of a pair share a block."""
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            dedup,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((12, 16))
+        vecs = base.copy()
+        vecs[5] = base[2] + rng.standard_normal(16) * 1e-3  # near-dup
+        vecs[9] = base[7] + rng.standard_normal(16) * 1e-3
+        df = pd.DataFrame({"vid": np.arange(12),
+                           "emb": list(vecs.astype(np.float32))})
+        expected = {(2, 5), (7, 9)}
+        for nblocks in (1, 3, 12):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            out = dedup.embedding_cosine_duplicates_exact(
+                ds, "vid", "emb", threshold=0.99).to_pandas()
+            got = {tuple(r) for r in out[["a", "b"]].to_numpy()}
+            assert got == expected, nblocks
