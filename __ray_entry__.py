@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_documents": q.token_stats_documents,
         "topk_longest_documents": q.topk_longest_documents,
         "lang_by_source": q.lang_by_source,
+        "psi_lang_by_source": q.psi_lang_by_source,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
         "profile_counts_documents": q.profile_counts_documents,
@@ -96,6 +97,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,
+        # the drift verdict's categorical statistic through checks.psi
+        "psi_lang_by_source": q.PSI_LANG_BY_SOURCE_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         # bit-exact: same IEEE-double expression order + argmax
         # tie-break ladder as the Ray implementation (see docstring)

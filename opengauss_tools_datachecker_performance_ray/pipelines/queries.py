@@ -751,6 +751,48 @@ SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
 """
 
 
+def psi_lang_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source PSI of the lang distribution vs the global one —
+    the categorical-drift statistic of ``drift_documents_by_source``
+    value-matched in isolation, through the SAME ``checks.psi``
+    function the drift verdict calls (add-half smoothing, reference =
+    merge of all groups including the group, matching
+    ``drift_by_group``'s convention). Counts aggregate distributed and
+    exactly; only the tiny (source, lang) crosstab reaches the driver.
+    The float sum's category order differs between Python (set
+    iteration) and SQL (hash agg) at ~1e-16 — under the gate's rounded
+    value-hash, as with every mean/avg oracle here."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    cnt = ds.groupby(["source", "lang"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    glob = cnt.groupby("lang")["n"].sum().to_dict()
+    rows = [(src, checks.psi(glob, g.set_index("lang")["n"].to_dict()))
+            for src, g in cnt.groupby("source")]
+    return pd.DataFrame(rows, columns=["source", "psi"])
+
+
+PSI_LANG_BY_SOURCE_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(n) AS tot FROM c GROUP BY 1
+), g AS (
+  SELECT lang, sum(n) AS gn FROM c GROUP BY 1
+), gt AS (
+  SELECT sum(gn) AS gtot FROM g
+)
+SELECT t.source,
+       sum((greatest(g.gn, 0.5) / gt.gtot - greatest(coalesce(c.n, 0), 0.5) / t.tot)
+           * ln((greatest(g.gn, 0.5) / gt.gtot)
+                / (greatest(coalesce(c.n, 0), 0.5) / t.tot))) AS psi
+FROM t CROSS JOIN g CROSS JOIN gt
+LEFT JOIN c ON c.source = t.source AND c.lang = g.lang
+GROUP BY t.source
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

@@ -75,6 +75,53 @@ class TestQualityDocumentsOracle:
         assert mine.loc[6, "quality"] >= 0.4
 
 
+class TestPsiLangBySourceOracle:
+    """psi_lang_by_source vs PSI_LANG_BY_SOURCE_SQL, incl. the add-half
+    smoothing path for categories a source never emits."""
+
+    def test_parity_on_testdata(self, ray_session, sf_dir):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = (q.psi_lang_by_source(sf_dir)
+                .sort_values("source").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        orc = (con.execute(q.PSI_LANG_BY_SOURCE_SQL).df()
+               .sort_values("source").reset_index(drop=True))
+        assert list(mine["source"]) == list(orc["source"])
+        assert np.abs(mine["psi"].to_numpy()
+                      - orc["psi"].to_numpy()).max() < 1e-12
+
+    def test_zero_count_smoothing(self, ray_session, tmp_path):
+        """A source with a lang at zero count must take the 0.5/n
+        Laplace branch identically on both sides (coalesce + greatest
+        in SQL, max(get(c,0),0.5) in checks.psi)."""
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        tbl = pa.table({
+            "source": ["s0"] * 6 + ["s1"] * 4,
+            "lang": ["en", "en", "en", "de", "de", "fr",
+                     "en", "en", "en", "en"],  # s1 never emits de/fr
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        mine = (q.psi_lang_by_source(str(tmp_path))
+                .sort_values("source").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        orc = (con.execute(q.PSI_LANG_BY_SOURCE_SQL).df()
+               .sort_values("source").reset_index(drop=True))
+        assert np.abs(mine["psi"].to_numpy()
+                      - orc["psi"].to_numpy()).max() < 1e-12
+        # both sources genuinely drift from the pooled distribution
+        assert (mine["psi"] > 0).all()
+
+
 class TestEmbeddingDupPairsExactOracle:
     """embedding_dup_pairs_exact vs the DuckDB cross-join oracle."""
 
