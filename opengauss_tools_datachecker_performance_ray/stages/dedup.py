@@ -359,6 +359,12 @@ def ngram_jaccard_verify(pairs_df: pd.DataFrame, docs_df: pd.DataFrame,
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
 
+# The exact all-pairs route broadcasts the whole normalized matrix;
+# past this size the O(n*d) ship + O(n^2) compare stop being a sane
+# baseline and the LSH route is the answer (it is never capped).
+MAX_EXACT_BROADCAST_BYTES = 256 * 2**20
+
+
 def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
                                       threshold: float = 0.95):
     """EXACT all-pairs cosine near-dup pairs — the brute-force baseline
@@ -385,6 +391,14 @@ def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
         mats.append(np.stack(b[emb_col].to_numpy()).astype(np.float64))
         idss.append(b[id_col].to_numpy(np.int64))
     mat = np.concatenate(mats)
+    if mat.nbytes > MAX_EXACT_BROADCAST_BYTES:
+        # no-silent-caps rule: the baseline stays exact, but the
+        # operator tells you when you've outgrown it
+        logger.warning(
+            "embedding_cosine_duplicates_exact: %.1f MB broadcast "
+            "matrix exceeds the %d MB baseline budget — use "
+            "embedding_cosine_duplicates (LSH) at this corpus size",
+            mat.nbytes / 2**20, MAX_EXACT_BROADCAST_BYTES // 2**20)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ids = np.concatenate(idss)
     ref = ray.put((mat, ids))
