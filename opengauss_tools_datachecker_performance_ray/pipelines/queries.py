@@ -761,10 +761,14 @@ def psi_lang_by_source(sf_dir: str) -> pd.DataFrame:
     exactly; only the tiny (source, lang) crosstab reaches the driver.
     The float sum's category order differs between Python (set
     iteration) and SQL (hash agg) at ~1e-16 — under the gate's rounded
-    value-hash, as with every mean/avg oracle here."""
+    value-hash, as with every mean/avg oracle here. NULL source/lang
+    rows are dropped on BOTH sides up front: pandas groupby and SQL
+    GROUP BY disagree on NULL-as-a-group, so the only portable
+    convention is none."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "documents", ["source", "lang"])
+    ds = _read(sf_dir, "documents", ["source", "lang"]) \
+        .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
     cnt = ds.groupby(["source", "lang"]) \
         .aggregate(Count(alias_name="n")).to_pandas()
     glob = cnt.groupby("lang")["n"].sum().to_dict()
@@ -775,7 +779,8 @@ def psi_lang_by_source(sf_dir: str) -> pd.DataFrame:
 
 PSI_LANG_BY_SOURCE_SQL = """
 WITH c AS (
-  SELECT source, lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1, 2
+  SELECT source, lang, count(*)::DOUBLE AS n FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
 ), t AS (
   SELECT source, sum(n) AS tot FROM c GROUP BY 1
 ), g AS (
@@ -902,6 +907,9 @@ FROM documents
 # can never drift from the Python heuristic. Safe for the ASCII corpus:
 # RE2's \w/\b are ASCII-only while Python's are Unicode — identical on
 # ASCII text, which is what the testdata documents table contains.
+# RE2's \s is narrower than Python's even within ASCII ([\t\n\f\r ]
+# vs + VT and the \x1c-\x1f separators), so the punct class spells the
+# extra control chars out instead of trusting \s.
 _STOP_PATS = {
     _l: r"\b(?:" + "|".join(sorted(textfn.STOPWORDS[_l])) + r")\b"
     for _l in textfn.STOPWORDS
@@ -913,7 +921,7 @@ WITH f AS (
   SELECT doc_id,
     length(text) AS n_chars,
     len(regexp_extract_all(text, '[\\w'']+')) AS n_tokens,
-    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[^\\w\\s\\x0b\\x1c-\\x1f]')) AS n_punct,
     {','.join(
         "len(regexp_extract_all(lower(text), '" + _STOP_PATS[_l] + "'))"
         " AS c_" + _l for _l in textfn.STOPWORDS)}

@@ -369,14 +369,16 @@ def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
                                       threshold: float = 0.95):
     """EXACT all-pairs cosine near-dup pairs — the brute-force baseline
     the LSH variant is measured against (same role as brute-force knn
-    vs the IVF index). The normalized float64 matrix is broadcast once
-    (``ray.put``), then each block computes its rows x ALL columns in
-    one matmul and keeps ``id_a < id_b`` — every qualifying pair is
-    emitted exactly once (from the block holding its smaller id), with
-    no shuffle and no per-pair Python. O(n^2/blocks) per task and an
-    O(n*d) broadcast: correct at any block split, affordable only
-    while the embedding table fits the object store — at corpus scale
-    use ``embedding_cosine_duplicates`` (hyperplane-LSH buckets).
+    vs the IVF index). The dataset is read ONCE into a normalized
+    float64 matrix broadcast via ``ray.put``; tasks then fan out over
+    disjoint row ranges of the broadcast (no second read, no
+    re-normalization), each computing its rows x ALL columns in one
+    matmul and keeping ``id_a < id_b`` — every qualifying pair is
+    emitted exactly once (from the range holding its smaller id), with
+    no shuffle and no per-pair Python. O(n^2/tasks) per task and an
+    O(n*d) broadcast: correct at any split, affordable only while the
+    embedding table fits the object store — at corpus scale use
+    ``embedding_cosine_duplicates`` (hyperplane-LSH buckets).
 
     Returns (a, b) id pairs only: the float scores' last-ulp bytes are
     engine-specific, the id set is oracle-checkable against DuckDB's
@@ -384,12 +386,19 @@ def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
     pair's cosine — see the testdata margin audit in queries.py).
     """
     import ray
+    import ray.data as rd
 
     mats, idss = [], []
     for b in ds.select_columns([id_col, emb_col]).iter_batches(
             batch_format="pandas", batch_size=None):
         mats.append(np.stack(b[emb_col].to_numpy()).astype(np.float64))
         idss.append(b[id_col].to_numpy(np.int64))
+    empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64)})
+    if not mats:
+        # from_arrow keeps the (a, b) schema on zero rows
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
     mat = np.concatenate(mats)
     if mat.nbytes > MAX_EXACT_BROADCAST_BYTES:
         # no-silent-caps rule: the baseline stays exact, but the
@@ -403,21 +412,32 @@ def embedding_cosine_duplicates_exact(ds, id_col: str, emb_col: str,
     ids = np.concatenate(idss)
     ref = ray.put((mat, ids))
 
-    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+    # fan out ROW RANGES over the broadcast instead of re-reading the
+    # dataset: the single materialization above already decoded and
+    # normalized every row, so tasks just slice the shared matrix
+    n = len(ids)
+    rows_per_task = max(1024, -(-n // 64))  # <=64 tasks, >=1024 rows
+    starts = np.arange(0, n, rows_per_task, dtype=np.int64)
+
+    def range_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
         all_mat, all_ids = ray.get(ref)
-        bm = np.stack(batch[emb_col].to_numpy()).astype(np.float64)
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        bids = batch[id_col].to_numpy(np.int64)
-        sims = bm @ all_mat.T
-        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-        ia, ib = np.nonzero(keep)
-        return pd.DataFrame({"a": bids[ia], "b": all_ids[ib]})
+        out = [empty]
+        for lo in batch["start"].to_numpy():
+            hi = min(lo + rows_per_task, len(all_ids))
+            sims = all_mat[lo:hi] @ all_mat.T
+            keep = (sims >= threshold) \
+                & (all_ids[lo:hi, None] < all_ids[None, :])
+            ia, ib = np.nonzero(keep)
+            out.append(pd.DataFrame({"a": all_ids[lo:hi][ia],
+                                     "b": all_ids[ib]}))
+        return pd.concat(out, ignore_index=True)
 
-    return ds.map_batches(block_pairs, batch_format="pandas",
-                          batch_size=None)
+    return rd.from_pandas(pd.DataFrame({"start": starts})) \
+        .repartition(len(starts)) \
+        .map_batches(range_pairs, batch_format="pandas", batch_size=None)
 
 
 def embedding_cosine_duplicates(ds, id_col: str, emb_col: str,

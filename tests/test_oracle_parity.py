@@ -28,6 +28,9 @@ class TestQualityDocumentsOracle:
         "el y no un una de por el y no",  # es, with 'de' shared with fr
         "x",  # single char, no stopwords
         "the quick brown fox jumps over the lazy dog and runs",
+        # VT + \x1c-\x1f: Python \s matches these, RE2 \s does not —
+        # the SQL punct class spells them out (latent-divergence probe)
+        "a\x0bb \x1c the \x1d end \x1e!\x1f.",
     ]
 
     @pytest.fixture(scope="class")
@@ -104,9 +107,10 @@ class TestPsiLangBySourceOracle:
         )
 
         tbl = pa.table({
-            "source": ["s0"] * 6 + ["s1"] * 4,
+            "source": ["s0"] * 6 + ["s1"] * 4 + [None, "s0"],
             "lang": ["en", "en", "en", "de", "de", "fr",
-                     "en", "en", "en", "en"],  # s1 never emits de/fr
+                     "en", "en", "en", "en",  # s1 never emits de/fr
+                     "en", None],  # NULL keys dropped on both sides
         })
         pq.write_table(tbl, str(tmp_path / "documents.parquet"))
         mine = (q.psi_lang_by_source(str(tmp_path))
@@ -164,3 +168,19 @@ class TestEmbeddingDupPairsExactOracle:
                 ds, "vid", "emb", threshold=0.99).to_pandas()
             got = {tuple(r) for r in out[["a", "b"]].to_numpy()}
             assert got == expected, nblocks
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            dedup,
+        )
+
+        df = pd.DataFrame({"vid": pd.Series(dtype=np.int64),
+                           "emb": pd.Series(dtype=object)})
+        out = dedup.embedding_cosine_duplicates_exact(
+            rd.from_pandas(df), "vid", "emb")
+        assert out.count() == 0
+        # (to_pandas() on zero Ray rows drops schema generally; the
+        # Dataset-level schema must still carry the pair columns)
+        assert out.schema().names == ["a", "b"]
