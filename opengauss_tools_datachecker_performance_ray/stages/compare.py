@@ -557,11 +557,14 @@ def partition_signatures_pair(src, snk, cfg: DigestConfig,
             lambda: side_reduced(snk, False))
         return collect_sparse_signature_pair(red_src, red_snk)
 
-    src_tab, snk_tab = run_concurrently(
-        lambda: _collect_arrow(side_partials(src, True)),
-        lambda: _collect_arrow(side_partials(snk, False)))
-    return (_merge_signature_partials(src_tab, B),
-            _merge_signature_partials(snk_tab, B))
+    # merge INSIDE each thread: the two serial driver merges (~0.2 s
+    # each at bench scale) overlap each other and the slower side's
+    # collect tail instead of queueing after both collects finish
+    return run_concurrently(
+        lambda: _merge_signature_partials(
+            _collect_arrow(side_partials(src, True)), B),
+        lambda: _merge_signature_partials(
+            _collect_arrow(side_partials(snk, False)), B))
 
 
 # --------------------------------------------------------------------------
