@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_events_smallparent": q.referential_events_smallparent,
         "referential_lineitem_orders_partitioned":
             q.referential_lineitem_orders_partitioned,
+        "referential_bloom_pruned": q.referential_bloom_pruned,
         # table-pair compare (§2.4 J1-J3, §2.5 A1-A4)
         "compare_orders_pair": q.compare_orders_pair,
         "compare_documents_clean": q.compare_documents_clean,
@@ -89,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "referential_events_smallparent": q.REFERENTIAL_EVENTS_SMALLPARENT_SQL,
         "referential_lineitem_orders_partitioned":
             q.REFERENTIAL_LINEITEM_ORDERS_PARTITIONED_SQL,
+        # bloom semi-join pruning is exact -> plain anti-join oracle
+        "referential_bloom_pruned": q.REFERENTIAL_BLOOM_PRUNED_SQL,
         "compare_orders_pair": q.COMPARE_ORDERS_PAIR_SQL,
         "compare_documents_clean": q.COMPARE_DOCUMENTS_CLEAN_SQL,
         "corpus_curation_by_lang": q.CORPUS_CURATION_BY_LANG_SQL,

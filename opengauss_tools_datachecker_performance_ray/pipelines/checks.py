@@ -225,14 +225,57 @@ def referential_violations(child, child_key: str, parent, parent_key: str,
 
 def referential_violations_partitioned(child, child_key: str,
                                        parent, parent_key: str,
-                                       num_buckets: int = 256):
+                                       num_buckets: int = 256,
+                                       bloom_prune: bool | None = None,
+                                       bloom_bits_per_key: int = 12):
     """Hash-partitioned anti-join for a parent too large to broadcast.
 
     Both sides get ``bucket = hash(key) % B`` (same hash both sides —
     the co-partitioning invariant), union with a side tag, and each
     bucket group resolves dangling children with a pandas isin.
+
+    ``bloom_prune`` is the bloom semi-join scale path
+    (``functions/bloom.py``): a bloom filter built over the CHILD keys
+    is broadcast once (``ray.put``; uint8 numpy — zero-copy from
+    plasma) and parent batches drop every key no child references
+    BEFORE the shuffle. Bloom filters have no false negatives, so no
+    referenced parent is ever dropped and the violation set is
+    bit-identical (tested); false positives merely let ~0.3% of
+    unreferenced parents ride the shuffle. Parent shuffle volume falls
+    from |parent| to |referenced keys| + fpp·|parent| — the win when a
+    10^12-row url table is checked against a much smaller (or highly
+    repetitive) child reference set. ``None`` auto-engages it when the
+    parent outnumbers the child ≥4x (both counts are parquet-footer
+    cheap; the build costs one extra child-key scan, amortized by the
+    parent rows it keeps out of the shuffle).
     """
+    import ray
+
+    from ..functions import bloom as bloomf
     from ..functions import hashing
+
+    if bloom_prune is None or bloom_prune:
+        n_child = child.count()
+        n_parent = parent.count()
+        if bloom_prune is None:
+            bloom_prune = n_parent >= 4 * max(1, n_child)
+    if bloom_prune:
+        bf = bloomf.build_bloom(child.select_columns([child_key]),
+                                child_key, n_child,
+                                bits_per_key=bloom_bits_per_key)
+        bits_ref = ray.put(bf.bits)
+        m, k = bf.m, bf.k
+
+        def prune(batch: pa.Table) -> pa.Table:
+            vals = batch.column(parent_key)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            sub = batch.select([parent_key]).filter(pc.is_valid(vals))
+            f = bloomf.BloomFilter(m, k, ray.get(bits_ref))
+            hit = f.contains(sub.column(parent_key))
+            return sub.filter(pa.array(hit))
+
+        parent = parent.map_batches(prune, batch_format="pyarrow")
 
     def keyed(side: str, col: str):
         def fn(batch: pa.Table) -> pa.Table:

@@ -254,6 +254,39 @@ WHERE l_orderkey IS NOT NULL
 """
 
 
+def referential_bloom_pruned(sf_dir: str):
+    """Bloom semi-join route (``functions/bloom.py``): the parent side
+    is ~4-6x the child, so ``bloom_prune`` auto-engages — a bloom
+    filter over the child keys drops unreferenced parents BEFORE the
+    anti-join shuffle. Bloom filters have no false negatives, so the
+    violation set is bit-identical to the plain anti-join (the oracle
+    below is the plain anti-join SQL)."""
+
+    def child_slice(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey").to_numpy()
+        return batch.filter(pa.array(key % 64 == 0)).select(["o_custkey"])
+
+    def parent_slice(batch: pa.Table) -> pa.Table:
+        key = batch.column("c_custkey").to_numpy()
+        return batch.filter(pa.array(key % 3 != 0))
+
+    child = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(child_slice, batch_format="pyarrow")
+    parent = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(parent_slice, batch_format="pyarrow")
+    out = checks.referential_violations_partitioned(
+        child, "o_custkey", parent, "c_custkey", num_buckets=16)
+    return _with_schema(out, ["o_custkey"], {"o_custkey": object})
+
+
+REFERENTIAL_BLOOM_PRUNED_SQL = """
+SELECT CAST(o_custkey AS VARCHAR) AS o_custkey FROM orders
+WHERE o_orderkey % 64 = 0 AND o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey % 3 <> 0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Table-pair compare (the flagship, SURVEY.md §2.4 J1-J3)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,104 @@
+"""Bloom semi-join pruning (functions/bloom.py): no false negatives,
+identical bitmaps across build routes, and bit-identical referential
+results with parent-side pruning engaged."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.functions import bloom as bloomf
+from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fpp(self):
+        members = [f"https://ex{i}.com/p{i}" for i in range(20_000)]
+        others = [f"https://nope{i}.org/q{i}" for i in range(20_000)]
+        m, k = bloomf.bloom_params(len(members), bits_per_key=12)
+        f = bloomf.BloomFilter.from_values(np.array(members, dtype=object), m, k)
+        assert f.contains(np.array(members, dtype=object)).all()
+        fpp = f.contains(np.array(others, dtype=object)).mean()
+        assert fpp < 0.02  # sized for ~0.3% at 12 bits/key
+
+    def test_int_keys_hash_like_strings(self):
+        import pyarrow as pa
+        vals = pa.array(np.arange(1000, dtype=np.int64))
+        m, k = bloomf.bloom_params(1000)
+        f = bloomf.BloomFilter.from_values(vals, m, k)
+        assert f.contains(vals).all()
+
+    def test_shard_build_matches_driver_build(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": [f"key-{i}" for i in range(5000)]})
+        ds = rd.from_pandas(df).repartition(8)
+        a = bloomf.build_bloom(ds, "k", 5000, shard_build=False)
+        # tiny shards force many shard groups through the groupby route
+        b = bloomf.build_bloom(ds, "k", 5000, shard_build=True,
+                               shard_bytes=256)
+        assert a.m == b.m and a.k == b.k
+        assert np.array_equal(a.bits, b.bits)
+
+    def test_nulls_ignored_in_build(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": ["a", None, "b", None]})
+        f = bloomf.build_bloom(rd.from_pandas(df), "k", 4)
+        assert f.contains(np.array(["a", "b"], dtype=object)).all()
+
+
+class TestReferentialBloomPrune:
+    def _mk(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        parent = pd.DataFrame(
+            {"pk": [f"https://site{i}.com/" for i in range(40_000)]})
+        # children reference a small slice of the parent space + some
+        # dangling keys that exist nowhere
+        refs = rng.choice(parent["pk"].to_numpy()[:2000], size=8000)
+        dangling = np.array([f"https://gone{i}.net/" for i in range(37)])
+        child = pd.DataFrame(
+            {"fk": np.concatenate([refs, dangling])})
+        return (rd.from_pandas(child).repartition(4),
+                rd.from_pandas(parent).repartition(8),
+                sorted(dangling.tolist()))
+
+    def test_bloom_prune_bit_identical(self, ray_session):
+        child, parent, dangling = self._mk(ray_session)
+        plain = checks.referential_violations_partitioned(
+            child, "fk", parent, "pk", num_buckets=16, bloom_prune=False)
+        pruned = checks.referential_violations_partitioned(
+            child, "fk", parent, "pk", num_buckets=16, bloom_prune=True)
+        a = sorted(plain.to_pandas()["fk"])
+        b = sorted(pruned.to_pandas()["fk"])
+        assert a == b
+        assert sorted(set(b)) == dangling
+
+    def test_auto_route_engages_on_big_parent(self, ray_session,
+                                              monkeypatch):
+        child, parent, dangling = self._mk(ray_session)
+        called = {}
+        real = bloomf.build_bloom
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return real(*a, **kw)
+
+        monkeypatch.setattr(
+            "opengauss_tools_datachecker_performance_ray.functions.bloom.build_bloom",
+            spy)
+        out = checks.referential_violations_partitioned(
+            child, "fk", parent, "pk", num_buckets=16)
+        assert sorted(set(out.to_pandas()["fk"])) == dangling
+        assert called.get("yes")  # parent is ~5x child -> auto-engaged
+
+    def test_prune_actually_drops_unreferenced_parents(self, ray_session):
+        child, parent, _ = self._mk(ray_session)
+        bf = bloomf.build_bloom(child.select_columns(["fk"]), "fk",
+                                child.count())
+        import pyarrow as pa
+        pks = parent.to_pandas()["pk"].to_numpy(dtype=object)
+        kept = bf.contains(pks).sum()
+        # 2000 referenced + fpp of the other 38k; far below the 40k total
+        assert kept < 4000
