@@ -287,6 +287,44 @@ WHERE o_orderkey % 64 = 0 AND o_custkey IS NOT NULL
 """
 
 
+def line_dedup_documents(sf_dir: str):
+    """C4/CCNet-style line-level exact dedup over the documents corpus
+    (``stages.dedup.line_dedup``). The synthetic corpus carries no
+    newlines, so "lines" are fixed 10-token windows (the operator's
+    ``tokens_per_line`` mode); every non-first occurrence of a window
+    across the whole corpus is removed and documents are rebuilt from
+    their surviving windows. The dedup shuffle ships 24 B/line
+    fingerprints, never text; the loser set broadcasts and documents
+    rebuild in one stateless second pass."""
+    from ..stages import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.line_dedup(ds, "doc_id", "text", tokens_per_line=10)
+    df = _with_schema(out, ["doc_id", "text"],
+                      {"doc_id": np.int64, "text": object})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+LINE_DEDUP_DOCUMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+), lines AS (
+  SELECT doc_id, (i - 1) // 10 AS line_no,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+), winners AS (
+  SELECT doc_id, line_no, line FROM lines
+  QUALIFY row_number() OVER (PARTITION BY line
+                             ORDER BY doc_id, line_no) = 1
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM winners GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Table-pair compare (the flagship, SURVEY.md §2.4 J1-J3)
 # ---------------------------------------------------------------------------

@@ -497,3 +497,216 @@ def embedding_cosine_duplicates(ds, id_col: str, emb_col: str,
                              "cos": c[keep]})
 
     return keyed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4/CCNet-style corpus curation)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_arange(counts: np.ndarray) -> np.ndarray:
+    """[3,1,2] -> [0,1,2, 0, 0,1] — intra-group indices, vectorized."""
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(int(counts.sum()), dtype=np.int64) \
+        - np.repeat(starts, counts)
+
+
+def _explode_lines(batch: pa.Table, id_col: str, text_col: str,
+                   delimiter: str, tokens_per_line: int | None,
+                   include_text: bool) -> pa.Table:
+    """Flat (id, line_no, lhash[, line]) table for one batch.
+
+    ``tokens_per_line`` switches to fixed token-window "lines" (split
+    on single space, re-joined per window) for corpora that carry no
+    natural line breaks. Null and EMPTY texts contribute no lines
+    (matching SQL ``string_split('') -> []`` semantics — pyarrow would
+    return [''], a latent oracle divergence pinned by test)."""
+    import pyarrow.compute as pc
+
+    txt = batch.column(text_col)
+    ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+    batch = batch.filter(ok)
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sep = " " if tokens_per_line else delimiter
+    lists = pc.split_pattern(txt, sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = np.asarray(lists.offsets, dtype=np.int64)
+    values = lists.values
+    n_per_doc = np.diff(offsets)
+    if tokens_per_line:
+        w = int(tokens_per_line)
+        n_chunks = (n_per_doc + w - 1) // w
+        doc_idx = np.repeat(np.arange(len(n_per_doc)), n_chunks)
+        intra = _grouped_arange(n_chunks)
+        starts = offsets[:-1][doc_idx] + w * intra
+        bounds = np.append(starts, offsets[-1])
+        # separator scalar type must match the value type — there is
+        # no (large_list<large_string>, string) binary_join kernel
+        sep_scalar = pa.scalar(" ", pa.large_string()) \
+            if pa.types.is_large_string(values.type) else " "
+        lines = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(bounds, pa.int64()), values), sep_scalar)
+        line_no = intra
+    else:
+        doc_idx = np.repeat(np.arange(len(n_per_doc)), n_per_doc)
+        lines = values
+        line_no = _grouped_arange(n_per_doc)
+    h = hash64(lines)
+    cols = {
+        id_col: pa.array(ids[doc_idx]),
+        "line_no": pa.array(line_no, pa.int64()),
+        "lhash": pa.array(h.view(np.int64), pa.int64()),
+    }
+    if include_text:
+        cols["line"] = lines if isinstance(lines, pa.Array) \
+            else pa.array(lines)
+    return pa.table(cols)
+
+
+# loser sets beyond this many (doc, line_no) pairs route reassembly
+# through the bucketed join instead of a driver broadcast
+BROADCAST_LOSERS_MAX = 2_000_000
+
+
+def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
+               tokens_per_line: int | None = None, num_buckets: int = 64,
+               out_delimiter: str = "\n",
+               broadcast_losers_max: int = BROADCAST_LOSERS_MAX):
+    """Remove every non-first occurrence of each distinct line across
+    the corpus and return the rebuilt documents (C4/CCNet-style
+    line-level exact dedup). "First" = smallest (id, line_no); line
+    identity is the 64-bit text fingerprint (same semantics as
+    ``exact_duplicates``). Documents whose every line loses disappear.
+
+    Shuffle discipline: the dedup pass ships (id, line_no, lhash) —
+    24 B per line occurrence, never the text — through ONE bucketed
+    groupby (all occurrences of a line share ``bucket = lhash % B``).
+    Only the LOSER positions come back: at web scale the duplicate
+    fraction is what's small, so reassembly broadcasts the loser set
+    (``ray.put`` once) and rebuilds documents inside a second stateless
+    pass over the original table — the text never shuffles at all.
+    Past ``broadcast_losers_max`` losers, reassembly instead bucket-
+    joins exploded lines with loser keys on ``hash(id) % B`` (text
+    shuffles once; no driver materialization).
+    """
+    import ray
+    import ray.data  # noqa: F401  (ensure data API registered)
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        t = _explode_lines(batch, id_col, text_col, delimiter,
+                           tokens_per_line, include_text=False)
+        h = t.column("lhash").to_numpy().view(np.uint64)
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int32)))
+
+    keyed = ds.map_batches(explode_keys, batch_format="pyarrow")
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lhash", id_col, "line_no"])
+        first = g.groupby("lhash", sort=False)[[id_col, "line_no"]] \
+            .transform("first")
+        lose = (first[id_col] != g[id_col]) \
+            | (first["line_no"] != g["line_no"])
+        out = g.loc[lose, [id_col, "line_no"]]
+        return out if len(out) else pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             "line_no": pd.Series(dtype=np.int64)})
+
+    loser_ds = keyed.groupby("bucket").map_groups(
+        losers, batch_format="pandas").materialize()
+    n_losers = loser_ds.count()
+
+    if n_losers <= broadcast_losers_max:
+        lost = loser_ds.to_pandas()
+        key_dt = np.dtype([("a", np.int64), ("b", np.int64)])
+        lost_keys = np.zeros(len(lost), dtype=key_dt)
+        if len(lost):
+            lost_keys["a"] = lost[id_col].to_numpy(dtype=np.int64)
+            lost_keys["b"] = lost["line_no"].to_numpy(dtype=np.int64)
+        lost_keys.sort()
+        ref = ray.put(lost_keys)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            flat = _explode_lines(batch, id_col, text_col, delimiter,
+                                  tokens_per_line, include_text=True)
+            lk = ray.get(ref)
+            keys = np.zeros(flat.num_rows, dtype=key_dt)
+            keys["a"] = flat.column(id_col).to_numpy()
+            keys["b"] = flat.column("line_no").to_numpy()
+            if len(lk):
+                pos = np.minimum(np.searchsorted(lk, keys), len(lk) - 1)
+                keep = lk[pos] != keys
+            else:
+                keep = np.ones(flat.num_rows, dtype=bool)
+            kept = flat.filter(pa.array(keep))
+            df = pd.DataFrame({
+                id_col: kept.column(id_col).to_numpy(),
+                "line_no": kept.column("line_no").to_numpy(),
+                "line": kept.column("line").to_pandas(),
+            })
+            if not len(df):
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 text_col: pa.array([], pa.large_string())})
+            df = df.sort_values([id_col, "line_no"])
+            agg = df.groupby(id_col, sort=True)["line"] \
+                .agg(out_delimiter.join).reset_index(name=text_col)
+            return pa.table({
+                id_col: pa.array(agg[id_col].to_numpy()),
+                text_col: pa.array(agg[text_col], pa.large_string())})
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # join route: exploded lines + loser keys co-partitioned on doc id
+    def _doc_bucket(ids_arr) -> pa.Array:
+        from ..functions.hashing import _splitmix64
+
+        ids64 = np.ascontiguousarray(
+            ids_arr.to_numpy(zero_copy_only=False).astype(np.int64))
+        dh = _splitmix64(ids64.view(np.uint64).copy())
+        return pa.array((dh % np.uint64(num_buckets)).astype(np.int32))
+
+    def explode_text(batch: pa.Table) -> pa.Table:
+        t = _explode_lines(batch, id_col, text_col, delimiter,
+                           tokens_per_line, include_text=True)
+        return pa.table({
+            id_col: t.column(id_col),
+            "line_no": t.column("line_no"),
+            "line": t.column("line"),
+            "is_loser": pa.array(np.zeros(t.num_rows, bool)),
+            "dbucket": _doc_bucket(t.column(id_col)),
+        })
+
+    def tag_losers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            id_col: batch.column(id_col),
+            "line_no": batch.column("line_no"),
+            "line": pa.array([None] * n, pa.large_string()),
+            "is_loser": pa.array(np.ones(n, bool)),
+            "dbucket": _doc_bucket(batch.column(id_col)),
+        })
+
+    lines_ds = ds.map_batches(explode_text, batch_format="pyarrow")
+    tagged = loser_ds.map_batches(tag_losers, batch_format="pyarrow")
+
+    def rebuild_group(g: pd.DataFrame) -> pd.DataFrame:
+        lose = g[g["is_loser"]]
+        keep = g[~g["is_loser"]].merge(
+            lose[[id_col, "line_no"]], on=[id_col, "line_no"],
+            how="left", indicator=True)
+        keep = keep[keep["_merge"] == "left_only"]
+        if not len(keep):
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 text_col: pd.Series(dtype=object)})
+        keep = keep.sort_values([id_col, "line_no"])
+        return keep.groupby(id_col, sort=True)["line"] \
+            .agg(out_delimiter.join).reset_index(name=text_col)
+
+    return lines_ds.union(tagged).groupby("dbucket").map_groups(
+        rebuild_group, batch_format="pandas")

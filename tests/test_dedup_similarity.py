@@ -484,3 +484,81 @@ class TestDedupOnPagesFixture:
         exact_pairs = {tuple(sorted((int(r.rep_id), int(r.dup_id))))
                        for r in exact.itertuples()}
         assert exact_pairs.issubset(mh_pairs)
+
+
+class TestLineDedup:
+    """C4-style line-level exact dedup (stages.dedup.line_dedup)."""
+
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha\nbeta\ngamma",
+                "beta\ndelta",          # beta loses to doc 1
+                "alpha\nbeta",          # both lines lose -> doc vanishes
+                "",                     # empty -> contributes nothing
+                "epsilon\nalpha\nepsilon",  # 2nd epsilon loses to its own 1st
+            ],
+        })
+
+    EXPECT = {1: "alpha\nbeta\ngamma", 2: "delta", 5: "epsilon"}
+
+    def test_newline_mode_first_occurrence_wins(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        ds = rd.from_pandas(self._docs()).repartition(3)
+        out = dedup.line_dedup(ds, "doc_id", "text").to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got == self.EXPECT
+
+    def test_join_route_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        ds = rd.from_pandas(self._docs()).repartition(3)
+        out = dedup.line_dedup(ds, "doc_id", "text",
+                               broadcast_losers_max=0).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got == self.EXPECT
+
+    def test_null_text_contributes_nothing(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", None]})
+        out = dedup.line_dedup(rd.from_pandas(df), "doc_id", "text") \
+            .to_pandas()
+        assert dict(zip(out["doc_id"], out["text"])) == {1: "a\nb"}
+
+    def test_token_window_mode_matches_duckdb(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        rng = np.random.default_rng(11)
+        words = np.array(["w%d" % i for i in range(30)])
+        texts = [" ".join(rng.choice(words, size=rng.integers(1, 40)))
+                 for _ in range(60)]
+        texts += texts[:10]           # full duplicates
+        texts += ["", None]           # edge rows
+        ids = list(range(len(texts)))
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)}),
+                       str(tmp_path / "documents.parquet"))
+        mine = q.line_dedup_documents(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = con.execute(q.LINE_DEDUP_DOCUMENTS_SQL).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(mine["doc_id"]) == list(oracle["doc_id"])
+        assert list(mine["text"]) == list(oracle["text"])
