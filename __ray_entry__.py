@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_longest_documents": q.topk_longest_documents,
         "lang_by_source": q.lang_by_source,
         "psi_lang_by_source": q.psi_lang_by_source,
+        "ks_exact_events": q.ks_exact_events,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
         "profile_counts_documents": q.profile_counts_documents,
@@ -104,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_by_source": q.LANG_BY_SOURCE_SQL,
         # the drift verdict's categorical statistic through checks.psi
         "psi_lang_by_source": q.PSI_LANG_BY_SOURCE_SQL,
+        # exact distributed KS, integer outputs -> hash-exact
+        "ks_exact_events": q.KS_EXACT_EVENTS_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         # bit-exact: same IEEE-double expression order + argmax
         # tie-break ladder as the Ray implementation (see docstring)

@@ -869,6 +869,51 @@ GROUP BY t.source
 """
 
 
+def ks_exact_events(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample KS (click vs view on events.value) through the
+    distributed integer kernel ``checks.ks_exact_counts`` — the precise
+    sibling of the sketch-based drift KS, value-matched against a
+    DuckDB window-function oracle. Integer outputs make the match
+    hash-exact: ks_num = max_v |cumA(v)*NB - cumB(v)*NA|."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        sub = batch.filter(keep)
+        a = pc.cast(pc.equal(sub.column("event_type"), "click"), pa.int64())
+        return pa.table({"value": sub.column("value"), "a": a})
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow")
+    res = checks.ks_exact_counts(flagged, "value", "a")
+    return pd.DataFrame([{"ks_num": np.int64(res["ks_num"]),
+                          "n_a": np.int64(res["n_a"]),
+                          "n_b": np.int64(res["n_b"])}])
+
+
+KS_EXACT_EVENTS_SQL = """
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND value IS NOT NULL AND isfinite(value)
+), d AS (
+  SELECT value, CAST(sum(a) AS BIGINT) AS na,
+         CAST(sum(1 - a) AS BIGINT) AS nb
+  FROM s GROUP BY value
+), c AS (
+  SELECT CAST(sum(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (ORDER BY value) AS BIGINT) AS cb
+  FROM d
+), t AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b FROM d
+)
+SELECT max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS ks_num, t.n_a, t.n_b
+FROM c, t GROUP BY t.n_a, t.n_b
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

@@ -102,3 +102,76 @@ class TestReferentialBloomPrune:
         kept = bf.contains(pks).sum()
         # 2000 referenced + fpp of the other 38k; far below the 40k total
         assert kept < 4000
+
+
+class TestKsExact:
+    """checks.ks_exact_counts — exact distributed two-sample KS."""
+
+    @staticmethod
+    def _np_ks_num(a: np.ndarray, b: np.ndarray) -> int:
+        """Reference: integer KS numerator over distinct values."""
+        vals = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), vals, side="right")
+        cb = np.searchsorted(np.sort(b), vals, side="right")
+        return int(np.abs(ca.astype(object) * len(b)
+                          - cb.astype(object) * len(a)).max())
+
+    def test_matches_numpy_reference(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(0, 1, 4000)
+        b = rng.normal(0.3, 1.2, 3000)
+        df = pd.DataFrame({
+            "value": np.concatenate([a, b]),
+            "a": np.concatenate([np.ones(len(a), np.int64),
+                                 np.zeros(len(b), np.int64)]),
+        }).sample(frac=1.0, random_state=0)  # interleave groups
+        ds = rd.from_pandas(df).repartition(16)  # stress block boundaries
+        res = checks.ks_exact_counts(ds, "value", "a")
+        assert res["n_a"] == len(a) and res["n_b"] == len(b)
+        assert res["ks_num"] == self._np_ks_num(a, b)
+
+    def test_ties_and_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        # heavy ties: ECDF must only be evaluated at whole-value steps
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 8, 2000).astype(float)
+        b = rng.integers(2, 10, 1500).astype(float)
+        df = pd.DataFrame({
+            "value": np.concatenate([a, b]),
+            "a": np.concatenate([np.ones(len(a), np.int64),
+                                 np.zeros(len(b), np.int64)]),
+        }).sample(frac=1.0, random_state=1)
+        ds = rd.from_pandas(df).repartition(8)
+        res = checks.ks_exact_counts(ds, "value", "a")
+        assert res["ks_num"] == self._np_ks_num(a, b)
+
+    def test_empty_group_returns_zero(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({"value": [1.0, 2.0],
+                           "a": np.array([1, 1], np.int64)})
+        res = checks.ks_exact_counts(rd.from_pandas(df), "value", "a")
+        assert res == {"ks_num": 0, "n_a": 2, "n_b": 0}
+
+    def test_nulls_and_nonfinite_dropped(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({
+            "value": [1.0, np.nan, np.inf, 2.0, None, 3.0],
+            "a": np.array([1, 1, 0, 0, 0, 1], np.int64),
+        })
+        res = checks.ks_exact_counts(rd.from_pandas(df), "value", "a")
+        assert res["n_a"] == 2 and res["n_b"] == 1
+        assert res["ks_num"] == self._np_ks_num(
+            np.array([1.0, 3.0]), np.array([2.0]))
