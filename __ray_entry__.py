@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_by_source": q.lang_by_source,
         "psi_lang_by_source": q.psi_lang_by_source,
         "ks_exact_events": q.ks_exact_events,
+        "quantiles_events_value": q.quantiles_events_value,
+        "top_terms_by_lang": q.top_terms_by_lang,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
         "profile_counts_documents": q.profile_counts_documents,
@@ -107,6 +109,9 @@ def oracle_sql() -> dict[str, str]:
         "psi_lang_by_source": q.PSI_LANG_BY_SOURCE_SQL,
         # exact distributed KS, integer outputs -> hash-exact
         "ks_exact_events": q.KS_EXACT_EVENTS_SQL,
+        # quantile_disc picks an element -> no interpolation FP drift
+        "quantiles_events_value": q.QUANTILES_EVENTS_VALUE_SQL,
+        "top_terms_by_lang": q.TOP_TERMS_BY_LANG_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         # bit-exact: same IEEE-double expression order + argmax
         # tie-break ladder as the Ray implementation (see docstring)

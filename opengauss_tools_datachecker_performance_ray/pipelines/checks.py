@@ -584,3 +584,79 @@ def ks_exact_counts(ds, value_col: str, flag_col: str) -> dict:
         off_a += int(s.tot_a)
         off_b += int(s.tot_b)
     return {"ks_num": int(best), "n_a": n_a, "n_b": n_b}
+
+
+def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
+    """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics:
+    the element at 1-indexed rank ``ceil(q·n)``), distributed — the
+    precise sibling of the t-digest estimate. Same shuffle discipline
+    as ``ks_exact_counts``: per-batch distinct-value count partials,
+    one groupby+sort over DISTINCT values, one summary row per block
+    to the driver, then the target value is fetched with a range
+    filter over ONLY the block containing the rank — the driver never
+    sees the value distribution, just ≤ len(qs) tiny block reads.
+
+    Nulls and non-finite values are excluded (floats); returns
+    {q: value}. Empty input returns {q: None}.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.is_finite(v))
+        sub = batch.select([value_col]).filter(ok)
+        gb = sub.group_by([value_col]).aggregate([([], "count_all")])
+        return pa.table({value_col: gb.column(value_col),
+                         "cnt": gb.column("count_all")})
+
+    per_value = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(value_col).aggregate(Sum("cnt", alias_name="n")) \
+        .sort(value_col).materialize()
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vmin": batch.column(value_col),
+                             "vmax": batch.column(value_col),
+                             "tot": pa.array([], pa.int64())})
+        tot = pc.sum(batch.column("n")).as_py() or 0
+        return pa.table({
+            "vmin": batch.column(value_col).slice(0, 1),
+            "vmax": batch.column(value_col).slice(batch.num_rows - 1, 1),
+            "tot": pa.array([int(tot)], pa.int64()),
+        })
+
+    summaries = per_value.map_batches(
+        summary, batch_format="pyarrow").to_pandas()
+    if not len(summaries):
+        return {q: None for q in qs}
+    summaries = summaries.sort_values("vmin").reset_index(drop=True)
+    n = int(summaries["tot"].sum())
+    if n == 0:
+        return {q: None for q in qs}
+
+    # rank -> owning block, dedup blocks so each is fetched once
+    cum = summaries["tot"].cumsum()
+    want: dict[int, list[tuple[float, int]]] = {}
+    for q in qs:
+        r = min(n, max(1, math.ceil(q * n)))
+        blk = int(np.searchsorted(cum.to_numpy(), r))
+        want.setdefault(blk, []).append((q, r))
+    out: dict = {}
+    for blk, targets in want.items():
+        lo = summaries["vmin"].iloc[blk]
+        hi = summaries["vmax"].iloc[blk]
+        rows = per_value.filter(
+            expr=f"{value_col} >= {lo!r} and {value_col} <= {hi!r}") \
+            .to_pandas().sort_values(value_col)
+        base = int(cum.iloc[blk - 1]) if blk else 0
+        local_cum = rows["n"].cumsum().to_numpy()
+        vals = rows[value_col].to_numpy()
+        for q, r in targets:
+            out[q] = vals[int(np.searchsorted(local_cum, r - base))].item()
+    return out

@@ -914,6 +914,111 @@ FROM c, t GROUP BY t.n_a, t.n_b
 """
 
 
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def quantiles_events_value(sf_dir: str) -> pd.DataFrame:
+    """EXACT discrete quantiles of events.value through the
+    distributed ``checks.exact_quantiles`` kernel (quantile_disc
+    semantics — element at rank ceil(q*n)); value-matched against
+    DuckDB since both select an actual element (no interpolation, so
+    no FP drift)."""
+    ds = _read(sf_dir, "events", ["value"])
+    got = checks.exact_quantiles(ds, "value", QUANTILE_QS)
+    return pd.DataFrame({"q": np.array(QUANTILE_QS, np.float64),
+                         "value": [got[q] for q in QUANTILE_QS]})
+
+
+QUANTILES_EVENTS_VALUE_SQL = """
+WITH v AS (
+  SELECT value FROM events WHERE value IS NOT NULL AND isfinite(value)
+)
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(value, 0.25) AS value FROM v
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM v
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM v
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM v
+"""
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k tokens per language by exact corpus frequency (term
+    frequency — the webtext vocabulary rollup). Two-stage exact plan:
+    per-batch (lang, token) count partials (the combiner), ONE bucketed
+    groupby for exact global counts, then per-bucket top-k partials —
+    any global top-k member is necessarily in its bucket's top-k, so
+    merging the ≤ B*k*|langs| partial rows on the driver stays exact
+    while the vocabulary itself never leaves the workers. Ties break
+    by token ascending (deterministic)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import hashing
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        ok = pc.and_(pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")),
+                     pc.is_valid(batch.column("lang")))
+        batch = batch.filter(ok)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        n_per = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "lang": pa.array(np.repeat(langs, n_per)),
+            "token": lists.values,
+        })
+        gb = flat.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        tok = gb.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        if not pa.types.is_large_string(tok.type):
+            tok = tok.cast(pa.large_string())
+        h = hashing.hash64(tok)
+        return pa.table({
+            "lang": gb.column("lang"), "token": gb.column("token"),
+            "n_part": gb.column("count_all"),
+            "bucket": pa.array((h % np.uint64(32)).astype(np.int32)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["lang", "token"], sort=False)["n_part"].sum()             .reset_index(name="n")
+        tot = tot.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True])
+        return tot.groupby("lang", sort=False).head(k)
+
+    cand = partials.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True])
+    out = cand.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "token", "n"]]
+
+
+TOP_TERMS_BY_LANG_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+  WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL
+), c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+)
+SELECT lang, token, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, token) <= 5
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

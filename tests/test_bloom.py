@@ -175,3 +175,79 @@ class TestKsExact:
         assert res["n_a"] == 2 and res["n_b"] == 1
         assert res["ks_num"] == self._np_ks_num(
             np.array([1.0, 3.0]), np.array([2.0]))
+
+
+class TestExactQuantiles:
+    """checks.exact_quantiles — quantile_disc semantics, distributed."""
+
+    def test_matches_duckdb_on_random_floats(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        rng = np.random.default_rng(9)
+        vals = np.round(rng.lognormal(3, 1, 5000), 2)
+        vals[::97] = np.nan  # must be excluded
+        df = pd.DataFrame({"v": vals})
+        ds = rd.from_pandas(df).repartition(12)
+        qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+        got = checks.exact_quantiles(ds, "v", qs)
+        con = duckdb.connect()
+        con.register("t", df.dropna())
+        for q in qs:
+            exp = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert got[q] == exp, q
+
+    def test_int_column_and_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({"v": np.repeat(
+            np.arange(10, dtype=np.int64), 100)})
+        ds = rd.from_pandas(df).repartition(7)
+        got = checks.exact_quantiles(ds, "v", [0.05, 0.5, 0.95])
+        assert got == {0.05: 0, 0.5: 4, 0.95: 9}
+
+    def test_empty_returns_none(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({"v": pd.Series([], dtype=np.float64)})
+        got = checks.exact_quantiles(rd.from_pandas(df), "v", [0.5])
+        assert got == {0.5: None}
+
+
+class TestTopTerms:
+    def test_bucket_topk_is_exact_vs_pandas(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        rng = np.random.default_rng(2)
+        words = np.array(["t%02d" % i for i in range(40)])
+        langs = np.array(["en", "fr", "de"])
+        rows = [(langs[rng.integers(3)],
+                 " ".join(rng.choice(words, size=rng.integers(1, 30),
+                                     p=None)))
+                for _ in range(300)]
+        df = pd.DataFrame(rows, columns=["lang", "text"])
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        got = q.top_terms_by_lang(str(tmp_path))
+        # pandas reference
+        toks = df.assign(token=df["text"].str.split(" ")) \
+            .explode("token")[["lang", "token"]]
+        cnt = toks.groupby(["lang", "token"]).size().reset_index(name="n")
+        ref = cnt.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True]) \
+            .groupby("lang").head(5).reset_index(drop=True)
+        assert list(got["lang"]) == list(ref["lang"])
+        assert list(got["token"]) == list(ref["token"])
+        assert list(got["n"]) == list(ref["n"])
