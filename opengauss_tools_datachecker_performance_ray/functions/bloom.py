@@ -140,7 +140,7 @@ def build_bloom(ds, col: str, n_estimate: int,
         shard_build = n_estimate > DRIVER_BLOOM_MAX_ROWS
 
     shard_bits = shard_bytes * 8
-    n_shards = (m + shard_bits - 1) // shard_bits
+    with_shard = bool(shard_build)  # driver fold never reads shards
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(col)
@@ -148,12 +148,13 @@ def build_bloom(ds, col: str, n_estimate: int,
             vals = vals.combine_chunks()
         vals = vals.drop_null()
         h1, h2 = _probe_hashes(vals)
-        if not len(h1):
-            return pa.table({"pos": pa.array([], pa.uint64()),
-                             "shard": pa.array([], pa.int32())})
-        pos = np.unique(_positions(h1, h2, m, k))
-        shard = (pos // np.uint64(shard_bits)).astype(np.int32)
-        return pa.table({"pos": pa.array(pos), "shard": pa.array(shard)})
+        pos = np.unique(_positions(h1, h2, m, k)) if len(h1) \
+            else np.array([], dtype=np.uint64)
+        cols = {"pos": pa.array(pos)}
+        if with_shard:
+            cols["shard"] = pa.array(
+                (pos // np.uint64(shard_bits)).astype(np.int32))
+        return pa.table(cols)
 
     partials = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow")
@@ -183,5 +184,6 @@ def build_bloom(ds, col: str, n_estimate: int,
             off = int(shard) * shard_bytes
             arr = np.frombuffer(bytes(blob), dtype=np.uint8)
             bits[off:off + len(arr)] = arr
-    assert n_shards >= 0  # doc: absent shards stay zero
+    # shards with no positions never appear in the groupby: their
+    # bitmap slices simply stay zero
     return BloomFilter(m, k, bits)

@@ -227,7 +227,9 @@ def referential_violations_partitioned(child, child_key: str,
                                        parent, parent_key: str,
                                        num_buckets: int = 256,
                                        bloom_prune: bool | None = None,
-                                       bloom_bits_per_key: int = 12):
+                                       bloom_bits_per_key: int = 12,
+                                       n_child: int | None = None,
+                                       n_parent: int | None = None):
     """Hash-partitioned anti-join for a parent too large to broadcast.
 
     Both sides get ``bucket = hash(key) % B`` (same hash both sides —
@@ -255,8 +257,13 @@ def referential_violations_partitioned(child, child_key: str,
     from ..functions import hashing
 
     if bloom_prune is None or bloom_prune:
-        n_child = child.count()
-        n_parent = parent.count()
+        # .count() is parquet-footer cheap on direct reads but EXECUTES
+        # a derived (map_batches'd) pipeline — callers with derived
+        # inputs should pass n_child/n_parent estimates instead
+        if n_child is None:
+            n_child = child.count()
+        if bloom_prune is None and n_parent is None:
+            n_parent = parent.count()
         if bloom_prune is None:
             bloom_prune = n_parent >= 4 * max(1, n_child)
     if bloom_prune:
@@ -545,8 +552,9 @@ def ks_exact_counts(ds, value_col: str, flag_col: str) -> dict:
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     tot = partials.sum(["na_p", "nb_p"])
-    n_a = int(tot["sum(na_p)"])
-    n_b = int(tot["sum(nb_p)"])
+    # Dataset.sum returns None values when no rows survive the filter
+    n_a = int((tot or {}).get("sum(na_p)") or 0)
+    n_b = int((tot or {}).get("sum(nb_p)") or 0)
     if n_a == 0 or n_b == 0:
         return {"ks_num": 0, "n_a": n_a, "n_b": n_b}
 
@@ -599,7 +607,7 @@ def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
     Nulls and non-finite values are excluded (floats); returns
     {q: value}. Empty input returns {q: None}.
     """
-    import math
+    from fractions import Fraction
 
     from ray.data.aggregate import Sum
 
@@ -644,13 +652,21 @@ def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
     cum = summaries["tot"].cumsum()
     want: dict[int, list[tuple[float, int]]] = {}
     for q in qs:
-        r = min(n, max(1, math.ceil(q * n)))
+        # rank must be the EXACT ceil(q*n): binary-FP math.ceil(q*n)
+        # overshoots whenever fl(q)*n rounds just above an integer
+        # (q=0.07, n=100 -> 7.000000000000001 -> rank 8, wrong).
+        # DuckDB parses the quantile literal as DECIMAL, so the
+        # decimal value of q (its repr string) is the semantic one.
+        fq = Fraction(str(q))
+        r = min(n, max(1, -((-fq.numerator * n) // fq.denominator)))
         blk = int(np.searchsorted(cum.to_numpy(), r))
         want.setdefault(blk, []).append((q, r))
     out: dict = {}
     for blk, targets in want.items():
-        lo = summaries["vmin"].iloc[blk]
-        hi = summaries["vmax"].iloc[blk]
+        # .item() -> plain Python scalars: numpy 2.x reprs as
+        # "np.float64(3.5)", which the expression parser cannot read
+        lo = summaries["vmin"].iloc[blk].item()
+        hi = summaries["vmax"].iloc[blk].item()
         rows = per_value.filter(
             expr=f"{value_col} >= {lo!r} and {value_col} <= {hi!r}") \
             .to_pandas().sort_values(value_col)

@@ -242,8 +242,11 @@ def referential_lineitem_orders_partitioned(sf_dir: str):
     """Hash-partitioned anti-join path (large-parent variant)."""
     child = _read(sf_dir, "lineitem", ["l_orderkey"])
     parent = _read(sf_dir, "orders", ["o_orderkey"])
+    # plain-partitioned showcase: bloom declined explicitly (child
+    # outnumbers parent), which also skips the routing count() pair
     out = checks.referential_violations_partitioned(
-        child, "l_orderkey", parent, "o_orderkey", num_buckets=32)
+        child, "l_orderkey", parent, "o_orderkey", num_buckets=32,
+        bloom_prune=False)
     return _with_schema(out, ["l_orderkey"], {"l_orderkey": object})
 
 
@@ -274,8 +277,15 @@ def referential_bloom_pruned(sf_dir: str):
         .map_batches(child_slice, batch_format="pyarrow")
     parent = _read(sf_dir, "customer", ["c_custkey"]) \
         .map_batches(parent_slice, batch_format="pyarrow")
+    # derived inputs: .count() would re-execute the whole filter
+    # pipeline, so size the bloom from the parquet footer + the known
+    # 1/64 filter fraction and request the route explicitly
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     out = checks.referential_violations_partitioned(
-        child, "o_custkey", parent, "c_custkey", num_buckets=16)
+        child, "o_custkey", parent, "c_custkey", num_buckets=16,
+        bloom_prune=True, n_child=max(1, n_orders // 64))
     return _with_schema(out, ["o_custkey"], {"o_custkey": object})
 
 

@@ -615,44 +615,58 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
             | (first["line_no"] != g["line_no"])
         out = g.loc[lose, [id_col, "line_no"]]
         return out if len(out) else pd.DataFrame(
-            {id_col: pd.Series(dtype=np.int64),
+            {id_col: pd.Series(dtype=g[id_col].dtype),
              "line_no": pd.Series(dtype=np.int64)})
 
     loser_ds = keyed.groupby("bucket").map_groups(
         losers, batch_format="pandas").materialize()
     n_losers = loser_ds.count()
 
+    key_dt = np.dtype([("a", np.int64), ("b", np.int64)])
+
     if n_losers <= broadcast_losers_max:
         lost = loser_ds.to_pandas()
-        key_dt = np.dtype([("a", np.int64), ("b", np.int64)])
-        lost_keys = np.zeros(len(lost), dtype=key_dt)
-        if len(lost):
-            lost_keys["a"] = lost[id_col].to_numpy(dtype=np.int64)
-            lost_keys["b"] = lost["line_no"].to_numpy(dtype=np.int64)
-        lost_keys.sort()
-        ref = ray.put(lost_keys)
+        # integer ids broadcast as a sorted structured array
+        # (searchsorted membership); any other id dtype broadcasts the
+        # (id, line_no) MultiIndex and tests with vectorized .isin
+        if len(lost) and np.issubdtype(lost[id_col].dtype, np.integer):
+            lost_obj: object = np.zeros(len(lost), dtype=key_dt)
+            lost_obj["a"] = lost[id_col].to_numpy(dtype=np.int64)
+            lost_obj["b"] = lost["line_no"].to_numpy(dtype=np.int64)
+            lost_obj.sort()
+        elif len(lost):
+            lost_obj = pd.MultiIndex.from_arrays(
+                [lost[id_col], lost["line_no"]])
+        else:
+            lost_obj = None
+        ref = ray.put(lost_obj)
 
         def rebuild(batch: pa.Table) -> pa.Table:
             flat = _explode_lines(batch, id_col, text_col, delimiter,
                                   tokens_per_line, include_text=True)
             lk = ray.get(ref)
-            keys = np.zeros(flat.num_rows, dtype=key_dt)
-            keys["a"] = flat.column(id_col).to_numpy()
-            keys["b"] = flat.column("line_no").to_numpy()
-            if len(lk):
+            ids = flat.column(id_col).to_numpy(zero_copy_only=False)
+            lns = flat.column("line_no").to_numpy()
+            if lk is None:
+                keep = np.ones(flat.num_rows, dtype=bool)
+            elif isinstance(lk, np.ndarray):
+                keys = np.zeros(flat.num_rows, dtype=key_dt)
+                keys["a"] = ids
+                keys["b"] = lns
                 pos = np.minimum(np.searchsorted(lk, keys), len(lk) - 1)
                 keep = lk[pos] != keys
             else:
-                keep = np.ones(flat.num_rows, dtype=bool)
+                keep = ~pd.MultiIndex.from_arrays([ids, lns]).isin(lk)
             kept = flat.filter(pa.array(keep))
             df = pd.DataFrame({
-                id_col: kept.column(id_col).to_numpy(),
+                id_col: kept.column(id_col).to_numpy(zero_copy_only=False),
                 "line_no": kept.column("line_no").to_numpy(),
                 "line": kept.column("line").to_pandas(),
             })
             if not len(df):
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 text_col: pa.array([], pa.large_string())})
+                return pa.table({
+                    id_col: pa.array([], flat.schema.field(id_col).type),
+                    text_col: pa.array([], pa.large_string())})
             df = df.sort_values([id_col, "line_no"])
             agg = df.groupby(id_col, sort=True)["line"] \
                 .agg(out_delimiter.join).reset_index(name=text_col)
@@ -666,9 +680,16 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
     def _doc_bucket(ids_arr) -> pa.Array:
         from ..functions.hashing import _splitmix64
 
-        ids64 = np.ascontiguousarray(
-            ids_arr.to_numpy(zero_copy_only=False).astype(np.int64))
-        dh = _splitmix64(ids64.view(np.uint64).copy())
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        if pa.types.is_integer(ids_arr.type):
+            ids64 = np.ascontiguousarray(
+                ids_arr.to_numpy(zero_copy_only=False).astype(np.int64))
+            dh = _splitmix64(ids64.view(np.uint64).copy())
+        else:
+            s = ids_arr if pa.types.is_large_string(ids_arr.type) else \
+                ids_arr.cast(pa.string()).cast(pa.large_string())
+            dh = hash64(s)
         return pa.array((dh % np.uint64(num_buckets)).astype(np.int32))
 
     def explode_text(batch: pa.Table) -> pa.Table:
@@ -702,7 +723,7 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
             how="left", indicator=True)
         keep = keep[keep["_merge"] == "left_only"]
         if not len(keep):
-            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+            return pd.DataFrame({id_col: pd.Series(dtype=g[id_col].dtype),
                                  text_col: pd.Series(dtype=object)})
         keep = keep.sort_values([id_col, "line_no"])
         return keep.groupby(id_col, sort=True)["line"] \

@@ -251,3 +251,55 @@ class TestTopTerms:
         assert list(got["lang"]) == list(ref["lang"])
         assert list(got["token"]) == list(ref["token"])
         assert list(got["n"]) == list(ref["n"])
+
+
+class TestReviewRegressions:
+    """Pins for the round-3 continuation review findings."""
+
+    def test_quantile_rank_is_exact_not_fp_ceil(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        # fl(0.07)*100 = 7.000000000000001 -> FP ceil would pick rank 8
+        df = pd.DataFrame({"v": np.arange(1, 101, dtype=np.float64)})
+        ds = rd.from_pandas(df).repartition(4)
+        got = checks.exact_quantiles(ds, "v", [0.07, 0.14, 0.28])
+        con = duckdb.connect()
+        con.register("t", df)
+        for q in (0.07, 0.14, 0.28):
+            exp = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert got[q] == exp, q
+
+    def test_ks_all_null_or_empty_returns_zero(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({"value": [np.nan, np.nan],
+                           "a": np.array([1, 0], np.int64)})
+        assert checks.ks_exact_counts(rd.from_pandas(df), "value", "a") \
+            == {"ks_num": 0, "n_a": 0, "n_b": 0}
+        empty = pd.DataFrame({"value": pd.Series([], dtype=np.float64),
+                              "a": pd.Series([], dtype=np.int64)})
+        assert checks.ks_exact_counts(rd.from_pandas(empty), "value", "a") \
+            == {"ks_num": 0, "n_a": 0, "n_b": 0}
+
+    @pytest.mark.parametrize("losers_max", [2_000_000, 0])
+    def test_line_dedup_string_ids_both_routes(self, ray_session,
+                                               losers_max):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        df = pd.DataFrame({
+            "url": ["https://a/", "https://b/", "https://c/"],
+            "text": ["x\ny", "y\nz", "x\ny"],
+        })
+        out = dedup.line_dedup(rd.from_pandas(df), "url", "text",
+                               broadcast_losers_max=losers_max) \
+            .to_pandas()
+        got = dict(zip(out["url"], out["text"]))
+        assert got == {"https://a/": "x\ny", "https://b/": "z"}
