@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_exact_events": q.ks_exact_events,
         "quantiles_events_value": q.quantiles_events_value,
         "top_terms_by_lang": q.top_terms_by_lang,
+        "events_props_rollup": q.events_props_rollup,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
         "profile_counts_documents": q.profile_counts_documents,
@@ -112,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         # quantile_disc picks an element -> no interpolation FP drift
         "quantiles_events_value": q.QUANTILES_EVENTS_VALUE_SQL,
         "top_terms_by_lang": q.TOP_TERMS_BY_LANG_SQL,
+        # JSON sidecar extraction (strict-int semantics, see jsonfn)
+        "events_props_rollup": q.EVENTS_PROPS_ROLLUP_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         # bit-exact: same IEEE-double expression order + argmax
         # tie-break ladder as the Ray implementation (see docstring)

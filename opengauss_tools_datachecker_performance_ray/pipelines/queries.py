@@ -1029,6 +1029,49 @@ QUALIFY row_number() OVER (PARTITION BY lang
 """
 
 
+def events_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """JSON sidecar-metadata extraction (``functions/jsonfn.py``):
+    pull the integer field ``k`` out of the events.props JSON column
+    with the vectorized flat-object fast path, then an exact integer
+    rollup per event_type. The oracle uses DuckDB json_extract_string
+    + TRY_CAST, which agrees with the strict-integer semantics on
+    integer-valued props (coercion divergences pinned by unit test)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..functions import jsonfn
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = jsonfn.extract_int(batch.column("props"), "k")
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        return t.filter(pc.is_valid(k))
+
+    out = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="cnt"), Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"), Max("k", alias_name="max_k")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    for c in ("cnt", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "cnt", "sum_k", "min_k", "max_k"]]
+
+
+EVENTS_PROPS_ROLLUP_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

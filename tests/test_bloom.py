@@ -303,3 +303,74 @@ class TestReviewRegressions:
             .to_pandas()
         got = dict(zip(out["url"], out["text"]))
         assert got == {"https://a/": "x\ny", "https://b/": "z"}
+
+
+class TestJsonExtract:
+    """functions.jsonfn.extract_int — strict JSON-integer semantics."""
+
+    PAYLOADS = [
+        '{"k": 69}', '{"k": -3, "x": 1}', '{"x": 1}', None, 'not json',
+        '{"k": "9"}', '{"k": 9.5}', '{"k": true}', '{"a": {"k": 5}}',
+        '{"s": "\\"k\\": 7"}', '{ "k" : 12 }',
+        '{"k": 9007199254740993}',   # > 2^53: float staging would corrupt
+        '{"k": 99999999999999999999999}',  # > int64 -> null by contract
+        '{"kk": 4, "k": 8}', '{"k": [1,2]}', '[1, 2]', '{"k": null}',
+        '{"k": 007}', '{"k": 1e3}', '{"k": 1, bad}', '{"k":1,"k":2}',
+        '{"k": -0}', '{"K": 3}',
+    ]
+
+    def test_matches_json_loads_reference(self):
+        import json
+
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.functions import jsonfn
+
+        got = jsonfn.extract_int(
+            pa.array(self.PAYLOADS, pa.string()), "k").to_pylist()
+        for p, m in zip(self.PAYLOADS, got):
+            try:
+                v = json.loads(p) if p is not None else None
+                ref = v.get("k") if isinstance(v, dict) else None
+                if isinstance(ref, bool) or not isinstance(ref, int) \
+                        or not -(2**63) <= (ref or 0) <= 2**63 - 1:
+                    ref = None
+            except (ValueError, TypeError):
+                ref = None
+            assert m == ref, p
+
+    def test_documented_duckdb_divergences(self):
+        """Pin exactly which payloads diverge from the SQL
+        json_extract_string + TRY_CAST route (module docstring)."""
+        import duckdb
+
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.functions import jsonfn
+
+        mine = jsonfn.extract_int(
+            pa.array(self.PAYLOADS, pa.string()), "k").to_pylist()
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"p": self.PAYLOADS}))
+        orc = [r[0] for r in con.execute(
+            "SELECT CASE WHEN p IS NOT NULL AND json_valid(p) THEN "
+            "TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END "
+            "FROM t").fetchall()]
+        diverged = {p for p, m, o in zip(self.PAYLOADS, mine, orc)
+                    if m != o}
+        assert diverged == {
+            '{"k": "9"}',      # SQL coerces quoted numbers
+            '{"k": 9.5}',      # SQL TRY_CAST rounds floats
+            '{"k": 1e3}',      # SQL casts scientific notation
+            '{"k":1,"k":2}',   # duplicate key: json.loads last-wins,
+                               # DuckDB json_extract first-wins
+        }
+
+    def test_fast_path_vectorized_on_flat_column(self):
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.functions import jsonfn
+
+        vals = [f'{{"k": {i}}}' for i in range(5000)]
+        got = jsonfn.extract_int(pa.array(vals, pa.string()), "k")
+        assert got.to_pylist() == list(range(5000))
