@@ -216,3 +216,25 @@ def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+_URL_HOST_PATTERN = (r'^[A-Za-z][A-Za-z0-9+.\-]*://'
+                     r'(?:[^/?#@]*@)?(?P<host>[^/?#:]+)')
+
+
+def extract_domain(urls) -> "pa.Array":
+    """Vectorized url -> lowercased host (RE2 via pyarrow
+    ``extract_regex``, zero Python-object round trip). Null for rows
+    that do not parse as scheme://[userinfo@]host... — feeds the
+    hot-DOMAIN skew detection over the north-rule page table
+    (``stages/skew.py``: a hot domain is the canonical skewed key at
+    web scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, pattern=_URL_HOST_PATTERN)
+    host = pc.utf8_lower(pc.struct_field(m, "host"))
+    # extract_regex nulls whole non-matching rows; keep that null
+    return host

@@ -115,3 +115,21 @@ def unsalt_counts(df: pd.DataFrame, key_col: str, n_col: str = "n"
     base = df[key_col].astype(str).str.replace(r"#s\d+$", "", regex=True)
     out = df.assign(**{key_col: base}).groupby(key_col, as_index=False)[n_col].sum()
     return out
+
+
+def detect_hot_domains(ds, url_col: str, threshold_frac: float = 0.01,
+                       cap: int = 10_000) -> pd.DataFrame:
+    """Hot DOMAINS of a url column (north-rule skew unit): vectorized
+    host extraction per batch (``textfn.extract_domain``), then the
+    same capped-TopCounter heavy-hitter pass as ``detect_hot_keys``.
+    Returns (key, n, frac) — feed the keys to ``add_salted_key`` on a
+    derived domain column before a domain-keyed shuffle."""
+    from ..functions.textfn import extract_domain
+
+    def host(batch: pa.Table) -> pa.Table:
+        return pa.table({"domain": extract_domain(batch.column(url_col))})
+
+    return detect_hot_keys(
+        ds.select_columns([url_col]).map_batches(host,
+                                                 batch_format="pyarrow"),
+        "domain", threshold_frac=threshold_frac, cap=cap)

@@ -374,3 +374,33 @@ class TestJsonExtract:
         vals = [f'{{"k": {i}}}' for i in range(5000)]
         got = jsonfn.extract_int(pa.array(vals, pa.string()), "k")
         assert got.to_pylist() == list(range(5000))
+
+
+class TestDomainSkew:
+    def test_extract_domain_vectorized(self):
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.functions import textfn
+
+        urls = pa.array([
+            "https://Sub.Example.com:8443/path?q=1",
+            "http://user:pw@host.net/x", "ftp://files.org",
+            "not a url", None, "https://a.b/", "https://a.b/other",
+        ])
+        got = textfn.extract_domain(urls).to_pylist()
+        assert got == ["sub.example.com", "host.net", "files.org",
+                       None, None, "a.b", "a.b"]
+
+    def test_detect_hot_domains_on_pages(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import skew
+
+        hot = "https://hot.example.com/p%d"
+        cold = "https://cold%d.net/x"
+        urls = [hot % i for i in range(900)] \
+            + [cold % i for i in range(100)]
+        ds = rd.from_pandas(pd.DataFrame({"url": urls})).repartition(4)
+        out = skew.detect_hot_domains(ds, "url", threshold_frac=0.05)
+        assert list(out["key"]) == ["hot.example.com"]
+        assert int(out["n"].iloc[0]) == 900
