@@ -132,6 +132,13 @@ def run_bench() -> dict:
             "stats_by_lang": q.stats_by_lang,
             "dedup_exact_documents": q.dedup_exact_documents,
             "token_stats_documents": q.token_stats_documents,
+            # round-3 continuation additions
+            "line_dedup_documents": q.line_dedup_documents,
+            "ks_exact_events": q.ks_exact_events,
+            "quantiles_events_value": q.quantiles_events_value,
+            "top_terms_by_lang": q.top_terms_by_lang,
+            "events_props_rollup": q.events_props_rollup,
+            "referential_bloom_pruned": q.referential_bloom_pruned,
         })
     for name, fn in benches.items():
         t0 = time.time()
