@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_events_value": q.quantiles_events_value,
         "top_terms_by_lang": q.top_terms_by_lang,
         "events_props_rollup": q.events_props_rollup,
+        "stable_sample_orders": q.stable_sample_orders,
+        "repetition_features_documents": q.repetition_features_documents,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
         "profile_counts_documents": q.profile_counts_documents,
@@ -115,6 +117,10 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_by_lang": q.TOP_TERMS_BY_LANG_SQL,
         # JSON sidecar extraction (strict-int semantics, see jsonfn)
         "events_props_rollup": q.EVENTS_PROPS_ROLLUP_SQL,
+        # Knuth multiplicative hash is integer-exact in SQL too
+        "stable_sample_orders": q.STABLE_SAMPLE_ORDERS_SQL,
+        "repetition_features_documents":
+            q.REPETITION_FEATURES_DOCUMENTS_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,
         # bit-exact: same IEEE-double expression order + argmax
         # tie-break ladder as the Ray implementation (see docstring)

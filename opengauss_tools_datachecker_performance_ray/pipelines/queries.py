@@ -1072,6 +1072,81 @@ FROM e WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
+def stable_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic ~10% sample of orders by key
+    (``stages/sampling.py`` Knuth multiplicative hash in 32-bit
+    integer space — stable across runs, cluster sizes and
+    partitionings, and integer-exact in SQL, so the sample itself is
+    oracle-checkable)."""
+    from ..stages import sampling
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    out = sampling.stable_sample(ds, "o_orderkey", 0.1)
+    df = _with_schema(out, ["o_orderkey"], {"o_orderkey": np.int64})
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+STABLE_SAMPLE_ORDERS_SQL = """
+SELECT o_orderkey FROM orders
+WHERE ((CAST(o_orderkey AS UBIGINT) % 4294967296) * 2654435761)
+      % 4294967296 < 429496729
+"""
+
+
+def repetition_features_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition signal: per document,
+    how many of its 10-token windows are repeats of an earlier window
+    IN THE SAME DOCUMENT (boilerplate/loop detector). Embarrassingly
+    parallel — each document's windows come from its own row, so this
+    is a pure ``map_batches`` with zero shuffle. Integer outputs
+    (n_lines, n_dup_lines) keep the oracle hash-exact."""
+    from ..stages.dedup import _explode_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def features(batch: pa.Table) -> pa.Table:
+        flat = _explode_lines(batch, "doc_id", "text", "\n",
+                              tokens_per_line=10, include_text=True)
+        df = pd.DataFrame({
+            "doc_id": flat.column("doc_id").to_numpy(),
+            "line": flat.column("line").to_pandas(),
+        })
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_dup_lines": pa.array([], pa.int64())})
+        g = df.groupby("doc_id", sort=True)["line"]             .agg(["size", "nunique"]).reset_index()
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "n_lines": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "n_dup_lines": pa.array(
+                (g["size"] - g["nunique"]).to_numpy(dtype=np.int64)),
+        })
+
+    out = ds.map_batches(features, batch_format="pyarrow")
+    df = _with_schema(out, ["doc_id", "n_lines", "n_dup_lines"],
+                      {"doc_id": np.int64, "n_lines": np.int64,
+                       "n_dup_lines": np.int64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+REPETITION_FEATURES_DOCUMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+), lines AS (
+  SELECT doc_id, (i - 1) // 10 AS line_no,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) - count(DISTINCT line) AS BIGINT) AS n_dup_lines
+FROM lines GROUP BY doc_id
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

@@ -1,0 +1,68 @@
+"""Deterministic key-based sampling / dataset splits.
+
+Training pipelines need STABLE splits: the same record must land in
+the same split on every run, on any cluster size, under any
+partitioning — so sampling must be a pure function of the key, never
+of position or RNG state (``ds.random_sample`` gives neither
+stability nor complementarity). The kernel is the Knuth multiplicative
+hash in 32-bit space::
+
+    u = ((key mod 2^32) * 2654435761) mod 2^32     # exact integers
+    keep  <=>  u < floor(rate * 2^32)
+
+which is integer-exact on both the numpy side and in ANSI SQL
+(``((CAST(k AS UBIGINT) % 4294967296) * 2654435761) % 4294967296``) —
+so sampled pipelines stay oracle-checkable. Keys must be non-negative
+integers (urls etc. should pass a 64-bit key hash first; mixing
+engines then requires the same hash, so integer surrogate keys are
+the portable form).
+
+Every stage is a stateless ``map_batches`` filter — no shuffle, no
+driver state, trivially resumable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(4294967296)
+
+
+def _keep_mask(keys: np.ndarray, threshold: int) -> np.ndarray:
+    k = keys.astype(np.uint64) % _M32
+    u = (k * _KNUTH) % _M32
+    return u < np.uint64(threshold)
+
+
+def sample_threshold(rate: float) -> int:
+    """floor(rate * 2^32) — the integer the SQL oracle must use too."""
+    return int(rate * 4294967296)
+
+
+def stable_sample(ds, key_col: str, rate: float):
+    """Keep ~``rate`` of rows, deterministically by key."""
+    thr = sample_threshold(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_keep_mask(keys, thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_train_holdout(ds, key_col: str, holdout_frac: float):
+    """(train, holdout) — complementary by construction: every key
+    falls in exactly one side, stable across runs and partitionings."""
+    thr = sample_threshold(holdout_frac)
+
+    def side(is_holdout: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            m = _keep_mask(keys, thr)
+            return batch.filter(pa.array(m if is_holdout else ~m))
+        return fn
+
+    return (ds.map_batches(side(False), batch_format="pyarrow"),
+            ds.map_batches(side(True), batch_format="pyarrow"))

@@ -404,3 +404,72 @@ class TestDomainSkew:
         out = skew.detect_hot_domains(ds, "url", threshold_frac=0.05)
         assert list(out["key"]) == ["hot.example.com"]
         assert int(out["n"].iloc[0]) == 900
+
+
+class TestStableSampling:
+    def test_split_is_complementary_and_stable(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import sampling
+
+        keys = pd.DataFrame({"k": np.arange(20_000, dtype=np.int64)})
+        ds = rd.from_pandas(keys).repartition(8)
+        train, hold = sampling.split_train_holdout(ds, "k", 0.2)
+        t = set(train.to_pandas()["k"])
+        h = set(hold.to_pandas()["k"])
+        assert t | h == set(keys["k"]) and not (t & h)
+        assert 0.17 < len(h) / len(keys) < 0.23
+        # stability: a different partitioning yields the same holdout
+        h2 = set(sampling.split_train_holdout(
+            rd.from_pandas(keys).repartition(3), "k", 0.2)[1]
+            .to_pandas()["k"])
+        assert h2 == h
+
+    def test_sample_matches_sql_kernel(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import sampling
+
+        keys = pd.DataFrame(
+            {"k": np.random.default_rng(4).integers(0, 2**62, 5000)})
+        got = sorted(sampling.stable_sample(
+            rd.from_pandas(keys), "k", 0.3).to_pandas()["k"])
+        con = duckdb.connect()
+        con.register("t", keys)
+        thr = sampling.sample_threshold(0.3)
+        exp = sorted(r[0] for r in con.execute(
+            f"SELECT k FROM t WHERE ((CAST(k AS UBIGINT) % 4294967296)"
+            f" * 2654435761) % 4294967296 < {thr}").fetchall())
+        assert got == exp
+
+
+class TestRepetitionFeatures:
+    def test_counts_real_repetition(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        w10 = " ".join(["tok%d" % i for i in range(10)])
+        other = " ".join(["alt%d" % i for i in range(10)])
+        texts = [
+            " ".join([w10, w10, other]),   # 3 windows, 1 dup
+            " ".join([w10] * 5),           # 5 windows, 4 dups
+            other,                          # 1 window, 0 dups
+            "",                             # excluded
+        ]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts)}), str(tmp_path / "documents.parquet"))
+        got = q.repetition_features_documents(str(tmp_path))
+        assert list(got["n_dup_lines"]) == [1, 4, 0]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        orc = con.execute(q.REPETITION_FEATURES_DOCUMENTS_SQL).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(orc[got.columns])
