@@ -676,3 +676,74 @@ def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
         for q, r in targets:
             out[q] = vals[int(np.searchsorted(local_cum, r - base))].item()
     return out
+
+
+DRIFT_EXACT_RECHECK_MAX = 8
+
+
+def drift_exact_recheck(ds, group_col: str, report: pd.DataFrame,
+                        max_rechecks: int = DRIFT_EXACT_RECHECK_MAX,
+                        ks_threshold: float = 0.1) -> pd.DataFrame:
+    """Two-phase drift (the reference's secondary-check philosophy,
+    ``check/modules/check/IncrementCheckThread.java:147-207``, applied
+    to drift verdicts): the sketch-based ``drift_by_group`` flags
+    cheaply from t-digest CDFs, whose compression can both inflate and
+    understate KS near the threshold — each FAILED numeric (group,
+    column) pair is re-tested here with the EXACT distributed KS
+    (``ks_exact_counts``: flagged group vs rest) and the verdict is
+    downgraded to success when the exact statistic clears the
+    threshold. One extra scan per flagged pair, capped at
+    ``max_rechecks`` (beyond the cap rows keep the sketch verdict and
+    the cap is logged — no-silent-caps rule).
+
+    The comparison is flagged group vs the REFERENCE group — the group
+    whose sketch KS sits at the per-column median (the same clean-
+    baseline concept the sketch report's excess logic uses): comparing
+    vs "all the rest" would let one genuinely drifted group
+    contaminate every other group's re-check.
+
+    Adds columns ``ks_exact`` (float or None) and updates ``result``.
+    """
+    import logging
+
+    out = report.copy()
+    out["ks_exact"] = None
+    failed = out.index[(out["result"] == "failed")
+                       & out["ks"].notna()].tolist()
+    if len(failed) > max_rechecks:
+        logging.getLogger(__name__).warning(
+            "drift_exact_recheck: %d flagged pairs exceed cap %d — "
+            "re-checking the first %d, rest keep sketch verdicts",
+            len(failed), max_rechecks, max_rechecks)
+        failed = failed[:max_rechecks]
+    for idx in failed:
+        grp = str(out.at[idx, "grp"])
+        col = out.at[idx, "column"]
+        # reference = the OTHER group with sketch KS nearest the
+        # column median (deterministic grp tie-break)
+        peers = out[(out["column"] == col) & (out["grp"].astype(str) != grp)
+                    & out["ks"].notna()]
+        if not len(peers):
+            continue
+        med = peers["ks"].median()
+        ref = str(peers.assign(d=(peers["ks"] - med).abs())
+                  .sort_values(["d", "grp"]).iloc[0]["grp"])
+
+        def flag(batch: pa.Table, _g=grp, _r=ref, _c=col) -> pa.Table:
+            gv = pc.cast(batch.column(group_col), pa.large_string())
+            is_g = pc.equal(gv, pa.scalar(_g, pa.large_string()))
+            is_r = pc.equal(gv, pa.scalar(_r, pa.large_string()))
+            sub = batch.filter(pc.or_(is_g, is_r))
+            gv2 = pc.cast(sub.column(group_col), pa.large_string())
+            a = pc.cast(pc.equal(gv2, pa.scalar(_g, pa.large_string())),
+                        pa.int64())
+            return pa.table({"value": sub.column(_c), "a": a})
+
+        res = ks_exact_counts(
+            ds.map_batches(flag, batch_format="pyarrow"), "value", "a")
+        if res["n_a"] and res["n_b"]:
+            ks = res["ks_num"] / (res["n_a"] * res["n_b"])
+            out.at[idx, "ks_exact"] = ks
+            if ks <= ks_threshold:
+                out.at[idx, "result"] = "success"
+    return out

@@ -473,3 +473,48 @@ class TestRepetitionFeatures:
         orc = con.execute(q.REPETITION_FEATURES_DOCUMENTS_SQL).df() \
             .sort_values("doc_id").reset_index(drop=True)
         assert got.equals(orc[got.columns])
+
+
+class TestDriftExactRecheck:
+    def _ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(12)
+        n = 3000
+        frames = []
+        for g in ["a", "b", "c", "d"]:
+            shift = 3.0 if g == "d" else 0.0  # d genuinely drifted
+            frames.append(pd.DataFrame({
+                "grp_col": g,
+                "x": rng.normal(shift, 1.0, n),
+            }))
+        return rd.from_pandas(pd.concat(frames, ignore_index=True)) \
+            .repartition(6)
+
+    def test_confirms_real_drift_and_clears_false_flags(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        ds = self._ds(ray_session)
+        rep = checks.drift_by_group(ds, "grp_col", ["x"])
+        failed = set(rep.loc[rep["result"] == "failed", "grp"])
+        assert failed == {"d"}
+        # inject a sketch false-positive on a clean group
+        rep.loc[(rep["grp"] == "a"), "result"] = "failed"
+        out = checks.drift_exact_recheck(ds, "grp_col", rep)
+        assert set(out.loc[out["result"] == "failed", "grp"]) == {"d"}
+        d_row = out[(out["grp"] == "d")].iloc[0]
+        assert d_row["ks_exact"] is not None and d_row["ks_exact"] > 0.5
+        a_row = out[(out["grp"] == "a")].iloc[0]
+        assert a_row["ks_exact"] is not None and a_row["ks_exact"] < 0.1
+
+    def test_recheck_cap_keeps_sketch_verdicts(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        ds = self._ds(ray_session)
+        rep = checks.drift_by_group(ds, "grp_col", ["x"])
+        rep["result"] = "failed"  # flag everything
+        out = checks.drift_exact_recheck(ds, "grp_col", rep,
+                                         max_rechecks=1)
+        # exactly one row got the exact statistic; the rest kept their
+        # (forced) sketch verdicts
+        assert out["ks_exact"].notna().sum() == 1
