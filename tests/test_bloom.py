@@ -518,3 +518,67 @@ class TestDriftExactRecheck:
         # exactly one row got the exact statistic; the rest kept their
         # (forced) sketch verdicts
         assert out["ks_exact"].notna().sum() == 1
+
+
+class TestMetamorphic:
+    """Metamorphic properties of the new exact kernels."""
+
+    def test_line_dedup_idempotent(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        rng = np.random.default_rng(21)
+        words = np.array(["w%d" % i for i in range(12)])
+        texts = [" ".join(rng.choice(words, size=rng.integers(5, 60)))
+                 for _ in range(40)]
+        texts += texts[:15]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)}),
+            str(tmp_path / "documents.parquet"))
+        once = q.line_dedup_documents(str(tmp_path))
+        # feed the dedup output back through (windows joined by \n are
+        # re-split by the operator's delimiter-of-record: rebuild an
+        # equivalent corpus where each line is already a window)
+        d2 = tmp_path / "again"
+        d2.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(once["doc_id"].to_numpy()),
+            "text": pa.array(once["text"].str.replace("\n", " "))}),
+            str(d2 / "documents.parquet"))
+        twice = q.line_dedup_documents(str(d2))
+        # windows already globally unique -> second pass is identity
+        assert list(twice["doc_id"]) == list(once["doc_id"])
+        assert list(twice["text"]) == list(once["text"])
+
+    def test_ks_symmetry(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame({
+            "value": rng.normal(0, 1, 2000),
+            "a": rng.integers(0, 2, 2000).astype(np.int64),
+        })
+        ds = rd.from_pandas(df).repartition(5)
+        r1 = checks.ks_exact_counts(ds, "value", "a")
+        df2 = df.assign(a=1 - df["a"])
+        r2 = checks.ks_exact_counts(rd.from_pandas(df2).repartition(5),
+                                    "value", "a")
+        assert r1["ks_num"] == r2["ks_num"]
+        assert (r1["n_a"], r1["n_b"]) == (r2["n_b"], r2["n_a"])
+
+    def test_sample_rate_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import sampling
+
+        df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+        ds = rd.from_pandas(df)
+        assert sampling.stable_sample(ds, "k", 1.0).count() == 1000
+        assert sampling.stable_sample(ds, "k", 0.0).count() == 0
