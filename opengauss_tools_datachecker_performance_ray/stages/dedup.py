@@ -15,6 +15,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import textfn
 from ..functions.hashing import hash64
@@ -585,27 +586,59 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
     ``exact_duplicates``). Documents whose every line loses disappear.
 
     Shuffle discipline: the dedup pass ships (id, line_no, lhash) —
-    24 B per line occurrence, never the text — through ONE bucketed
-    groupby (all occurrences of a line share ``bucket = lhash % B``).
-    Only the LOSER positions come back: at web scale the duplicate
-    fraction is what's small, so reassembly broadcasts the loser set
-    (``ray.put`` once) and rebuilds documents inside a second stateless
-    pass over the original table — the text never shuffles at all.
-    Past ``broadcast_losers_max`` losers, reassembly instead bucket-
-    joins exploded lines with loser keys on ``hash(id) % B`` (text
-    shuffles once; no driver materialization).
+    24 B per line occurrence, never the text — and PRE-REDUCES inside
+    each batch before the ONE bucketed groupby: a within-batch
+    non-first occurrence is provably a global loser (the batch-local
+    first has a smaller (id, line_no)), so it exits directly to the
+    loser set and only ONE candidate per distinct line per batch rides
+    the shuffle (the combiner pattern; the duplicate-heavier the
+    corpus — the whole reason to dedup — the bigger the cut). Only the
+    LOSER positions come back: at web scale the duplicate fraction is
+    what's small, so reassembly broadcasts the loser set (``ray.put``
+    once) and rebuilds documents inside a second stateless pass over
+    the original table — the text never shuffles at all. Past
+    ``broadcast_losers_max`` losers, reassembly instead bucket-joins
+    exploded lines with loser keys on ``hash(id) % B`` (text shuffles
+    once; no driver materialization).
     """
     import ray
     import ray.data  # noqa: F401  (ensure data API registered)
 
-    def explode_keys(batch: pa.Table) -> pa.Table:
+    def explode_tagged(batch: pa.Table) -> pa.Table:
         t = _explode_lines(batch, id_col, text_col, delimiter,
                            tokens_per_line, include_text=False)
-        h = t.column("lhash").to_numpy().view(np.uint64)
-        return t.append_column("bucket", pa.array(
-            (h % np.uint64(num_buckets)).astype(np.int32)))
+        df = pd.DataFrame({
+            id_col: t.column(id_col).to_numpy(zero_copy_only=False),
+            "line_no": t.column("line_no").to_numpy(),
+            "lhash": t.column("lhash").to_numpy(),
+        }).sort_values([id_col, "line_no"])
+        cand = (~df.duplicated("lhash", keep="first")).to_numpy()
+        h = df["lhash"].to_numpy().view(np.uint64)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy()),
+            "line_no": pa.array(df["line_no"].to_numpy(), pa.int64()),
+            "lhash": pa.array(df["lhash"].to_numpy(), pa.int64()),
+            "bucket": pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int32)),
+            "cand": pa.array(cand),
+        })
 
-    keyed = ds.map_batches(explode_keys, batch_format="pyarrow")
+    # one explode feeds both consumers (candidates -> shuffle, local
+    # losers -> straight to the loser set): 33 B/line in plasma, the
+    # same digest-materialization budget the flagship validate uses
+    tagged = ds.map_batches(explode_tagged,
+                            batch_format="pyarrow").materialize()
+
+    def only(cand_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.equal(batch.column("cand"), cand_side))
+            cols = [id_col, "line_no", "lhash", "bucket"] if cand_side \
+                else [id_col, "line_no"]
+            return sel.select(cols)
+        return fn
+
+    keyed = tagged.map_batches(only(True), batch_format="pyarrow")
+    local_losers = tagged.map_batches(only(False), batch_format="pyarrow")
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["lhash", id_col, "line_no"])
@@ -619,7 +652,8 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
              "line_no": pd.Series(dtype=np.int64)})
 
     loser_ds = keyed.groupby("bucket").map_groups(
-        losers, batch_format="pandas").materialize()
+        losers, batch_format="pandas") \
+        .union(local_losers).materialize()
     n_losers = loser_ds.count()
 
     key_dt = np.dtype([("a", np.int64), ("b", np.int64)])
