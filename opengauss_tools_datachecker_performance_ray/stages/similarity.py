@@ -67,19 +67,52 @@ def brute_force_topk(ds, id_col: str, emb_col: str,
         ["query_idx", "cos"], ascending=[True, False]).reset_index(drop=True)
 
 
+def _spread_sample(ds, emb_col: str, sample_size: int,
+                   seed: int) -> np.ndarray:
+    """Bounded training sample drawn from EVERY block, not a
+    positional head: ``ds.limit(n)`` reads the first blocks only, so
+    sorted/clustered storage (the normal case for a written corpus)
+    would hand k-means a single region of the space. Each batch
+    contributes a deterministic, seeded slice proportional to its
+    size; the driver concatenates and trims."""
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic per-batch draw: seed mixed with the batch's
+        # first row bytes so retries pick the same rows
+        mat = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        mix = int(np.abs(mat[0]).sum() * 1e6) % (2**31) if len(mat) \
+            else 0
+        rng = np.random.default_rng(seed ^ mix)
+        take = max(1, min(len(mat), sample_size // 64))
+        idx = rng.choice(len(mat), size=take, replace=False)
+        return pd.DataFrame({emb_col: list(mat[np.sort(idx)])})
+
+    rows = ds.map_batches(part, batch_format="pandas") \
+        .limit(sample_size).to_pandas()
+    return np.stack(rows[emb_col].to_numpy()).astype(np.float32)
+
+
 def train_ivf_centroids(ds, emb_col: str, num_cells: int = 64,
                         sample_size: int = 10_000, iters: int = 10,
                         seed: int = 42) -> np.ndarray:
-    """Coarse centroids from a sample (mini k-means on the driver).
-
-    The sample is one bounded ``take``; training cost is independent of
-    dataset size — the centroids are then broadcast to the assign stage.
-    """
-    rows = ds.limit(sample_size).to_pandas()
-    mat = _normalize(np.stack(rows[emb_col].to_numpy()).astype(np.float32))
+    """Coarse centroids: seeded k-means on a block-spread sample
+    (``_spread_sample``), optionally sharpened against the FULL
+    dataset with :func:`refine_ivf_centroids`. Training cost is
+    independent of dataset size — the centroids are then broadcast to
+    the assign stage."""
+    mat = _normalize(_spread_sample(ds, emb_col, sample_size, seed))
+    # farthest-point (k-means++-style, deterministic) seeding: random
+    # seeds routinely drop two centroids into one cluster and leave
+    # another uncovered — a local optimum Lloyd cannot escape
     rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=min(num_cells, len(mat)),
-                          replace=False)]
+    k = min(num_cells, len(mat))
+    first = int(rng.integers(len(mat)))
+    chosen = [first]
+    best_sim = mat @ mat[first]
+    for _ in range(1, k):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        np.minimum(best_sim, mat @ mat[nxt], out=best_sim)
+    cent = mat[np.array(chosen)].copy()
     for _ in range(iters):
         assign = (mat @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
@@ -87,6 +120,54 @@ def train_ivf_centroids(ds, emb_col: str, num_cells: int = 64,
             if len(sel):
                 v = sel.mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def refine_ivf_centroids(ds, emb_col: str, centroids: np.ndarray,
+                         iters: int = 2) -> np.ndarray:
+    """Distributed Lloyd refinement of the coarse centroids over the
+    FULL dataset: each batch assigns its vectors to the nearest
+    centroid and emits per-cell (sum, count) partials — num_cells x
+    dim floats per block, merged on the driver (sums are associative,
+    so this is the standard partial-aggregation combiner; driver state
+    is O(cells x dim), never O(rows)). Empty cells keep their previous
+    centroid. Spherical k-means update (mean renormalized) to match
+    the cosine metric used everywhere else."""
+    import pickle
+
+    import ray
+
+    cent = _normalize(np.asarray(centroids, dtype=np.float32).copy())
+    k, dim = cent.shape
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def part(batch: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.runtime import pin_worker_threads
+
+            pin_worker_threads()
+            c = ray.get(ref)
+            mat = _normalize(
+                np.stack(batch[emb_col].to_numpy()).astype(np.float32))
+            a = (mat @ c.T).argmax(axis=1)
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {"p": [pickle.dumps((sums, counts))]})
+
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(part, batch_format="pandas") \
+                .iter_batches(batch_format="pandas", batch_size=256):
+            for blob in b["p"]:
+                s, n = pickle.loads(bytes(blob))
+                sums += s
+                counts += n
+        nz = counts > 0
+        upd = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(upd, axis=1, keepdims=True)
+        cent[nz] = (upd / np.maximum(norms, 1e-12)).astype(np.float32)
     return cent
 
 

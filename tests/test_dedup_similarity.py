@@ -562,3 +562,52 @@ class TestLineDedup:
             .sort_values("doc_id").reset_index(drop=True)
         assert list(mine["doc_id"]) == list(oracle["doc_id"])
         assert list(mine["text"]) == list(oracle["text"])
+
+
+class TestIvfTraining:
+    def _clustered(self, n_per=400, k=4, dim=16, seed=7):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((k, dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        mats, labels = [], []
+        for c in range(k):
+            pts = centers[c] + 0.05 * rng.standard_normal(
+                (n_per, dim)).astype(np.float32)
+            mats.append(pts)
+            labels += [c] * n_per
+        mat = np.concatenate(mats)  # SORTED by cluster on purpose
+        return mat, centers
+
+    def test_spread_sample_sees_all_clusters(self, ray_session):
+        import ray.data as rd
+
+        mat, centers = self._clustered()
+        # cluster-sorted storage: a positional head sample would only
+        # ever see cluster 0
+        df = pd.DataFrame({"emb": list(mat)})
+        ds = rd.from_pandas(df).repartition(8)
+        cent = similarity.train_ivf_centroids(ds, "emb", num_cells=4,
+                                              sample_size=400)
+        # every true center must have a trained centroid nearby
+        sims = (centers / np.linalg.norm(centers, axis=1, keepdims=True)) \
+            @ cent.T
+        assert (sims.max(axis=1) > 0.95).all()
+
+    def test_lloyd_refinement_improves_bad_centroids(self, ray_session):
+        import ray.data as rd
+
+        mat, centers = self._clustered()
+        df = pd.DataFrame({"emb": list(mat)})
+        ds = rd.from_pandas(df).repartition(6)
+        rng = np.random.default_rng(0)
+        # deliberately bad init: all four from cluster 0's region
+        bad = mat[rng.choice(400, size=4, replace=False)] \
+            + 0.01 * rng.standard_normal((4, 16)).astype(np.float32)
+        refined = similarity.refine_ivf_centroids(ds, "emb", bad, iters=5)
+        cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        before = (cn @ (bad / np.linalg.norm(bad, axis=1, keepdims=True)).T
+                  ).max(axis=1)
+        after = (cn @ refined.T).max(axis=1)
+        # refinement must strictly improve coverage of the far clusters
+        assert after.min() > before.min()
+        assert float(after.mean()) > float(before.mean())
