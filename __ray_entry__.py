@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_exact_documents": q.dedup_exact_documents,
         "line_dedup_documents": q.line_dedup_documents,
+        "corpus_curation_v2": q.corpus_curation_v2,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "simhash_documents": q.simhash_documents,
         "token_stats_documents": q.token_stats_documents,
@@ -105,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": q.NGRAM_JACCARD_PAIRS_SQL,
         "dedup_exact_documents": q.DEDUP_EXACT_DOCUMENTS_SQL,
         "line_dedup_documents": q.LINE_DEDUP_DOCUMENTS_SQL,
+        # composed pipeline: sample -> repetition filter -> line dedup
+        # -> per-lang rollup, one end-to-end oracle
+        "corpus_curation_v2": q.CORPUS_CURATION_V2_SQL,
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,

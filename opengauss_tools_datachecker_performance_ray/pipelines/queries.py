@@ -1147,6 +1147,108 @@ FROM lines GROUP BY doc_id
 """
 
 
+def corpus_curation_v2(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation pipeline composing the session's exact
+    operators — every stage SQL-expressible, so the WHOLE pipeline
+    value-matches one oracle: stable 80% split (Knuth hash on doc_id)
+    -> per-doc repetition filter (drop docs where duplicate windows
+    exceed 1/5 of windows; zero shuffle, per-batch local) -> corpus-
+    wide line-level exact dedup (fingerprints shuffle, text does not;
+    lang carried through the rebuild) -> per-lang doc/token rollup."""
+    from ..stages import sampling
+    from ..stages.dedup import _explode_lines, line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    sampled = sampling.stable_sample(ds, "doc_id", 0.8)
+
+    def rep_filter(batch: pa.Table) -> pa.Table:
+        flat = _explode_lines(batch, "doc_id", "text", "\n",
+                              tokens_per_line=10, include_text=True)
+        df = pd.DataFrame({
+            "doc_id": flat.column("doc_id").to_numpy(),
+            "line": flat.column("line").to_pandas(),
+        })
+        if not len(df):
+            return batch.filter(pa.array([False] * batch.num_rows))
+        g = df.groupby("doc_id")["line"].agg(["size", "nunique"])
+        bad = set(g.index[(g["size"] - g["nunique"]) * 5 > g["size"]])
+        ids = batch.column("doc_id").to_numpy()
+        keep = ~np.isin(ids, np.fromiter(bad, dtype=np.int64,
+                                         count=len(bad))) \
+            if bad else np.ones(len(ids), dtype=bool)
+        # empty/null texts never survive the explode either way
+        txt = batch.column("text")
+        ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")) \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep & ok))
+
+    filtered = sampled.map_batches(rep_filter, batch_format="pyarrow")
+    rebuilt = line_dedup(filtered, "doc_id", "text", tokens_per_line=10,
+                         carry_cols=["lang"])
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flatx = pc.replace_substring(txt, "\n", " ")
+        ntok = pc.add(pc.count_substring(flatx, " "), 1)
+        t = pa.table({"lang": batch.column("lang"),
+                      "n_tokens": ntok.cast(pa.int64())})
+        gb = t.group_by(["lang"]).aggregate(
+            [([], "count_all"), ("n_tokens", "sum")])
+        return pa.table({"lang": gb.column("lang"),
+                         "n_docs": gb.column("count_all"),
+                         "n_tokens": gb.column("n_tokens_sum")})
+
+    parts = rebuilt.map_batches(rollup, batch_format="pyarrow") \
+        .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype=np.int64),
+                             "n_tokens": pd.Series(dtype=np.int64)})
+    out = parts.groupby("lang", sort=True)[["n_docs", "n_tokens"]] \
+        .sum().reset_index()
+    for c in ("n_docs", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+CORPUS_CURATION_V2_SQL = """
+WITH sampled AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+        % 4294967296 < 3435973836
+    AND text IS NOT NULL AND text <> ''
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM sampled
+), lines AS (
+  SELECT doc_id, (i - 1) // 10 AS line_no,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+), rep AS (
+  SELECT doc_id, count(*) AS nl,
+         count(*) - count(DISTINCT line) AS dups
+  FROM lines GROUP BY doc_id
+), keep AS (
+  SELECT doc_id FROM rep WHERE dups * 5 <= nl
+), winners AS (
+  SELECT l.doc_id, l.line_no, l.line FROM lines l JOIN keep USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY line
+                             ORDER BY doc_id, line_no) = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM winners GROUP BY doc_id
+)
+SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(replace(r.text, chr(10), ' '), ' ')))
+            AS BIGINT) AS n_tokens
+FROM rebuilt r JOIN sampled s USING (doc_id)
+GROUP BY s.lang
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``
@@ -1616,8 +1718,11 @@ def knn_ivf_embeddings(sf_dir: str) -> pd.DataFrame:
             break
     assert q is not None
     num_cells = 8
-    cent = similarity.train_ivf_centroids(ds, "embedding",
-                                          num_cells=num_cells)
+    cent = similarity.refine_ivf_centroids(
+        ds, "embedding",
+        similarity.train_ivf_centroids(ds, "embedding",
+                                       num_cells=num_cells),
+        iters=1)
     idx = tempfile.mkdtemp(prefix="ivf_idx_")
     try:
         similarity.ivf_write_index(

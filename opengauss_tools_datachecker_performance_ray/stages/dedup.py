@@ -578,7 +578,8 @@ BROADCAST_LOSERS_MAX = 2_000_000
 def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
                tokens_per_line: int | None = None, num_buckets: int = 64,
                out_delimiter: str = "\n",
-               broadcast_losers_max: int = BROADCAST_LOSERS_MAX):
+               broadcast_losers_max: int = BROADCAST_LOSERS_MAX,
+               carry_cols: list[str] | None = None):
     """Remove every non-first occurrence of each distinct line across
     the corpus and return the rebuilt documents (C4/CCNet-style
     line-level exact dedup). "First" = smallest (id, line_no); line
@@ -600,6 +601,10 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
     ``broadcast_losers_max`` losers, reassembly instead bucket-joins
     exploded lines with loser keys on ``hash(id) % B`` (text shuffles
     once; no driver materialization).
+
+    ``carry_cols`` propagate doc-level metadata (lang, source, ...)
+    onto the rebuilt rows — they never enter the dedup shuffle, only
+    the rebuild stage.
     """
     import ray
     import ray.data  # noqa: F401  (ensure data API registered)
@@ -697,16 +702,29 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
                 "line_no": kept.column("line_no").to_numpy(),
                 "line": kept.column("line").to_pandas(),
             })
+            carry_t = {}
+            if carry_cols:
+                cmap = pd.DataFrame(
+                    {id_col: batch.column(id_col).to_numpy(
+                        zero_copy_only=False)}
+                    | {c: batch.column(c).to_pandas()
+                       for c in carry_cols}).drop_duplicates(id_col)
+                carry_t = {c: batch.schema.field(c).type
+                           for c in carry_cols}
             if not len(df):
                 return pa.table({
                     id_col: pa.array([], flat.schema.field(id_col).type),
-                    text_col: pa.array([], pa.large_string())})
+                    text_col: pa.array([], pa.large_string())}
+                    | {c: pa.array([], t) for c, t in carry_t.items()})
             df = df.sort_values([id_col, "line_no"])
             agg = df.groupby(id_col, sort=True)["line"] \
                 .agg(out_delimiter.join).reset_index(name=text_col)
+            if carry_cols:
+                agg = agg.merge(cmap, on=id_col, how="left")
             return pa.table({
                 id_col: pa.array(agg[id_col].to_numpy()),
-                text_col: pa.array(agg[text_col], pa.large_string())})
+                text_col: pa.array(agg[text_col], pa.large_string())}
+                | {c: pa.array(agg[c], carry_t[c]) for c in carry_t})
 
         return ds.map_batches(rebuild, batch_format="pyarrow")
 
@@ -726,16 +744,48 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
             dh = hash64(s)
         return pa.array((dh % np.uint64(num_buckets)).astype(np.int32))
 
+    def _as_pa_type(t):
+        # Dataset.schema() yields Arrow types for parquet-backed data
+        # but plain Python/numpy types for pandas-backed datasets
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    carry = list(carry_cols or [])
+    carry_types: dict = {}
+    if carry:
+        sch = ds.schema()
+        carry_types = {c: _as_pa_type(t) for c, t in zip(sch.names,
+                                                         sch.types)
+                       if c in carry}
+
     def explode_text(batch: pa.Table) -> pa.Table:
         t = _explode_lines(batch, id_col, text_col, delimiter,
                            tokens_per_line, include_text=True)
-        return pa.table({
+        cols = {
             id_col: t.column(id_col),
             "line_no": t.column("line_no"),
             "line": t.column("line"),
             "is_loser": pa.array(np.zeros(t.num_rows, bool)),
             "dbucket": _doc_bucket(t.column(id_col)),
-        })
+        }
+        if carry:
+            cmap = pd.DataFrame(
+                {id_col: batch.column(id_col).to_numpy(
+                    zero_copy_only=False)}
+                | {c: batch.column(c).to_pandas() for c in carry}) \
+                .drop_duplicates(id_col)
+            flat_ids = pd.DataFrame({id_col: t.column(id_col).to_numpy(
+                zero_copy_only=False)})
+            joined = flat_ids.merge(cmap, on=id_col, how="left")
+            for c in carry:
+                cols[c] = pa.array(joined[c], carry_types[c])
+        return pa.table(cols)
 
     def tag_losers(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -745,7 +795,7 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
             "line": pa.array([None] * n, pa.large_string()),
             "is_loser": pa.array(np.ones(n, bool)),
             "dbucket": _doc_bucket(batch.column(id_col)),
-        })
+        } | {c: pa.array([None] * n, carry_types[c]) for c in carry})
 
     lines_ds = ds.map_batches(explode_text, batch_format="pyarrow")
     tagged = loser_ds.map_batches(tag_losers, batch_format="pyarrow")
@@ -757,11 +807,17 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
             how="left", indicator=True)
         keep = keep[keep["_merge"] == "left_only"]
         if not len(keep):
-            return pd.DataFrame({id_col: pd.Series(dtype=g[id_col].dtype),
-                                 text_col: pd.Series(dtype=object)})
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=g[id_col].dtype),
+                 text_col: pd.Series(dtype=object)}
+                | {c: pd.Series(dtype=g[c].dtype) for c in carry})
         keep = keep.sort_values([id_col, "line_no"])
-        return keep.groupby(id_col, sort=True)["line"] \
+        out = keep.groupby(id_col, sort=True)["line"] \
             .agg(out_delimiter.join).reset_index(name=text_col)
+        if carry:
+            out = out.merge(keep.drop_duplicates(id_col)[[id_col] + carry],
+                            on=id_col, how="left")
+        return out
 
     return lines_ds.union(tagged).groupby("dbucket").map_groups(
         rebuild_group, batch_format="pandas")

@@ -611,3 +611,24 @@ class TestIvfTraining:
         # refinement must strictly improve coverage of the far clusters
         assert after.min() > before.min()
         assert float(after.mean()) > float(before.mean())
+
+
+class TestLineDedupCarry:
+    @pytest.mark.parametrize("losers_max", [2_000_000, 0])
+    def test_carry_cols_survive_both_routes(self, ray_session, losers_max):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["alpha\nbeta", "beta\ngamma", "alpha\nbeta"],
+            "lang": ["en", "fr", "de"],
+        })
+        out = dedup.line_dedup(rd.from_pandas(df).repartition(2),
+                               "doc_id", "text", carry_cols=["lang"],
+                               broadcast_losers_max=losers_max) \
+            .to_pandas().sort_values("doc_id")
+        got = {(r.doc_id, r.text, r.lang) for r in out.itertuples()}
+        # doc 3 vanishes (both lines lose); langs ride along
+        assert got == {(1, "alpha\nbeta", "en"), (2, "gamma", "fr")}
