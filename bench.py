@@ -134,6 +134,7 @@ def run_bench() -> dict:
             "token_stats_documents": q.token_stats_documents,
             # round-3 continuation additions
             "line_dedup_documents": q.line_dedup_documents,
+            "corpus_curation_v2": q.corpus_curation_v2,
             "ks_exact_events": q.ks_exact_events,
             "quantiles_events_value": q.quantiles_events_value,
             "top_terms_by_lang": q.top_terms_by_lang,
