@@ -102,3 +102,65 @@ class TestWorkerCrashRetry:
         assert res.summary["result"] == "success"
         assert len(res.violations) == 0
         assert os.path.exists(marker)
+
+
+class TestNewOperatorCrashRecovery:
+    def test_line_dedup_survives_worker_death(self, ray_session, tmp_path):
+        """The dedup explode stage loses a worker once; retries must
+        reproduce the exact rebuilt corpus (the tagged materialization
+        and the loser groupby are deterministic, so a replayed task
+        yields identical candidates/losers)."""
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import dedup
+
+        marker = str(tmp_path / "ld_crash")
+        df = pd.DataFrame({
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [f"shared line\nunique {i}" for i in range(200)],
+        })
+
+        def maybe_crash(batch: pa.Table) -> pa.Table:
+            if not os.path.exists(marker) \
+                    and batch.column("doc_id")[0].as_py() == 0:
+                with open(marker, "w") as f:
+                    f.write("x")
+                os._exit(1)
+            return batch
+
+        ds = rd.from_pandas(df).repartition(4) \
+            .map_batches(maybe_crash, batch_format="pyarrow",
+                         batch_size=None)
+        out = dedup.line_dedup(ds, "doc_id", "text").to_pandas()
+        assert os.path.exists(marker)
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got[0] == "shared line\nunique 0"
+        assert all(got[i] == f"unique {i}" for i in range(1, 200))
+
+    def test_bloom_build_survives_worker_death(self, ray_session,
+                                               tmp_path):
+        """A crash during the bloom position pass must not drop keys:
+        a dropped block would create false negatives (missed parents)
+        and wrong violations."""
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            bloom as bloomf,
+        )
+
+        marker = str(tmp_path / "bloom_crash")
+        df = pd.DataFrame({"k": [f"key-{i}" for i in range(5000)]})
+
+        def maybe_crash(batch: pa.Table) -> pa.Table:
+            if not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("x")
+                os._exit(1)
+            return batch
+
+        ds = rd.from_pandas(df).repartition(4) \
+            .map_batches(maybe_crash, batch_format="pyarrow",
+                         batch_size=None)
+        f = bloomf.build_bloom(ds, "k", 5000)
+        assert os.path.exists(marker)
+        assert f.contains(np.array(df["k"], dtype=object)).all()
