@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -92,6 +93,22 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--no-secondary", action="store_true",
                    help="skip the two-phase re-check")
     i.add_argument("--num-cpus", type=int, default=None)
+
+    c = sub.add_parser(
+        "curate",
+        help="corpus curation: stable sample -> line-level exact dedup "
+             "-> resumable lang-partitioned parquet")
+    c.add_argument("--input", required=True,
+                   help="parquet file or directory (doc_id, text, lang)")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--sample-rate", type=float, default=1.0,
+                   help="stable key-hash sample rate (default keep all)")
+    c.add_argument("--tokens-per-line", type=int, default=None,
+                   help="fixed token-window lines (default: split on \\n)")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--partition-col", default="lang")
+    c.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
@@ -210,6 +227,30 @@ def _run(args) -> int:
                                 for k in r.violations["key"].astype(str)}),
         }, default=str))
         return 0 if ok else 1
+    if args.cmd == "curate":
+        import ray.data as rd
+
+        from .stages.dedup import line_dedup
+        from .stages.sampling import stable_sample
+        from .state.sinks import write_partitioned
+
+        ds = rd.read_parquet(args.input)
+        if args.sample_rate < 1.0:
+            ds = stable_sample(ds, args.id_col, args.sample_rate)
+        carry = [args.partition_col] \
+            if args.partition_col in ds.schema().names else []
+        rebuilt = line_dedup(ds, args.id_col, args.text_col,
+                             tokens_per_line=args.tokens_per_line,
+                             carry_cols=carry or None)
+        if carry:
+            res = write_partitioned(rebuilt.materialize(), args.out,
+                                    args.partition_col)
+        else:
+            os.makedirs(args.out, exist_ok=True)
+            rebuilt.write_parquet(args.out)
+            res = {"written": ["*"], "skipped": []}
+        print(json.dumps({"result": "success", **res}, default=str))
+        return 0
     keys = _parse_keys(args.keys)
     rules = None
     if args.table_white or args.table_black:

@@ -142,3 +142,30 @@ class TestStreamPathValidation:
         out = json.loads(capsys.readouterr().out.strip())
         assert rc == 2 and out["result"] == "failed"
         assert "directory" in out["message"]
+
+
+class TestCurateCli:
+    def test_curate_writes_and_resumes(self, ray_session, tmp_path,
+                                       capsys):
+        docs = pa.table({
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(["dup line\nown %d" % i for i in range(6)]),
+            "lang": pa.array(["en", "en", "fr", "fr", "de", "de"]),
+        })
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(docs, src)
+        out = str(tmp_path / "out")
+        rc = main(["curate", "--input", src, "--out", out])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sorted(rep["written"]) == ["de", "en", "fr"]
+        # rebuilt corpus: 'dup line' survives only in doc 0
+        back = pq.read_table(out + "/part=en").to_pandas() \
+            .sort_values("doc_id")
+        assert list(back["text"]) == ["dup line\nown 0", "own 1"]
+        # resume: everything already receipted
+        rc = main(["curate", "--input", src, "--out", out])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["written"] == [] and sorted(rep["skipped"]) == \
+            ["de", "en", "fr"]
