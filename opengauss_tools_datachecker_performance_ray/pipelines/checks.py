@@ -267,8 +267,15 @@ def referential_violations_partitioned(child, child_key: str,
         if bloom_prune is None:
             bloom_prune = n_parent >= 4 * max(1, n_child)
     if bloom_prune:
-        bf = bloomf.build_bloom(child.select_columns([child_key]),
-                                child_key, n_child,
+        # the bloom build and the anti-join both consume the child's
+        # key column — materialize it ONCE (object store, spillable)
+        # unless the child is huge, where two streaming passes beat
+        # pinning the keys
+        child_keys = child.select_columns([child_key])
+        if n_child <= 200_000_000:
+            child_keys = child_keys.materialize()
+        child = child_keys
+        bf = bloomf.build_bloom(child_keys, child_key, n_child,
                                 bits_per_key=bloom_bits_per_key)
         bits_ref = ray.put(bf.bits)
         m, k = bf.m, bf.k
