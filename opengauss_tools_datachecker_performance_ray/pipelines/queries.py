@@ -1249,6 +1249,44 @@ GROUP BY s.lang
 """
 
 
+def events_value_histogram(sf_dir: str, width: float = 10.0) -> pd.DataFrame:
+    """Fixed-width histogram of events.value — the exact-profile
+    sibling of the t-digest CDF: per-batch integer bincount partials
+    (the combiner; one row per non-empty bin per block), driver fold,
+    no shuffle. Bin = floor(value / width) as an integer, so both
+    sides compute the same IEEE division + floor."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.and_(pc.is_valid(v), pc.is_finite(v))
+        arr = v.filter(ok).to_numpy(zero_copy_only=False)
+        b = np.floor(arr / width).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"bin": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    out = parts.groupby("bin", sort=True)["n_part"].sum() \
+        .reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE value IS NOT NULL AND isfinite(value)
+GROUP BY 1
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``
