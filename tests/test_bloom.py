@@ -582,3 +582,39 @@ class TestMetamorphic:
         ds = rd.from_pandas(df)
         assert sampling.stable_sample(ds, "k", 1.0).count() == 1000
         assert sampling.stable_sample(ds, "k", 0.0).count() == 0
+
+
+class TestJsonExtractFuzz:
+    def test_regex_fast_path_equals_json_loads(self):
+        """Property: on arbitrary generated flat JSON objects the
+        vectorized fast path must agree with json.loads semantics."""
+        import json
+
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from opengauss_tools_datachecker_performance_ray.functions import jsonfn
+
+        scalars = st.one_of(
+            st.integers(min_value=-(2**70), max_value=2**70),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=12), st.booleans(), st.none())
+        keys = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",),
+                                   blacklist_characters='"\\'),
+            max_size=6)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.dictionaries(keys, scalars, max_size=5))
+        def check(d):
+            payload = json.dumps(d)
+            got = jsonfn.extract_int(
+                pa.array([payload], pa.string()), "k").to_pylist()[0]
+            ref = d.get("k")
+            if isinstance(ref, bool) or not isinstance(ref, int) \
+                    or not -(2**63) <= ref <= 2**63 - 1:
+                ref = None
+            assert got == ref, payload
+
+        check()
