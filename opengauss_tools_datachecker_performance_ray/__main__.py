@@ -102,7 +102,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet file or directory (doc_id, text, lang)")
     c.add_argument("--out", required=True, help="output directory")
     c.add_argument("--sample-rate", type=float, default=1.0,
-                   help="stable key-hash sample rate (default keep all)")
+                   help="stable key-hash sample rate (default keep all; "
+                        "requires a non-negative INTEGER --id-col — use "
+                        "an integer surrogate key for url-keyed tables)")
     c.add_argument("--tokens-per-line", type=int, default=None,
                    help="fixed token-window lines (default: split on \\n)")
     c.add_argument("--id-col", default="doc_id")
@@ -234,8 +236,21 @@ def _run(args) -> int:
         from .stages.sampling import stable_sample
         from .state.sinks import write_partitioned
 
+        import pyarrow as pa
+
         ds = rd.read_parquet(args.input)
         if args.sample_rate < 1.0:
+            sch = ds.schema()
+            id_type = dict(zip(sch.names, sch.types)).get(args.id_col)
+            if not (isinstance(id_type, pa.DataType)
+                    and pa.types.is_integer(id_type)):
+                print(json.dumps({
+                    "result": "error",
+                    "error": f"--sample-rate requires an integer "
+                             f"--id-col; {args.id_col!r} is "
+                             f"{id_type} — add an integer surrogate "
+                             f"key first"}), file=sys.stderr)
+                return 2
             ds = stable_sample(ds, args.id_col, args.sample_rate)
         carry = [args.partition_col] \
             if args.partition_col in ds.schema().names else []

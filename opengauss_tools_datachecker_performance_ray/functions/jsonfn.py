@@ -69,7 +69,12 @@ def extract_int(arr, key: str) -> pa.Array:
     res = np.zeros(len(s), dtype=np.int64)
     has = np.zeros(len(s), dtype=bool)
     valid = s.notna()
-    flat = (valid & s.str.match(_FLAT_RE)).to_numpy()
+    # any backslash (escaped keys like "k", escaped quotes) goes
+    # to the exact slow path — the literal key regex cannot see
+    # through JSON escapes (review finding; escapes are rare in
+    # machine-written sidecars, so the fast path keeps its coverage)
+    flat = (valid & s.str.match(_FLAT_RE)
+            & ~s.str.contains("\\", regex=False, na=True)).to_numpy()
     if flat.any():
         got = s[flat].str.extract(_key_re(key), expand=False)
         sa = pa.array(got.where(got.notna(), None), type=pa.string())

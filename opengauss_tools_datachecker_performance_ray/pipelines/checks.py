@@ -475,6 +475,10 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
         .fillna(0.0) > (ks_threshold + ks_noise)
     psi_bad = pd.to_numeric(rep["psi_excess"], errors="coerce") \
         .fillna(0.0) > (psi_threshold + psi_noise)
+    # which statistic flagged — drift_exact_recheck may only downgrade
+    # a verdict whose ONLY flag was the (sketch-approximate) KS
+    rep["ks_flag"] = ks_bad
+    rep["psi_flag"] = psi_bad
     rep["result"] = np.where(ks_bad | psi_bad, "failed", "success")
     return rep
 
@@ -715,8 +719,17 @@ def drift_exact_recheck(ds, group_col: str, report: pd.DataFrame,
 
     out = report.copy()
     out["ks_exact"] = None
+    # a row is eligible only when KS was its SOLE flag: an exact KS
+    # that clears says nothing about a PSI-detected categorical shift
+    # (a +/- alternating category drift has PSI > threshold with
+    # KS ~ 0 — downgrading it on KS would mask real drift)
+    if "psi_flag" in out.columns:
+        ks_only = ~out["psi_flag"].fillna(False)
+    else:  # reports without flag columns: conservative — a row with
+        # any PSI value could have been PSI-flagged
+        ks_only = out["psi"].isna()
     failed = out.index[(out["result"] == "failed")
-                       & out["ks"].notna()].tolist()
+                       & out["ks"].notna() & ks_only].tolist()
     if len(failed) > max_rechecks:
         logging.getLogger(__name__).warning(
             "drift_exact_recheck: %d flagged pairs exceed cap %d — "

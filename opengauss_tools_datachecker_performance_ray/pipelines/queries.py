@@ -1093,6 +1093,31 @@ WHERE ((CAST(o_orderkey AS UBIGINT) % 4294967296) * 2654435761)
 """
 
 
+WINDOW_TOKENS = 10  # the shared token-window width for "lines"
+
+
+def _window_dup_stats(batch: pa.Table, id_col: str,
+                      text_col: str) -> pd.DataFrame:
+    """Per-doc (id, size, nunique) of WINDOW_TOKENS-token windows —
+    shared by the standalone repetition feature and the curation
+    pipeline's filter so the repetition definition cannot diverge."""
+    from ..stages.dedup import _explode_lines
+
+    flat = _explode_lines(batch, id_col, text_col, "\n",
+                          tokens_per_line=WINDOW_TOKENS,
+                          include_text=True)
+    df = pd.DataFrame({
+        id_col: flat.column(id_col).to_numpy(),
+        "line": flat.column("line").to_pandas(),
+    })
+    if not len(df):
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "size": pd.Series(dtype=np.int64),
+                             "nunique": pd.Series(dtype=np.int64)})
+    return df.groupby(id_col, sort=True)["line"] \
+        .agg(["size", "nunique"]).reset_index()
+
+
 def repetition_features_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher-style within-document repetition signal: per document,
     how many of its 10-token windows are repeats of an earlier window
@@ -1100,16 +1125,15 @@ def repetition_features_documents(sf_dir: str) -> pd.DataFrame:
     parallel — each document's windows come from its own row, so this
     is a pure ``map_batches`` with zero shuffle. Integer outputs
     (n_lines, n_dup_lines) keep the oracle hash-exact."""
-    from ..stages.dedup import _explode_lines
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def features(batch: pa.Table) -> pa.Table:
-        flat = _explode_lines(batch, "doc_id", "text", "\n",
-                              tokens_per_line=10, include_text=True)
-        df = pd.DataFrame({
-            "doc_id": flat.column("doc_id").to_numpy(),
-            "line": flat.column("line").to_pandas(),
+        g = _window_dup_stats(batch, "doc_id", "text")
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+            "n_lines": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "n_dup_lines": pa.array(
+                (g["size"] - g["nunique"]).to_numpy(dtype=np.int64)),
         })
         if not len(df):
             return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -1156,22 +1180,15 @@ def corpus_curation_v2(sf_dir: str) -> pd.DataFrame:
     wide line-level exact dedup (fingerprints shuffle, text does not;
     lang carried through the rebuild) -> per-lang doc/token rollup."""
     from ..stages import sampling
-    from ..stages.dedup import _explode_lines, line_dedup
+    from ..stages.dedup import line_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     sampled = sampling.stable_sample(ds, "doc_id", 0.8)
 
     def rep_filter(batch: pa.Table) -> pa.Table:
-        flat = _explode_lines(batch, "doc_id", "text", "\n",
-                              tokens_per_line=10, include_text=True)
-        df = pd.DataFrame({
-            "doc_id": flat.column("doc_id").to_numpy(),
-            "line": flat.column("line").to_pandas(),
-        })
-        if not len(df):
-            return batch.filter(pa.array([False] * batch.num_rows))
-        g = df.groupby("doc_id")["line"].agg(["size", "nunique"])
-        bad = set(g.index[(g["size"] - g["nunique"]) * 5 > g["size"]])
+        g = _window_dup_stats(batch, "doc_id", "text")
+        bad = set(g.loc[(g["size"] - g["nunique"]) * 5 > g["size"],
+                        "doc_id"])
         ids = batch.column("doc_id").to_numpy()
         keep = ~np.isin(ids, np.fromiter(bad, dtype=np.int64,
                                          count=len(bad))) \

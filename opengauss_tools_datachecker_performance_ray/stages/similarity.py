@@ -73,22 +73,32 @@ def _spread_sample(ds, emb_col: str, sample_size: int,
     positional head: ``ds.limit(n)`` reads the first blocks only, so
     sorted/clustered storage (the normal case for a written corpus)
     would hand k-means a single region of the space. Each batch
-    contributes a deterministic, seeded slice proportional to its
-    size; the driver concatenates and trims."""
+    contributes a deterministic, seeded slice; the driver concatenates
+    ALL contributions and seeded-downsamples to ``sample_size`` (a
+    bare ``limit`` would again truncate in block order — review
+    finding). Driver ingress is bounded by blocks x per-batch take x
+    vector bytes; repartition first if the dataset has millions of
+    blocks."""
     def part(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({emb_col: []})
         # deterministic per-batch draw: seed mixed with the batch's
         # first row bytes so retries pick the same rows
         mat = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
-        mix = int(np.abs(mat[0]).sum() * 1e6) % (2**31) if len(mat) \
-            else 0
+        mix = int(np.abs(mat[0]).sum() * 1e6) % (2**31)
         rng = np.random.default_rng(seed ^ mix)
-        take = max(1, min(len(mat), sample_size // 64))
-        idx = rng.choice(len(mat), size=take, replace=False)
+        take = max(4, min(len(mat), sample_size // 64))
+        idx = rng.choice(len(mat), size=min(take, len(mat)),
+                         replace=False)
         return pd.DataFrame({emb_col: list(mat[np.sort(idx)])})
 
-    rows = ds.map_batches(part, batch_format="pandas") \
-        .limit(sample_size).to_pandas()
-    return np.stack(rows[emb_col].to_numpy()).astype(np.float32)
+    rows = ds.map_batches(part, batch_format="pandas").to_pandas()
+    mat = np.stack(rows[emb_col].to_numpy()).astype(np.float32)
+    if len(mat) > sample_size:
+        rng = np.random.default_rng(seed)
+        mat = mat[np.sort(rng.choice(len(mat), size=sample_size,
+                                     replace=False))]
+    return mat
 
 
 def train_ivf_centroids(ds, emb_col: str, num_cells: int = 64,
@@ -143,10 +153,16 @@ def refine_ivf_centroids(ds, emb_col: str, centroids: np.ndarray,
         ref = ray.put(cent)
 
         def part(batch: pd.DataFrame) -> pd.DataFrame:
+            import pickle as _p
+
             from ..functions.runtime import pin_worker_threads
 
             pin_worker_threads()
             c = ray.get(ref)
+            if not len(batch):
+                return pd.DataFrame({"p": [_p.dumps((
+                    np.zeros((len(c), c.shape[1]), dtype=np.float64),
+                    np.zeros(len(c), dtype=np.int64)))]})
             mat = _normalize(
                 np.stack(batch[emb_col].to_numpy()).astype(np.float32))
             a = (mat @ c.T).argmax(axis=1)

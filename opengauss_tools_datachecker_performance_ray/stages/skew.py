@@ -127,7 +127,10 @@ def detect_hot_domains(ds, url_col: str, threshold_frac: float = 0.01,
     from ..functions.textfn import extract_domain
 
     def host(batch: pa.Table) -> pa.Table:
-        return pa.table({"domain": extract_domain(batch.column(url_col))})
+        # unparseable urls extract to null — drop them, else 'None'
+        # shows up as a hot "domain" and dilutes every frac
+        return pa.table(
+            {"domain": extract_domain(batch.column(url_col)).drop_null()})
 
     return detect_hot_keys(
         ds.select_columns([url_col]).map_batches(host,

@@ -618,3 +618,83 @@ class TestJsonExtractFuzz:
             assert got == ref, payload
 
         check()
+
+
+class TestReviewRegressions2:
+    """Pins for the second review pass."""
+
+    def test_drift_recheck_never_downgrades_psi_flags(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        frames = []
+        for g in ["a", "b", "c"]:
+            frames.append(pd.DataFrame({"grp_col": g,
+                                        "x": rng.normal(0, 1, 1500)}))
+        ds = rd.from_pandas(pd.concat(frames, ignore_index=True))
+        rep = checks.drift_by_group(ds, "grp_col", ["x"])
+        # simulate a PSI-flagged categorical drift whose KS is clean
+        rep.loc[rep["grp"] == "b", ["result", "psi_flag"]] = \
+            ["failed", True]
+        out = checks.drift_exact_recheck(ds, "grp_col", rep)
+        b = out[out["grp"] == "b"].iloc[0]
+        assert b["result"] == "failed"       # never downgraded
+        assert b["ks_exact"] is None         # KS did not adjudicate it
+
+    def test_hot_domains_ignore_unparseable_urls(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import skew
+
+        urls = ["https://hot.net/x"] * 50 + ["not a url"] * 50
+        out = skew.detect_hot_domains(
+            rd.from_pandas(pd.DataFrame({"url": urls})), "url",
+            threshold_frac=0.05)
+        assert list(out["key"]) == ["hot.net"]
+        assert float(out["frac"].iloc[0]) == 1.0  # of parseable rows
+
+    def test_spread_sample_not_block_order_truncated(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            similarity,
+        )
+
+        # 128 blocks, cluster id encoded in the vector; a block-order
+        # limit would only ever see the first ~64 blocks
+        rng = np.random.default_rng(3)
+        mats = [np.full((20, 4), float(b), dtype=np.float32)
+                + 0.01 * rng.standard_normal((20, 4)).astype(np.float32)
+                for b in range(128)]
+        df = pd.DataFrame({"emb": [r for m in mats for r in m]})
+        ds = rd.from_pandas(df).repartition(128)
+        sample = similarity._spread_sample(ds, "emb", 256, seed=1)
+        blocks_seen = {int(round(v[0])) for v in sample}
+        assert max(blocks_seen) > 100  # late blocks represented
+
+    def test_jsonfn_escaped_key_exact(self):
+        import pyarrow as pa
+
+        from opengauss_tools_datachecker_performance_ray.functions import jsonfn
+
+        got = jsonfn.extract_int(pa.array(
+            ['{"\\u006b": 5}', '{"x": "a\\"b", "k": 7}'],
+            pa.string()), "k").to_pylist()
+        assert got == [5, 7]
+
+    def test_curate_sample_requires_int_ids(self, ray_session, tmp_path,
+                                            capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from opengauss_tools_datachecker_performance_ray.__main__ import main
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array(["u1", "u2"]),
+            "text": pa.array(["a\nb", "c"])}),
+            str(tmp_path / "d.parquet"))
+        rc = main(["curate", "--input", str(tmp_path / "d.parquet"),
+                   "--out", str(tmp_path / "out"), "--sample-rate", "0.5"])
+        assert rc == 2
