@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_exact_events": q.ks_exact_events,
         "quantiles_events_value": q.quantiles_events_value,
         "events_value_histogram": q.events_value_histogram,
+        "quantiles_by_event_type": q.quantiles_by_event_type,
         "top_terms_by_lang": q.top_terms_by_lang,
         "events_props_rollup": q.events_props_rollup,
         "stable_sample_orders": q.stable_sample_orders,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         # quantile_disc picks an element -> no interpolation FP drift
         "quantiles_events_value": q.QUANTILES_EVENTS_VALUE_SQL,
         "events_value_histogram": q.EVENTS_VALUE_HISTOGRAM_SQL,
+        "quantiles_by_event_type": q.QUANTILES_BY_EVENT_TYPE_SQL,
         "top_terms_by_lang": q.TOP_TERMS_BY_LANG_SQL,
         # JSON sidecar extraction (strict-int semantics, see jsonfn)
         "events_props_rollup": q.EVENTS_PROPS_ROLLUP_SQL,

@@ -767,3 +767,106 @@ def drift_exact_recheck(ds, group_col: str, report: pd.DataFrame,
             if ks <= ks_threshold:
                 out.at[idx, "result"] = "success"
     return out
+
+
+def exact_quantiles_by_group(ds, group_col: str, value_col: str,
+                             qs: list[float],
+                             max_fetches: int = 64) -> pd.DataFrame:
+    """Per-group EXACT discrete quantiles (quantile_disc semantics) —
+    the grouped sibling of :func:`exact_quantiles`, for the bounded
+    group counts of a partition/source/type column: per-batch
+    (group, value) count partials, ONE groupby+sort over distinct
+    (group, value) pairs, one summary row per (block, group) to the
+    driver, then a range-filtered fetch of only the block holding
+    each (group, rank). Fetches are capped at ``max_fetches`` (beyond
+    that, quantiles for the overflow groups come back None and the
+    cap is logged — at high group counts use the t-digest sketch
+    instead).
+
+    Returns rows (group, q, value); nulls/non-finite dropped.
+    """
+    import logging
+    from fractions import Fraction
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.is_finite(v))
+        ok = pc.and_(ok, pc.is_valid(batch.column(group_col)))
+        sub = batch.select([group_col, value_col]).filter(ok)
+        gb = sub.group_by([group_col, value_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({group_col: gb.column(group_col),
+                         value_col: gb.column(value_col),
+                         "cnt": gb.column("count_all")})
+
+    per_value = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, value_col]) \
+        .aggregate(Sum("cnt", alias_name="n")) \
+        .sort([group_col, value_col]).materialize()
+
+    def summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({group_col: batch.column(group_col),
+                             "vmin": batch.column(value_col),
+                             "vmax": batch.column(value_col),
+                             "tot": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_pandas(),
+            value_col: batch.column(value_col).to_pandas(),
+            "n": batch.column("n").to_numpy(),
+        })
+        g = df.groupby(group_col, sort=False).agg(
+            vmin=(value_col, "first"), vmax=(value_col, "last"),
+            tot=("n", "sum")).reset_index()
+        return pa.table({group_col: pa.array(g[group_col]),
+                         "vmin": pa.array(g["vmin"]),
+                         "vmax": pa.array(g["vmax"]),
+                         "tot": pa.array(g["tot"].to_numpy(np.int64))})
+
+    summaries = per_value.map_batches(
+        summary, batch_format="pyarrow").to_pandas()
+    rows: list[dict] = []
+    if not len(summaries):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "q": pd.Series(dtype=np.float64),
+                             "value": pd.Series(dtype=object)})
+    fetches = 0
+    for grp, s in summaries.groupby(group_col, sort=True):
+        s = s.sort_values("vmin").reset_index(drop=True)
+        n = int(s["tot"].sum())
+        cum = s["tot"].cumsum()
+        want: dict[int, list[tuple[float, int]]] = {}
+        for q in qs:
+            fq = Fraction(str(q))
+            r = min(n, max(1, -((-fq.numerator * n) // fq.denominator)))
+            blk = int(np.searchsorted(cum.to_numpy(), r))
+            want.setdefault(blk, []).append((q, r))
+        got: dict[float, object] = {}
+        for blk, targets in want.items():
+            if fetches >= max_fetches:
+                logging.getLogger(__name__).warning(
+                    "exact_quantiles_by_group: fetch cap %d reached — "
+                    "remaining groups return None", max_fetches)
+                break
+            fetches += 1
+            lo = s["vmin"].iloc[blk].item()
+            hi = s["vmax"].iloc[blk].item()
+            sub = per_value.filter(
+                expr=f"{group_col} == {grp!r} and "
+                     f"{value_col} >= {lo!r} and {value_col} <= {hi!r}") \
+                .to_pandas().sort_values(value_col)
+            base = int(cum.iloc[blk - 1]) if blk else 0
+            local_cum = sub["n"].cumsum().to_numpy()
+            vals = sub[value_col].to_numpy()
+            for q, r in targets:
+                got[q] = vals[int(np.searchsorted(local_cum,
+                                                  r - base))].item()
+        for q in qs:
+            rows.append({group_col: grp, "q": q, "value": got.get(q)})
+    return pd.DataFrame(rows)

@@ -1304,6 +1304,30 @@ GROUP BY 1
 """
 
 
+def quantiles_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact discrete quantiles (p50/p90 of events.value per
+    event_type) via ``checks.exact_quantiles_by_group`` — distinct
+    (group, value) partials, one grouped sort, one block fetch per
+    (group, rank)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    long = checks.exact_quantiles_by_group(ds, "event_type", "value",
+                                           [0.5, 0.9])
+    wide = long.pivot(index="event_type", columns="q", values="value") \
+        .reset_index()
+    wide.columns = ["event_type", "p50", "p90"]
+    return wide.sort_values("event_type").reset_index(drop=True)
+
+
+QUANTILES_BY_EVENT_TYPE_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events
+WHERE value IS NOT NULL AND isfinite(value)
+GROUP BY event_type
+"""
+
+
 def text_analysis_scaled(sf_dir: str, repeat: int = 96) -> pd.DataFrame:
     """Bench headline #2: full text-analysis pass (token counts,
     quality score, language-id, SimHash fingerprint) over ``repeat``

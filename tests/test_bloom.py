@@ -698,3 +698,42 @@ class TestReviewRegressions2:
         rc = main(["curate", "--input", str(tmp_path / "d.parquet"),
                    "--out", str(tmp_path / "out"), "--sample-rate", "0.5"])
         assert rc == 2
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb_per_group(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 6000),
+            "v": np.round(rng.lognormal(2, 1, 6000), 3),
+        })
+        df.loc[::71, "v"] = np.nan
+        ds = rd.from_pandas(df).repartition(10)
+        long = checks.exact_quantiles_by_group(ds, "g", "v",
+                                               [0.07, 0.5, 0.95])
+        con = duckdb.connect()
+        con.register("t", df.dropna())
+        for q in (0.07, 0.5, 0.95):
+            exp = dict(con.execute(
+                f"SELECT g, quantile_disc(v, {q}) FROM t GROUP BY g")
+                .fetchall())
+            got = dict(long[long["q"] == q][["g", "value"]]
+                       .itertuples(index=False))
+            assert got == exp, q
+
+    def test_fetch_cap_returns_none_beyond(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+        df = pd.DataFrame({"g": list("abcd") * 50,
+                           "v": np.arange(200, dtype=np.float64)})
+        long = checks.exact_quantiles_by_group(
+            rd.from_pandas(df), "g", "v", [0.5], max_fetches=2)
+        assert long["value"].notna().sum() == 2
+        assert long["value"].isna().sum() == 2
