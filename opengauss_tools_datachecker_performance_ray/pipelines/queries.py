@@ -1501,9 +1501,13 @@ FROM documents
 
 
 def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
-    """Per-group drift verdicts on documents by source (rows-only)."""
+    """Per-group drift verdicts on documents by source (rows-only),
+    with the two-phase exact-KS re-check adjudicating any group whose
+    only flag was the sketch-approximate KS (checks.drift_exact_recheck
+    — the reference's secondary-check philosophy applied to drift)."""
     ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
-    return checks.drift_by_group(ds, "source", ["lang", "n_chars"])
+    rep = checks.drift_by_group(ds, "source", ["lang", "n_chars"])
+    return checks.drift_exact_recheck(ds, "source", rep)
 
 
 # ---------------------------------------------------------------------------
