@@ -76,6 +76,15 @@ def extract_int(arr, key: str) -> pa.Array:
     flat = (valid & s.str.match(_FLAT_RE)
             & ~s.str.contains("\\", regex=False, na=True)).to_numpy()
     if flat.any():
+        # duplicate occurrences of the quoted key (e.g. '{"k":1,"k":"x"}')
+        # go to the exact slow path: the greedy last-wins regex backtracks
+        # past a non-integer last value and would return the EARLIER
+        # integer, diverging from json.loads last-wins (advice finding).
+        # Counting the quoted key is conservative (a key echoed inside a
+        # string value also routes slow) — correctness over speed there.
+        ndup = s.str.count(re.escape(f'"{key}"')).fillna(0).to_numpy()
+        flat &= ndup <= 1
+    if flat.any():
         got = s[flat].str.extract(_key_re(key), expand=False)
         sa = pa.array(got.where(got.notna(), None), type=pa.string())
         try:

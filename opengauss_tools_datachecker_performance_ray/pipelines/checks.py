@@ -369,7 +369,8 @@ DRIVER_DRIFT_MAX_PARTIALS = 65_536
 def drift_by_group(ds, group_col: str, value_cols: list[str],
                    ks_threshold: float = 0.1, psi_threshold: float = 0.25,
                    batch_size: int | None = 65536,
-                   merge_distributed: bool | None = None) -> pd.DataFrame:
+                   merge_distributed: bool | None = None,
+                   driver_max_partials: int | None = None) -> pd.DataFrame:
     """Per-partition drift: each group's distribution vs the global one.
 
     North-rule "KS/PSI distribution-drift tests per partition": one
@@ -411,13 +412,15 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
         return pa.table({"group": pa.array(groups, type=pa.large_string()),
                          "partial": pa.array(blobs, type=pa.large_binary())})
 
+    max_partials = (DRIVER_DRIFT_MAX_PARTIALS if driver_max_partials is None
+                    else driver_max_partials)
     partial_ds = ds.map_batches(partials, batch_format="pyarrow",
                                 batch_size=batch_size)
     if merge_distributed is None:
         # only the auto-route needs the partial count (and hence the
         # materialize); explicit callers stream straight through
         partial_ds = partial_ds.materialize()
-        merge_distributed = partial_ds.count() > DRIVER_DRIFT_MAX_PARTIALS
+        merge_distributed = partial_ds.count() > max_partials
     if merge_distributed:
         def fold_group(g: pd.DataFrame) -> pd.DataFrame:
             merged_prof = merge_partials([bytes(b) for b in g["partial"]])
@@ -480,6 +483,14 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     rep["ks_flag"] = ks_bad
     rep["psi_flag"] = psi_bad
     rep["result"] = np.where(ks_bad | psi_bad, "failed", "success")
+    # carry the effective adjudication bar + route taken so a two-phase
+    # re-check (drift_exact_recheck) adjudicates at the SAME threshold
+    # this report was produced with, and tests can assert the route
+    # without monkeypatching (DataFrame.attrs survives .copy())
+    rep.attrs["ks_threshold"] = float(ks_threshold)
+    rep.attrs["psi_threshold"] = float(psi_threshold)
+    rep.attrs["merge_route"] = ("distributed" if merge_distributed
+                                else "driver")
     return rep
 
 
@@ -694,7 +705,7 @@ DRIFT_EXACT_RECHECK_MAX = 8
 
 def drift_exact_recheck(ds, group_col: str, report: pd.DataFrame,
                         max_rechecks: int = DRIFT_EXACT_RECHECK_MAX,
-                        ks_threshold: float = 0.1) -> pd.DataFrame:
+                        ks_threshold: float | None = None) -> pd.DataFrame:
     """Two-phase drift (the reference's secondary-check philosophy,
     ``check/modules/check/IncrementCheckThread.java:147-207``, applied
     to drift verdicts): the sketch-based ``drift_by_group`` flags
@@ -714,9 +725,18 @@ def drift_exact_recheck(ds, group_col: str, report: pd.DataFrame,
     contaminate every other group's re-check.
 
     Adds columns ``ks_exact`` (float or None) and updates ``result``.
+
+    ``ks_threshold=None`` (the default) reads the bar the sketch report
+    was adjudicated with (``report.attrs['ks_threshold']``, stamped by
+    ``drift_by_group``) so a caller who ran the sketch phase at a custom
+    threshold is re-checked at the same bar without passing it twice;
+    an explicit value overrides, and 0.1 is the last-resort fallback
+    for reports produced elsewhere.
     """
     import logging
 
+    if ks_threshold is None:
+        ks_threshold = float(report.attrs.get("ks_threshold", 0.1))
     out = report.copy()
     out["ks_exact"] = None
     # a row is eligible only when KS was its SOLE flag: an exact KS
@@ -857,8 +877,11 @@ def exact_quantiles_by_group(ds, group_col: str, value_col: str,
             fetches += 1
             lo = s["vmin"].iloc[blk].item()
             hi = s["vmax"].iloc[blk].item()
+            # numpy>=2 scalars repr as np.int64(5) — unparseable by the
+            # Ray expression grammar; normalize like lo/hi above
+            gkey = grp.item() if hasattr(grp, "item") else grp
             sub = per_value.filter(
-                expr=f"{group_col} == {grp!r} and "
+                expr=f"{group_col} == {gkey!r} and "
                      f"{value_col} >= {lo!r} and {value_col} <= {hi!r}") \
                 .to_pandas().sort_values(value_col)
             base = int(cum.iloc[blk - 1]) if blk else 0

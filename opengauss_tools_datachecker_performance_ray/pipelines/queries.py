@@ -1135,17 +1135,6 @@ def repetition_features_documents(sf_dir: str) -> pd.DataFrame:
             "n_dup_lines": pa.array(
                 (g["size"] - g["nunique"]).to_numpy(dtype=np.int64)),
         })
-        if not len(df):
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_lines": pa.array([], pa.int64()),
-                             "n_dup_lines": pa.array([], pa.int64())})
-        g = df.groupby("doc_id", sort=True)["line"]             .agg(["size", "nunique"]).reset_index()
-        return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy()),
-            "n_lines": pa.array(g["size"].to_numpy(dtype=np.int64)),
-            "n_dup_lines": pa.array(
-                (g["size"] - g["nunique"]).to_numpy(dtype=np.int64)),
-        })
 
     out = ds.map_batches(features, batch_format="pyarrow")
     df = _with_schema(out, ["doc_id", "n_lines", "n_dup_lines"],

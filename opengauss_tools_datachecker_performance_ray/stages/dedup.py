@@ -770,7 +770,10 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
         cols = {
             id_col: t.column(id_col),
             "line_no": t.column("line_no"),
-            "line": t.column("line"),
+            # canonicalize to large_string so the union with tag_losers'
+            # large_string null column sees one schema (string-typed
+            # input text would otherwise explode to pa.string here)
+            "line": t.column("line").cast(pa.large_string()),
             "is_loser": pa.array(np.zeros(t.num_rows, bool)),
             "dbucket": _doc_bucket(t.column(id_col)),
         }

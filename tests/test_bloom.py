@@ -317,6 +317,11 @@ class TestJsonExtract:
         '{"kk": 4, "k": 8}', '{"k": [1,2]}', '[1, 2]', '{"k": null}',
         '{"k": 007}', '{"k": 1e3}', '{"k": 1, bad}', '{"k":1,"k":2}',
         '{"k": -0}', '{"K": 3}',
+        # duplicate key with a NON-integer last value: the fast-path
+        # greedy regex would backtrack to the earlier integer; these
+        # must route to the json.loads slow path (advice r3)
+        '{"k":1,"k":"x"}', '{"k":"x","k":3}', '{"k":5,"k":null}',
+        '{"k":2,"k":9.5}', '{"k":null,"k":7}',
     ]
 
     def test_matches_json_loads_reference(self):
@@ -362,8 +367,12 @@ class TestJsonExtract:
             '{"k": "9"}',      # SQL coerces quoted numbers
             '{"k": 9.5}',      # SQL TRY_CAST rounds floats
             '{"k": 1e3}',      # SQL casts scientific notation
-            '{"k":1,"k":2}',   # duplicate key: json.loads last-wins,
-                               # DuckDB json_extract first-wins
+            # duplicate keys: json.loads last-wins (our contract),
+            # DuckDB json_extract first-wins — every dup-key payload
+            # whose two values disagree under the two policies diverges
+            '{"k":1,"k":2}',
+            '{"k":1,"k":"x"}', '{"k":"x","k":3}', '{"k":5,"k":null}',
+            '{"k":2,"k":9.5}', '{"k":null,"k":7}',
         }
 
     def test_fast_path_vectorized_on_flat_column(self):

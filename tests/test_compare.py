@@ -493,10 +493,12 @@ class TestComparePipeline:
         assert set(a.loc[a["result"] == "failed", "grp"]) == {"g3"}
 
     def test_drift_auto_routes_distributed_on_many_partials(
-            self, ray_session, monkeypatch):
-        """Round-2 verdict #4: with the partial-blob count beyond the
+            self, ray_session):
+        """Round-3 verdict #4: with the partial-blob count beyond the
         driver bound, the default (merge_distributed=None) must take
-        the distributed fold and still produce the same verdicts."""
+        the distributed fold and still produce the same verdicts. No
+        monkeypatch: the bound is the public ``driver_max_partials``
+        knob and the route taken is read back from report.attrs."""
         import numpy as np
         import ray.data as rd
 
@@ -508,13 +510,46 @@ class TestComparePipeline:
         ds = rd.from_pandas(df).repartition(8).materialize()
         base = checks.drift_by_group(ds, "grp", ["v"],
                                      merge_distributed=False)
-        monkeypatch.setattr(checks, "DRIVER_DRIFT_MAX_PARTIALS", 1)
-        auto = checks.drift_by_group(ds, "grp", ["v"])  # auto -> distributed
+        assert base.attrs["merge_route"] == "driver"
+        # 8 blocks x 10 groups = ~80 partials > 1 -> auto engages
+        auto = checks.drift_by_group(ds, "grp", ["v"],
+                                     driver_max_partials=1)
+        assert auto.attrs["merge_route"] == "distributed"
         key = ["grp", "column"]
         base = base.sort_values(key).reset_index(drop=True)
         auto = auto.sort_values(key).reset_index(drop=True)
         assert list(base["result"]) == list(auto["result"])
         assert set(auto.loc[auto["result"] == "failed", "grp"]) == {"g5"}
+
+    def test_drift_recheck_reads_report_threshold(self, ray_session):
+        """Advice r3: drift_exact_recheck adjudicates at the SAME
+        ks_threshold the sketch report was produced with (carried in
+        report.attrs) — a custom-threshold caller no longer has to pass
+        the bar twice."""
+        import numpy as np
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "grp": rng.choice(["a", "b", "c", "d"], 40000),
+            "v": rng.normal(0, 1, 40000)})
+        # mild shift: big enough to flag at a strict bar (excess
+        # ~0.2*delta*0.4 clears 0.005+noise at n=10k/group), while the
+        # exact two-sample KS vs a clean peer (~0.4*delta=0.072) still
+        # clears the old 0.1 default -> proves the attrs bar is used
+        df.loc[df["grp"] == "b", "v"] += 0.18
+        ds = rd.from_pandas(df).repartition(8).materialize()
+        rep = checks.drift_by_group(ds, "grp", ["v"], ks_threshold=0.005)
+        assert rep.attrs["ks_threshold"] == 0.005
+        flagged = rep[rep["result"] == "failed"]
+        assert len(flagged), "strict bar should flag the shifted group"
+        out = checks.drift_exact_recheck(ds, "grp", rep)
+        # the exact KS of a 0.12-sigma shift (~0.048) clears 0.1 but
+        # NOT the report's 0.005 bar -> verdicts must stay failed
+        still = out.loc[flagged.index, "result"]
+        assert (still == "failed").all()
+        exact = out.loc[flagged.index, "ks_exact"].dropna()
+        assert len(exact) and (exact > 0.005).all() and (exact < 0.1).all()
 
     def test_fixture_regenerate_clears_stale_shards(self, tmp_path):
         """Regenerating a fixture dir under a different spec must not
