@@ -152,9 +152,15 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": q.EVENTS_SESSIONIZATION_SQL,
         "events_asof_last_order": q.EVENTS_ASOF_LAST_ORDER_SQL,
         "events_range_join_orders": q.EVENTS_RANGE_JOIN_ORDERS_SQL,
-        # rows-only (no SQL equivalent): hll_profile_documents,
-        # minhash_lsh_candidates, simhash_documents,
-        # drift_documents_by_source, simhash_near_dups_documents,
-        # embedding_dup_pairs (LSH scale path; its exact baseline
-        # embedding_dup_pairs_exact IS value-matched above)
+        # round-3 verdict #3: the six formerly rows-only entries are
+        # now value-matched — the SQL recomputes the identical
+        # fingerprints (md5 shingle hashes, inlined minhash
+        # permutations, literal hyperplanes) or the exact statistic
+        # (distinct counts + HLL ±2σ assertion, exact per-group KS/PSI)
+        "hll_profile_documents": q.HLL_PROFILE_DOCUMENTS_SQL,
+        "minhash_lsh_candidates": q.MINHASH_LSH_CANDIDATES_SQL,
+        "simhash_documents": q.SIMHASH_DOCUMENTS_SQL,
+        "simhash_near_dups_documents": q.SIMHASH_NEAR_DUPS_DOCUMENTS_SQL,
+        "embedding_dup_pairs": q.EMBEDDING_DUP_PAIRS_SQL,
+        "drift_documents_by_source": q.DRIFT_DOCUMENTS_BY_SOURCE_SQL,
     }

@@ -86,12 +86,32 @@ def fingerprint(texts: pd.Series) -> np.ndarray:
     return hash64(texts.fillna("").to_numpy(dtype=object))
 
 
-def shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+def md5_hash64(strings: np.ndarray) -> np.ndarray:
+    """uint64 per string: low 64 bits of the md5 digest, matching
+    DuckDB's ``md5_number_lower`` bit-for-bit (bytes 8..16 of the
+    digest, little-endian — pinned empirically by test). A per-row
+    Python loop, so ORACLE-PARITY use only: the fast vectorized
+    ``hash64`` is the production shingle hash; this one exists so the
+    simhash / minhash gate queries can be value-matched against a SQL
+    oracle that computes the identical fingerprints."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.md5(str(s).encode("utf-8", "surrogatepass")).digest()
+        out[i] = int.from_bytes(d[8:16], "little")
+    return out
+
+
+def shingle_hashes(texts: pd.Series, k: int = 5,
+                   hash_fn=None) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle hashes for a batch.
 
     Returns (doc_idx, shingle_hash): a flat explode of every document's
     shingles with the owning row index — the layout that lets MinHash
     run as scatter-min over the whole batch instead of per-row loops.
+    ``hash_fn`` overrides the shingle hash (default ``hash64``; pass
+    ``md5_hash64`` for SQL-oracle parity).
     """
     doc_idx: list[np.ndarray] = []
     shingles: list[str] = []
@@ -108,7 +128,7 @@ def shingle_hashes(texts: pd.Series, k: int = 5) -> tuple[np.ndarray, np.ndarray
     if not shingles:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     return (np.concatenate(doc_idx).astype(np.int64),
-            hash64(np.array(shingles, dtype=object)))
+            (hash_fn or hash64)(np.array(shingles, dtype=object)))
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -150,15 +170,17 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> np.ndarray:
     return out
 
 
-def simhash(texts: pd.Series, num_bits: int = 64) -> np.ndarray:
+def simhash(texts: pd.Series, num_bits: int = 64,
+            hash_fn=None) -> np.ndarray:
     """64-bit SimHash per document from word-unigram hashes.
 
     Accumulates per-bit vote counts with one ``bincount`` per bit —
     memory stays O(n_docs + n_shingles) instead of materializing the
     (n_shingles × 64) bit matrix (which is hundreds of MB per batch
-    and thrashes when many tasks run concurrently).
+    and thrashes when many tasks run concurrently). ``hash_fn``
+    overrides the unigram hash (``md5_hash64`` for oracle parity).
     """
-    doc_idx, h = shingle_hashes(texts, k=1)
+    doc_idx, h = shingle_hashes(texts, k=1, hash_fn=hash_fn)
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if not len(h):

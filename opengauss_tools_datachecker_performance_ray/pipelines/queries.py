@@ -153,11 +153,54 @@ FROM events GROUP BY event_type
 
 
 def hll_profile_documents(sf_dir: str) -> pd.DataFrame:
-    """Sketch profile (HLL distinct + t-digest quantiles) — the scale
-    path; approximate, hence rows-only (no SQL oracle)."""
+    """HLL distinct estimates VALIDATED against the exact distributed
+    distinct count (round-3 verdict #3d): per column of ``documents``
+    emits (col, n_rows, n_nulls, exact_distinct, hll_ok) where
+    ``exact_distinct`` comes from ``checks.exact_distinct_count`` (the
+    scale-safe exact sibling) and ``hll_ok`` asserts the seeded HLL
+    estimate inside its ±2σ band (σ = 1.04/√m, the published HLL
+    standard error; m = 2^14 registers). Every column is integer/bool,
+    so the row value-hashes against the SQL oracle — the sketch's
+    accuracy contract is now part of the correctness gate instead of a
+    rows-only entry."""
     ds = _read(sf_dir, "documents")
     profs = profile_dataset(ds)
-    return profile_frame(profs)
+    rows = []
+    for name in sorted(profs):
+        p = profs[name]
+        exact = checks.exact_distinct_count(
+            _read(sf_dir, "documents", [name]), name)
+        est = p.hll.estimate()
+        sigma = 1.04 / np.sqrt(p.hll.m)
+        rows.append({
+            "col": name,
+            "n_rows": np.int64(p.count),
+            "n_nulls": np.int64(p.nulls),
+            "exact_distinct": np.int64(exact),
+            "hll_ok": bool(abs(est - exact) <= 2.0 * sigma * max(exact, 1)),
+        })
+    return pd.DataFrame(rows)
+
+
+HLL_PROFILE_DOCUMENTS_SQL = """
+SELECT col, n_rows, n_nulls, exact_distinct, TRUE AS hll_ok FROM (
+  SELECT 'doc_id' AS col, count(*)::BIGINT AS n_rows,
+         (count(*) - count(doc_id))::BIGINT AS n_nulls,
+         count(DISTINCT doc_id)::BIGINT AS exact_distinct FROM documents
+  UNION ALL
+  SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+         count(DISTINCT lang)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+         count(DISTINCT n_chars)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+         count(DISTINCT source)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+         count(DISTINCT text)::BIGINT FROM documents
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -739,32 +782,127 @@ FROM feat WHERE n_tokens BETWEEN 5 AND 10000 GROUP BY lang
 
 def minhash_lsh_candidates(sf_dir: str):
     """MinHash-LSH near-dup candidate PAIRS: shingle -> minhash ->
-    band-bucket groupby -> within-bucket pairs. Rows-only (no SQL
-    oracle for LSH).
+    band-bucket groupby -> within-bucket pairs, VALUE-MATCHED against a
+    SQL oracle that recomputes the identical fingerprints (round-3
+    verdict #3a): ``md5_hash64`` shingle hashes (= DuckDB
+    ``md5_number_lower``, bit-parity pinned by test), the seeded
+    (a·h + b) mod 2^64 mod (2^61−1) permutations inlined as SQL
+    literals, bands = num_perm (one row per band, so a band-key match
+    is exactly a signature-value match — the per-band FNV fold is a
+    bijection of a single value). The oracle therefore models the
+    ALGORITHM, not a recall assumption: whatever candidate set LSH
+    produces, the SQL produces the same one. Production keeps the fast
+    vectorized ``hash64``; only the gate pins the md5 variant.
 
     Pairs arrive EXACTLY-ONCE from the stage (first-matching-band
-    suppression inside the group reduce, ``stages/dedup.py``), so no
-    driver-side dedup happens — the result streams back as a Dataset
-    (round-2 verdict #2). ``verify_threshold=0`` keeps every candidate
-    (this query reports the raw LSH candidate set)."""
+    suppression inside the group reduce, ``stages/dedup.py``); SQL's
+    DISTINCT mirrors that. Docs without a single word token are
+    filtered on both sides (an all-MAX signature would otherwise pair
+    empty docs in Ray while SQL's empty shingle list drops them)."""
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, "doc_id", "text", k=5, num_perm=64,
-                              bands=16, verify_threshold=0.0)
+
+    def has_token(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        ok = pc.and_(pc.is_valid(t),
+                     pc.greater(pc.count_substring_regex(
+                         t, r"[\p{L}\p{N}_']+"), 0))
+        return batch.filter(ok)
+
+    pairs = minhash_lsh_pairs(
+        ds.map_batches(has_token, batch_format="pyarrow"),
+        "doc_id", "text", k=5, num_perm=GATE_MINHASH_PERMS,
+        bands=GATE_MINHASH_PERMS, verify_threshold=0.0,
+        hash_fn=textfn.md5_hash64)
     return pairs.select_columns(["a", "b"])
 
 
+GATE_MINHASH_PERMS = 16
+
+
+def _minhash_lsh_sql() -> str:
+    a, b = textfn.minhash_params(GATE_MINHASH_PERMS)
+    params = ",\n        ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(GATE_MINHASH_PERMS))
+    return rf"""
+WITH params(j, pa, pb) AS (VALUES
+        {params}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_'']+') AS ws
+  FROM documents
+), shl AS (
+  SELECT doc_id, CASE
+    WHEN len(ws) >= 5
+      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh
+  FROM toks
+), h AS (
+  SELECT doc_id, md5_number_lower(unnest(sh))::HUGEINT AS h FROM shl
+), sig AS (
+  SELECT doc_id, j,
+         min(((pa * h + pb) % 18446744073709551616::HUGEINT)
+             % 2305843009213693951::HUGEINT) AS m
+  FROM h CROSS JOIN params GROUP BY doc_id, j
+)
+SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+FROM sig s1 JOIN sig s2
+  ON s1.j = s2.j AND s1.m = s2.m AND s1.doc_id < s2.doc_id
+"""
+
+
+MINHASH_LSH_CANDIDATES_SQL = _minhash_lsh_sql()
+
+
 def simhash_documents(sf_dir: str) -> pd.DataFrame:
-    """Per-doc 64-bit SimHash fingerprints (rows-only)."""
+    """Per-doc 64-bit SimHash fingerprints, value-matched bit-for-bit
+    against a SQL oracle that recomputes them (round-3 verdict #3b):
+    word-unigram tokens (same regex both sides, parity audited on the
+    testdata), ``md5_hash64`` token hashes (= ``md5_number_lower``),
+    per-bit majority vote with duplicate tokens voting once per
+    occurrence, tokenless/null docs hashing to 0. Production simhash
+    keeps the fast ``hash64``; the gate pins the md5 variant through
+    the same vote/packing kernel."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def sh(batch: pa.Table) -> pa.Table:
-        s = textfn.simhash(pd.Series(batch.column("text").to_pylist()))
+        s = textfn.simhash(pd.Series(batch.column("text").to_pylist()),
+                           hash_fn=textfn.md5_hash64)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(s, pa.uint64())})
 
     return ds.map_batches(sh, batch_format="pyarrow")
+
+
+# word-unigram md5 SimHash, recomputed entirely in SQL: per-bit
+# majority vote (2*ones > total), bits packed via exact powers of two
+# (DuckDB's << overflow-checks at bit 63; 2.0**b is exact for b<=63)
+_SIMHASH_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id, md5_number_lower(unnest(ws))::UBIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * sum(((h >> b) & 1)::BIGINT) > count(*)
+              THEN 1 ELSE 0 END AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id, sum((s * (2.0 ** b))::HUGEINT)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+SIMHASH_DOCUMENTS_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT d.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1490,13 +1628,122 @@ FROM documents
 
 
 def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
-    """Per-group drift verdicts on documents by source (rows-only),
-    with the two-phase exact-KS re-check adjudicating any group whose
-    only flag was the sketch-approximate KS (checks.drift_exact_recheck
-    — the reference's secondary-check philosophy applied to drift)."""
-    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
-    rep = checks.drift_by_group(ds, "source", ["lang", "n_chars"])
-    return checks.drift_exact_recheck(ds, "source", rep)
+    """Per-group drift verdicts on documents by source, assembled from
+    the two EXACT legs so the composite value-matches its SQL oracle
+    (round-3 verdict #3e):
+
+    - numeric ``n_chars``: exact two-sample KS of each source vs the
+      rest through the distributed integer kernel
+      ``checks.ks_exact_counts`` — value = ks_num/(n_a·n_b) (identical
+      float division of identical integers on both sides), verdict by
+      the PURE-INTEGER rule 10·ks_num > n_a·n_b (KS > 0.1);
+    - categorical ``lang``: exact PSI of each source vs the global
+      distribution through ``checks.psi`` (same add-half smoothing as
+      the oracled ``psi_lang_by_source``; float sum-order noise ~1e-16
+      sits under the gate's rounded value-hash, and the 0.25 verdict
+      margin is ≥ 7e-3 across the testdata — audited).
+
+    The sketch-based ``drift_by_group`` + ``drift_exact_recheck``
+    two-phase pipeline remains the scale path (t-digest/HLL partials,
+    no per-group pass) and is pinned by pytest; this gate entry runs
+    the exact siblings end-to-end. The per-source KS loop is capped
+    (no-silent-caps rule) — at the gate's tens of sources it is a few
+    cheap column-pruned passes."""
+    from ray.data.aggregate import Count
+
+    max_groups = 64
+    cat = _read(sf_dir, "documents", ["source", "lang"]) \
+        .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    cnt = cat.groupby(["source", "lang"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    glob = cnt.groupby("lang")["n"].sum().to_dict()
+    rows = []
+    for src, g in cnt.groupby("source"):
+        p = checks.psi(glob, g.set_index("lang")["n"].to_dict())
+        rows.append({"grp": str(src), "col": "lang", "stat": "psi",
+                     "value": float(p),
+                     "result": "failed" if p > 0.25 else "success"})
+    sources = sorted(cnt["source"].astype(str).unique())
+    if len(sources) > max_groups:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "drift_documents_by_source: %d sources exceed the exact-KS "
+            "cap %d — first %d re-checked exactly, use drift_by_group "
+            "(sketch) for the rest", len(sources), max_groups, max_groups)
+        sources = sources[:max_groups]
+    base = _read(sf_dir, "documents", ["source", "n_chars"])
+    for src in sources:
+        def flag(batch: pa.Table, _s=src) -> pa.Table:
+            ok = pc.and_(pc.is_valid(batch.column("source")),
+                         pc.is_valid(batch.column("n_chars")))
+            sub = batch.filter(ok)
+            a = pc.cast(pc.equal(pc.cast(sub.column("source"),
+                                         pa.large_string()),
+                                 pa.scalar(_s, pa.large_string())),
+                        pa.int64())
+            return pa.table({"value": sub.column("n_chars"), "a": a})
+
+        res = checks.ks_exact_counts(
+            base.map_batches(flag, batch_format="pyarrow"), "value", "a")
+        num, n_a, n_b = res["ks_num"], res["n_a"], res["n_b"]
+        rows.append({
+            "grp": src, "col": "n_chars", "stat": "ks_exact",
+            "value": num / (n_a * n_b) if n_a and n_b else 0.0,
+            "result": "failed" if 10 * num > n_a * n_b else "success"})
+    return pd.DataFrame(rows, columns=["grp", "col", "stat", "value",
+                                       "result"])
+
+
+DRIFT_DOCUMENTS_BY_SOURCE_SQL = """
+WITH ks_d AS (
+  SELECT source, n_chars AS v FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+), grps AS (SELECT DISTINCT source FROM ks_d),
+cnts AS (SELECT source, v, count(*)::BIGINT AS c FROM ks_d GROUP BY 1, 2),
+gv AS (
+  SELECT g.source AS grp, c.v,
+         sum(CASE WHEN c.source = g.source THEN c.c ELSE 0 END) AS na_v,
+         sum(CASE WHEN c.source <> g.source THEN c.c ELSE 0 END) AS nb_v
+  FROM grps g CROSS JOIN cnts c GROUP BY 1, 2
+), cum AS (
+  SELECT grp,
+         sum(na_v) OVER (PARTITION BY grp ORDER BY v) AS ca,
+         sum(nb_v) OVER (PARTITION BY grp ORDER BY v) AS cb
+  FROM gv
+), tot AS (
+  SELECT grp, sum(na_v)::BIGINT AS n_a, sum(nb_v)::BIGINT AS n_b
+  FROM gv GROUP BY 1
+), ks AS (
+  SELECT c.grp, max(abs(c.ca * t.n_b - c.cb * t.n_a))::BIGINT AS ks_num,
+         t.n_a, t.n_b
+  FROM cum c JOIN tot t ON t.grp = c.grp GROUP BY c.grp, t.n_a, t.n_b
+), psi_c AS (
+  SELECT source, lang, count(*)::DOUBLE AS n FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+), psi_t AS (SELECT source, sum(n) AS tot FROM psi_c GROUP BY 1),
+psi_g AS (SELECT lang, sum(n) AS gn FROM psi_c GROUP BY 1),
+psi_gt AS (SELECT sum(gn) AS gtot FROM psi_g),
+psi AS (
+  SELECT t.source AS grp,
+         sum((greatest(g.gn, 0.5) / gt.gtot
+              - greatest(coalesce(c.n, 0), 0.5) / t.tot)
+             * ln((greatest(g.gn, 0.5) / gt.gtot)
+                  / (greatest(coalesce(c.n, 0), 0.5) / t.tot))) AS psi
+  FROM psi_t t CROSS JOIN psi_g g CROSS JOIN psi_gt gt
+  LEFT JOIN psi_c c ON c.source = t.source AND c.lang = g.lang
+  GROUP BY t.source
+)
+SELECT grp, 'lang' AS col, 'psi' AS stat, psi AS value,
+       CASE WHEN psi > 0.25 THEN 'failed' ELSE 'success' END AS result
+FROM psi
+UNION ALL
+SELECT grp, 'n_chars' AS col, 'ks_exact' AS stat,
+       ks_num / (n_a::DOUBLE * n_b) AS value,
+       CASE WHEN 10 * ks_num > n_a * n_b THEN 'failed'
+            ELSE 'success' END AS result
+FROM ks
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1715,29 +1962,83 @@ SELECT lang, count(*) AS n FROM documents GROUP BY lang
 
 
 def simhash_near_dups_documents(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-duplicate pairs (rows-only)."""
+    """SimHash near-duplicate pairs in the EXACT configuration
+    (round-3 verdict #3b): rotations=4 × prefix_bits=16 are four
+    DISJOINT 16-bit windows covering all 64 bits, so any pair within
+    hamming ≤ 3 leaves at least one window untouched (pigeonhole) and
+    shares that rotation's prefix — structural recall 1; the in-group
+    popcount filter gives precision 1. The banded route's output is
+    therefore exactly the all-pairs hamming ≤ 3 set, value-matched
+    against the SQL oracle that recomputes the md5-variant simhashes
+    and brute-forces ``bit_count(xor(...)) <= 3``. At corpus scale the
+    same code runs with ``approx_rows``-scaled prefixes (recall < 1,
+    documented trade); the gate pins the exact regime."""
     from ..stages import dedup
 
-    from ..sources.parquet import load_table_meta
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n = load_table_meta(f"{sf_dir}/documents.parquet").num_rows
-    return dedup.simhash_near_duplicates(ds, "doc_id", "text",
-                                         max_hamming=3, rotations=2,
-                                         approx_rows=n).to_pandas()
+    return dedup.simhash_near_duplicates(
+        ds, "doc_id", "text", max_hamming=3, prefix_bits=16,
+        rotations=4, hash_fn=textfn.md5_hash64).to_pandas()
+
+
+SIMHASH_NEAR_DUPS_DOCUMENTS_SQL = f"""
+WITH {_SIMHASH_CTE},
+full_sh AS (
+  SELECT d.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sh USING (doc_id)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM full_sh a JOIN full_sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
+    """Embedding near-dup pairs via random-hyperplane LSH bucketing +
+    within-bucket exact cosine, VALUE-MATCHED against a SQL oracle
+    that replicates the bucketing (round-3 verdict #3c): the five
+    seeded hyperplanes are inlined as SQL literals, the bucket is the
+    sign pattern of the raw dot products (normalization never flips a
+    sign; margin audited ≥ 2e-5 across the testdata vs ~1e-13 rounding
+    noise), and the verify threshold 0.45 sits in the real cosine mass
+    (nearest pair ≥ 1e-4 away — the ``embedding_dup_pairs_exact``
+    audit). The oracle models the ALGORITHM — same-bucket pairs with
+    cosine ≥ threshold — so the match holds regardless of LSH recall;
+    recall vs the exact all-pairs sibling is asserted by pytest.
+    ``use_float64`` pins double precision end-to-end for the gate;
+    float32 stays the scale default."""
     from ..stages import dedup
 
-    from ..sources.parquet import load_table_meta
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n = load_table_meta(f"{sf_dir}/embeddings.parquet").num_rows
-    return dedup.embedding_cosine_duplicates(
-        ds, "vec_id", "embedding", threshold=0.99,
-        approx_rows=n).to_pandas()
+    out = dedup.embedding_cosine_duplicates(
+        ds, "vec_id", "embedding", threshold=0.45, num_buckets=32,
+        use_float64=True).to_pandas()
+    return out[["a", "b"]].astype(np.int64)
+
+
+def _embedding_lsh_sql(dim: int = 64, nbits: int = 5,
+                       threshold: float = 0.45) -> str:
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+    terms = []
+    for j in range(nbits):
+        vals = ", ".join(repr(float(v)) for v in planes[:, j])
+        terms.append(f"(CASE WHEN list_dot_product(v, [{vals}]::DOUBLE[])"
+                     f" > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "\n     + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+       {bucket} AS bucket
+      FROM e)
+SELECT b1.vec_id AS a, b2.vec_id AS b
+FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+WHERE list_cosine_similarity(b1.v, b2.v) >= {threshold}
+"""
+
+
+EMBEDDING_DUP_PAIRS_SQL = _embedding_lsh_sql()
 
 
 def embedding_dup_pairs_exact(sf_dir: str) -> pd.DataFrame:

@@ -116,7 +116,8 @@ def exact_duplicates(ds, id_col: str, text_col: str, num_buckets: int = 64):
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, *, k: int = 5,
                       num_perm: int = 64, bands: int = 16,
                       verify_threshold: float = 0.5,
-                      max_group_size: int = DEFAULT_MAX_GROUP_SIZE):
+                      max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+                      hash_fn=None):
     """MinHash-LSH candidate pairs with signature-similarity verify.
 
     shingle -> minhash signature -> band buckets (groupby) -> candidate
@@ -148,7 +149,7 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *, k: int = 5,
 
         pin_worker_threads()
         texts = pd.Series(batch.column(text_col).to_pylist())
-        di, sh = textfn.shingle_hashes(texts, k=k)
+        di, sh = textfn.shingle_hashes(texts, k=k, hash_fn=hash_fn)
         sig = textfn.minhash_signatures(di, sh, len(texts), num_perm=num_perm)
         keys = textfn.lsh_band_keys(sig, bands=bands)
         n, b = keys.shape
@@ -234,7 +235,8 @@ def simhash_near_duplicates(ds, id_col: str, text_col: str,
                             max_hamming: int = 3, prefix_bits: int = 16,
                             rotations: int = 1,
                             approx_rows: int | None = None,
-                            max_group_size: int = DEFAULT_MAX_GROUP_SIZE):
+                            max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+                            hash_fn=None):
     """SimHash near-dup pairs: documents whose 64-bit SimHashes are
     within ``max_hamming``. Candidate grouping by the hash's top
     ``prefix_bits``; ``rotations`` > 1 applies the standard
@@ -258,7 +260,8 @@ def simhash_near_duplicates(ds, id_col: str, text_col: str,
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
-        s = textfn.simhash(pd.Series(batch.column(text_col).to_pylist()))
+        s = textfn.simhash(pd.Series(batch.column(text_col).to_pylist()),
+                           hash_fn=hash_fn)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         n = len(s)
         outs = []
@@ -445,7 +448,8 @@ def embedding_cosine_duplicates(ds, id_col: str, emb_col: str,
                                 threshold: float = 0.95,
                                 num_buckets: int = 32, seed: int = 42,
                                 approx_rows: int | None = None,
-                                max_group_size: int = DEFAULT_MAX_GROUP_SIZE):
+                                max_group_size: int = DEFAULT_MAX_GROUP_SIZE,
+                                use_float64: bool = False):
     """Embedding near-dup pairs via random-hyperplane LSH bucketing +
     within-bucket exact cosine. Vectors are normalized once per batch;
     bucket = sign-pattern of ``log2(num_buckets)`` random projections
@@ -455,15 +459,21 @@ def embedding_cosine_duplicates(ds, id_col: str, emb_col: str,
     hyperplane-bit count so expected bucket size stays near 1024 as the
     corpus grows (bucket count no longer fixed at 32); buckets beyond
     ``max_group_size`` star-compare against the representative instead
-    of the O(n^2) ``mat @ mat.T``."""
+    of the O(n^2) ``mat @ mat.T``.
+
+    ``use_float64`` runs normalization and within-bucket cosine in
+    float64 — 2x shuffle bytes for the vector payload, but the verified
+    pair set becomes bit-comparable to a double-precision SQL oracle
+    (the gate configuration); float32 stays the scale default."""
     nbits = max(1, int(np.log2(num_buckets)),
                 scaled_bits(approx_rows, 1024, 1))
+    dt = np.float64 if use_float64 else np.float32
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.runtime import pin_worker_threads
 
         pin_worker_threads()
-        mat = np.stack(batch[emb_col].to_numpy()).astype(np.float32)
+        mat = np.stack(batch[emb_col].to_numpy()).astype(dt)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((mat.shape[1], nbits)).astype(np.float32)

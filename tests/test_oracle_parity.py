@@ -184,3 +184,242 @@ class TestEmbeddingDupPairsExactOracle:
         # (to_pandas() on zero Ray rows drops schema generally; the
         # Dataset-level schema must still carry the pair columns)
         assert out.schema().names == ["a", "b"]
+
+
+class TestFingerprintOracles:
+    """The round-3 verdict-#3 oracles: the SQL recomputes the identical
+    fingerprints (md5 shingle hashes, inlined minhash permutations,
+    bit-vote simhash), so parity must hold on adversarial text — not
+    just the well-behaved testdata."""
+
+    TEXTS = [
+        None,                      # null text -> simhash 0, no shingles
+        "",                        # empty -> simhash 0
+        "!!! ??? ...",             # tokens exist? no: punct-only
+        "one",                     # < k tokens: single joined shingle
+        "two words only here",     # 4 tokens < k=5
+        "the the the the the the"  # duplicate tokens vote per occurrence
+        " unique",
+        "don't it's can't word word word",   # apostrophe tokens
+        "Ünïcode wörds ärE LOWERED tWice ünïcode wörds",  # unicode lower
+        "a b c d e f g h i j k l m n o p",   # many shingles
+        "a b c d e f g h i j k l m n o q",   # near-dup of the previous
+        "a b c d e f g h i j k l m n o q",   # exact dup of the previous
+    ]
+
+    @pytest.fixture(scope="class")
+    def docs_path(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("fpdocs")
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(self.TEXTS)), type=pa.int64()),
+            "text": pa.array(self.TEXTS),
+        })
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    def _con(self, docs_path):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{docs_path}/documents.parquet')")
+        return con
+
+    def test_md5_hash64_matches_md5_number_lower(self):
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+
+        strs = ["", "a", "hello world", "ünïcode", "don't",
+                "x" * 1000, "line\nbreak", "tab\there", '"quoted"']
+        mine = textfn.md5_hash64(np.array(strs, dtype=object))
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"s": strs}))
+        theirs = con.execute(
+            "SELECT md5_number_lower(s)::UBIGINT FROM t").df().iloc[:, 0] \
+            .to_numpy(np.uint64)
+        assert (mine == theirs).all()
+
+    def test_simhash_oracle_parity(self, ray_session, docs_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = (q.simhash_documents(docs_path).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        oracle = (self._con(docs_path).execute(q.SIMHASH_DOCUMENTS_SQL)
+                  .df().sort_values("doc_id").reset_index(drop=True))
+        assert (mine["simhash"].to_numpy(np.uint64)
+                == oracle["simhash"].to_numpy(np.uint64)).all()
+        # null/empty/punct-only docs hash to 0 on both sides
+        assert mine["simhash"].iloc[0] == 0
+        assert mine["simhash"].iloc[1] == 0
+
+    def test_simhash_near_dups_oracle_parity(self, ray_session, docs_path):
+        """The rotations=4 x prefix=16 pigeonhole configuration must
+        reproduce the brute-force all-pairs hamming<=3 set exactly —
+        including the hamming-0 groups the null/empty docs form."""
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = (q.simhash_near_dups_documents(docs_path)
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        oracle = (self._con(docs_path)
+                  .execute(q.SIMHASH_NEAR_DUPS_DOCUMENTS_SQL).df()
+                  .sort_values(["a", "b"]).reset_index(drop=True))
+        assert len(mine) == len(oracle)
+        assert (mine[["a", "b", "hamming"]].to_numpy(np.int64)
+                == oracle[["a", "b", "hamming"]].to_numpy(np.int64)).all()
+        got = {tuple(r) for r in mine[["a", "b"]].to_numpy()}
+        assert (9, 10) in got  # the planted exact-dup pair (hamming 0)
+        # the null/empty/punct-only docs all hash to 0 -> a hamming-0
+        # triangle, found identically by both sides
+        assert {(0, 1), (0, 2), (1, 2)} <= got
+
+    def test_minhash_oracle_parity(self, ray_session, docs_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = (q.minhash_lsh_candidates(docs_path).to_pandas()
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        oracle = (self._con(docs_path)
+                  .execute(q.MINHASH_LSH_CANDIDATES_SQL).df()
+                  .sort_values(["a", "b"]).reset_index(drop=True))
+        assert len(mine) == len(oracle)
+        if len(mine):
+            assert (mine[["a", "b"]].to_numpy(np.int64)
+                    == oracle[["a", "b"]].to_numpy(np.int64)).all()
+        got = {tuple(r) for r in mine[["a", "b"]].to_numpy()}
+        assert (9, 10) in got  # exact dups always share every minhash
+
+    def test_minhash_containment_of_true_near_dups(self, ray_session):
+        """Round-3 verdict #3a containment property on the real
+        testdata: every consecutive-doc pair whose exact word-5-shingle
+        Jaccard >= 0.5 must appear in the LSH candidate set (miss
+        probability (1-j)^16 <= 1.5e-5 per pair; deterministic on the
+        fixed corpus)."""
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        cands = {tuple(r) for r in q.minhash_lsh_candidates(sf_dir)
+                 .to_pandas()[["a", "b"]].to_numpy()}
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .set_index("doc_id")["text"]
+        import re
+
+        pat = re.compile(r"[\w']+")
+
+        def shingles(t):
+            toks = pat.findall((t or "").lower())
+            if len(toks) < 5:
+                return {" ".join(toks)} if toks else set()
+            return {" ".join(toks[i:i + 5])
+                    for i in range(len(toks) - 4)}
+
+        missed = []
+        ids = sorted(docs.index)
+        for x, y in zip(ids, ids[1:]):
+            sa, sb = shingles(docs[x]), shingles(docs[y])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5 and (x, y) not in cands:
+                missed.append((x, y, j))
+        assert not missed, missed
+        assert textfn is not None
+
+    def test_embedding_lsh_oracle_and_containment(self, ray_session):
+        """embedding_dup_pairs vs its hyperplane-replicating SQL on the
+        real table, plus the containment property: every LSH pair is in
+        the exact all-pairs set at the same threshold (the within-
+        bucket verify is exact), i.e. precision 1."""
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            dedup,
+        )
+        from opengauss_tools_datachecker_performance_ray.pipelines.queries import (  # noqa: E501
+            _read,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        mine = (q.embedding_dup_pairs(sf_dir)
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/embeddings.parquet')")
+        oracle = (con.execute(q.EMBEDDING_DUP_PAIRS_SQL).df()
+                  .sort_values(["a", "b"]).reset_index(drop=True))
+        assert mine[["a", "b"]].to_numpy().tolist() \
+            == oracle[["a", "b"]].to_numpy().tolist()
+        exact = dedup.embedding_cosine_duplicates_exact(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", threshold=0.45).to_pandas()
+        exact_set = {tuple(r) for r in exact[["a", "b"]].to_numpy()}
+        lsh_set = {tuple(r) for r in mine[["a", "b"]].to_numpy()}
+        assert lsh_set <= exact_set
+
+    def test_hll_profile_property(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        out = q.hll_profile_documents("/root/testdata/sf0.001")
+        assert out["hll_ok"].all()
+        assert set(out["col"]) == {"doc_id", "text", "lang", "source",
+                                   "n_chars"}
+        assert (out["exact_distinct"] <= out["n_rows"]).all()
+
+
+class TestDriftCompositeOracle:
+    """drift_documents_by_source vs its exact-legs SQL, with nulls in
+    every participating column (the null-handling conventions are the
+    adversarial surface here)."""
+
+    def test_parity_with_nulls(self, ray_session, tmp_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 1200
+        src = rng.choice(["s1", "s2", "s3"], n).astype(object)
+        lang = rng.choice(["en", "de"], n).astype(object)
+        n_chars = rng.integers(50, 500, n).astype(float)
+        src[::101] = None
+        lang[::97] = None
+        n_chars[::89] = np.nan
+        # drifted group: shifted lengths AND skewed langs
+        shift = (src == "s3") & np.isfinite(n_chars)
+        n_chars[shift] += 400
+        lang[(src == "s3") & (lang != None)] = "de"  # noqa: E711
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(src, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "n_chars": pa.array(
+                [None if not np.isfinite(v) else int(v) for v in n_chars],
+                pa.int64()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        mine = (q.drift_documents_by_source(str(tmp_path))
+                .sort_values(["grp", "col"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = (con.execute(q.DRIFT_DOCUMENTS_BY_SOURCE_SQL).df()
+                  .sort_values(["grp", "col"]).reset_index(drop=True))
+        assert list(mine["grp"]) == list(oracle["grp"])
+        assert list(mine["result"]) == list(oracle["result"])
+        assert np.allclose(mine["value"].to_numpy(np.float64),
+                           oracle["value"].to_numpy(np.float64),
+                           atol=1e-12)
+        failed = set(mine.loc[mine["result"] == "failed", "grp"])
+        assert "s3" in failed
