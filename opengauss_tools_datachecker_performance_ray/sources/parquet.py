@@ -104,7 +104,15 @@ def hash_class(t: pa.DataType) -> str:
     if pa.types.is_floating(t):
         return "float"
     if pa.types.is_timestamp(t):
-        return f"ts:{t.unit}"  # raw epoch value depends on the unit
+        # tz-AWARE timestamps store a UTC instant; tz-NAIVE store a
+        # wall-clock reading — identical int64 epochs mean different
+        # instants across that divide, so an aware/naive pair must fail
+        # structure_check instead of comparing falsely clean (round-3
+        # verdict #9; same false-clean family as the uint64 fix). Two
+        # aware columns compare safely whatever their display zones
+        # (Arrow normalizes the stored epoch to UTC), so the class
+        # records awareness, not the zone name.
+        return f"ts:{t.unit}" + (":tz" if t.tz else "")
     if pa.types.is_date32(t):
         return "date32"  # epoch-days vs date64's epoch-ms
     if pa.types.is_date64(t):

@@ -374,6 +374,60 @@ class TestMultimodal:
             with pytest.raises(NotImplementedError):
                 dec._real_decode(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
+    def test_pil_path_via_stub(self, monkeypatch):
+        """The optional-PIL branch (round-3 verdict #5), exercised
+        EVERYWHERE via a stub PIL whose decode returns known pixels —
+        proves non-netpbm payloads route through Image.open().convert()
+        and the same resize/normalize tail as the netpbm path."""
+        w, h = 8, 4
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([x * 30, y * 60, np.full((h, w), 9)],
+                       axis=2).astype(np.uint8)
+
+        class _StubImg:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return img  # np.asarray(ndarray) is the identity
+
+        class _StubImage:
+            @staticmethod
+            def open(buf):
+                assert buf.read(4) == b"\x89PNG"
+                return _StubImg()
+
+        dec = multimodal.ImageDecodeResize(
+            multimodal.DecodeConfig(fake=False, target_width=4,
+                                    target_height=2))
+        monkeypatch.setattr(dec, "_pil", _StubImage)
+        t = dec._real_decode(b"\x89PNG fake png payload")
+        ref = multimodal.resize_nearest(img, 4, 2).astype(np.float32) / 255.0
+        assert t.shape == (2, 4, 3)
+        assert np.array_equal(t, ref)
+        # netpbm payloads still take the pure-numpy kernel (never PIL)
+        ppm = multimodal.encode_ppm(img)
+        t2 = dec._real_decode(ppm)
+        assert np.array_equal(t2, ref)
+
+    def test_pil_path_real_library(self):
+        """Green where Pillow exists, skipped where it doesn't (this
+        container has no PIL — the gate message stays)."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        w, h = 8, 4
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([x * 30, y * 60, np.full((h, w), 9)],
+                       axis=2).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL_Image.fromarray(img).save(buf, format="PNG")
+        dec = multimodal.ImageDecodeResize(
+            multimodal.DecodeConfig(fake=False, target_width=4,
+                                    target_height=2))
+        assert dec._pil is not None
+        t = dec._real_decode(buf.getvalue())
+        ref = multimodal.resize_nearest(img, 4, 2).astype(np.float32) / 255.0
+        assert np.array_equal(t, ref)
+
     def test_real_decode_pipeline_on_ppm_media(self, ray_session):
         import ray.data as rd
 
