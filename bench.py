@@ -140,6 +140,13 @@ def run_bench() -> dict:
             "top_terms_by_lang": q.top_terms_by_lang,
             "events_props_rollup": q.events_props_rollup,
             "referential_bloom_pruned": q.referential_bloom_pruned,
+            # round-3 verdict #6 A/B: 10%-dirty pair, classify from a
+            # second raw scan (streaming) vs from retained digests
+            # (materialized) — verdict equality is pinned by test
+            "compare_dirty10_streaming":
+                lambda sf: q.compare_dirty10(sf, materialize_digests=False),
+            "compare_dirty10_materialized":
+                lambda sf: q.compare_dirty10(sf, materialize_digests=True),
         })
     for name, fn in benches.items():
         t0 = time.time()

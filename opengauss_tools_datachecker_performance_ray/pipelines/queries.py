@@ -425,29 +425,22 @@ def compare_orders_pair(sf_dir: str) -> pd.DataFrame:
     return v.reset_index(drop=True)
 
 
-def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
-    """Bench-only scaled flagship: ``repeat`` key-remapped copies of
-    orders per side (simulating ``repeat`` input shards of distinct key
-    ranges). Unlike the oracle-matched ``compare_orders_pair`` (uniform
-    mutations that dirty every bucket — worst case), the injected
-    diffs here are BUCKET-TARGETED: only rows hashing to bucket 0 get
-    a mutated price, so ~1/B of buckets differ and the Merkle prune
-    actually prunes — the design point of the engine (clean partitions
-    cost one streaming digest pass and no join). Violation count still
-    scales linearly with ``repeat``.
-    """
+def _scaled_orders_side_builder(sf_dir: str, repeat: int):
+    """Bench helper: ``repeat`` key-remapped copies of orders per side
+    (simulating ``repeat`` input shards of distinct key ranges).
+    Returns a ``side(transform=None) -> Dataset`` factory.
+
+    Each task materializes ``copies`` key-remapped copies (~600k rows,
+    ~0.25 cpu-s of work): 100-TB-realistic task granularity — 150k-row
+    tasks are ~40ms and Ray's per-task overhead dominates them (the
+    multiprocessing control in BASELINE.md runs the same kernel at
+    efficiency 0.78; tiny tasks measured Ray scheduling, not the
+    engine)."""
+    import os as _os
+
     import ray.data as rd
 
     path = f"{sf_dir}/orders.parquet"
-
-    import os as _os
-
-    # Each task materializes `copies` key-remapped copies (~600k rows,
-    # ~0.25 cpu-s of work): 100-TB-realistic task granularity — 150k-row
-    # tasks are ~40ms and Ray's per-task overhead dominates them (the
-    # multiprocessing control in BASELINE.md runs the same kernel at
-    # efficiency 0.78; tiny tasks measured Ray scheduling, not the
-    # engine).
     copies = max(1, int(_os.environ.get("GRAFT_SHARD_COPIES", "4")))
     shards = max(1, -(-repeat // copies))  # ceil: total copies == repeat
 
@@ -488,6 +481,20 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
             ds = ds.map_batches(transform, batch_format="pyarrow")
         return ds
 
+    return side
+
+
+def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
+    """Bench-only scaled flagship: ``repeat`` key-remapped copies of
+    orders per side. Unlike the oracle-matched ``compare_orders_pair``
+    (uniform mutations that dirty every bucket — worst case), the
+    injected diffs here are BUCKET-TARGETED: only rows hashing to
+    bucket 0 get a mutated price, so ~1/B of buckets differ and the
+    Merkle prune actually prunes — the design point of the engine
+    (clean partitions cost one streaming digest pass and no join).
+    Violation count still scales linearly with ``repeat``.
+    """
+    side = _scaled_orders_side_builder(sf_dir, repeat)
     n = _num_rows(sf_dir, "orders") * repeat
     # partitions sized for join parallelism (>= ~2 per CPU at bench
     # scale; at 10^12 rows the 1M-row default capacity gives 10^6
@@ -524,6 +531,40 @@ def compare_orders_pair_scaled(sf_dir: str, repeat: int = 16) -> dict:
     # round-trips that contend at high core counts on one node
     res = cmp.compare_tables(side(), side(mutate_bucket0), cfg,
                              table="orders_scaled")
+    return res.summary
+
+
+def compare_dirty10(sf_dir: str, materialize_digests=False,
+                    repeat: int = 16) -> dict:
+    """Bench-only A/B pair for round-3 verdict #6: ~10% of rows mutated
+    UNIFORMLY across ``repeat`` key-remapped orders copies per side, so
+    most buckets are dirty — the opposite of the flagship's
+    prune-friendly injection. Streaming mode pays a second raw scan
+    (prefiltered, but the prefilter passes almost everything at 10%
+    dirty) for the classify; materialized mode classifies from the
+    RETAINED digest rows and never re-reads the input. Same verdicts
+    either way (pinned by
+    tests/test_compare.py::TestDigestMaterializationModes); bench.py
+    times both and records the A/B."""
+
+    def mutate_10pct(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy()
+        price = batch.column("o_totalprice").to_numpy().copy()
+        hit = (k % 10) == 3
+        price[hit] += 1.0
+        return batch.set_column(
+            batch.schema.get_field_index("o_totalprice"),
+            "o_totalprice", pa.array(price, pa.float64()))
+
+    side = _scaled_orders_side_builder(sf_dir, repeat)
+    n = _num_rows(sf_dir, "orders") * repeat
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=1024)
+    res = cmp.compare_tables(side(), side(mutate_10pct), cfg,
+                             table="orders_dirty10",
+                             materialize_digests=materialize_digests,
+                             approx_rows=n)
     return res.summary
 
 

@@ -27,6 +27,7 @@ costs one scan + one small shuffle and no join at all.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -928,9 +929,23 @@ EMPTY_VIOLATIONS = pd.DataFrame({
     "part": pd.Series(dtype=np.int32), "bucket": pd.Series(dtype=np.int32)})
 
 
+# "auto" digest-materialization budget: the digest rows of BOTH sides
+# must fit this many bytes (object-store-backed, spills to disk) for
+# the classify phase to work from retained digests instead of a second
+# raw input scan. Default 8 GiB — generous on this 37 GiB-plasma box,
+# while a 10^12-row table (~100 TB raw, ~100 TB x 0.1% keys... ~tens of
+# TB of digests) correctly routes to the streaming re-scan path.
+DIGEST_MATERIALIZE_BUDGET_BYTES = int(os.environ.get(
+    "GRAFT_DIGEST_MATERIALIZE_BUDGET", str(8 * 2**30)))
+# key (large_string, web keys are urls) + khash/vhash/part/bucket + arrow
+# offsets/validity — deliberately conservative per digest row
+DIGEST_ROW_BYTES_ESTIMATE = 96
+
+
 def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
                    batch_size: int | None = None,
-                   materialize_digests: bool = False) -> CompareResult:
+                   materialize_digests: bool | str = False,
+                   approx_rows: int | None = None) -> CompareResult:
     """Full table-pair compare: two Datasets in, verdicts + violations out.
 
     Default is fully streaming: ONE fused scan computes both sides'
@@ -942,8 +957,21 @@ def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
 
     ``materialize_digests=True`` keeps both digest Datasets pinned in
     the object store instead (a few percent of input bytes, spills to
-    disk) — worth it when the caller reuses them, e.g. the validation
-    runner's uniqueness check.
+    disk) — worth it when the caller reuses them (e.g. the validation
+    runner's uniqueness check) AND when diffs are plentiful: the
+    classify phase then filters the RETAINED digest rows instead of
+    paying a second full raw scan (round-3 verdict #6 — on the 10%-dirty
+    A/B bench the classify re-read disappears; verdicts byte-identical
+    by test).
+
+    ``materialize_digests="auto"`` picks per table size: materialized
+    while both sides' estimated digest footprint (``approx_rows`` —
+    pass the parquet footer count — × ~96 B × 2) fits
+    ``DIGEST_MATERIALIZE_BUDGET_BYTES``; streaming beyond (or when no
+    row hint is given). At 10^12 rows the digests themselves are tens
+    of TB, so the bounded-memory streaming re-scan with the key-hash
+    prefilter is the only sane route; at bench/operational scale the
+    materialized route is strictly faster once any bucket is dirty.
 
     ``batch_size=None`` (one batch per block) is deliberate: a numeric
     batch_size on the digest map PREVENTS fusion with the upstream
@@ -952,6 +980,11 @@ def compare_tables(src, snk, cfg: DigestConfig, table: str = "table",
     size — bounded by the read's target block size — is the memory
     guard, not map batch_size.
     """
+    if materialize_digests == "auto":
+        materialize_digests = (
+            approx_rows is not None
+            and 2 * approx_rows * DIGEST_ROW_BYTES_ESTIMATE
+            <= DIGEST_MATERIALIZE_BUDGET_BYTES)
     if materialize_digests:
         # ONE tagged union materialization (both sides digest
         # concurrently in a single execution), then one signature pass
