@@ -616,6 +616,102 @@ def ks_exact_counts(ds, value_col: str, flag_col: str) -> dict:
     return {"ks_num": int(best), "n_a": n_a, "n_b": n_b}
 
 
+def ks_exact_by_group(ds, group_col: str, value_col: str,
+                      max_broadcast_values: int = 50_000_000
+                      ) -> pd.DataFrame:
+    """EXACT two-sample KS of EVERY group vs the rest, in ONE
+    distributed pass — the grouped sibling of ``ks_exact_counts`` (the
+    per-partition drift leg of the north rule, made exact without G
+    scans). Returns one row per group: (group, ks_num, n_a, n_b) with
+    ``KS = ks_num / (n_a·n_b)``.
+
+    Plan — shuffle volume is distinct (group, value) pairs, never rows:
+    1. per-batch partial: groupby(group, value) -> counts (the combiner);
+    2. one distributed groupby over the distinct (group, value) pairs;
+    3. the per-VALUE total axis (distinct values x 16 B: value + count)
+       is folded once and broadcast via ``ray.put``;
+    4. a groupby(group).map_groups computes each group's ECDF extreme
+       candidates against the broadcast axis. Between two of a group's
+       values the integer difference ca·NB − cb·NA only decreases (only
+       the rest side accumulates), so per group it is extremal either
+       AT one of its own values or just BEFORE one — both evaluated
+       vectorized from the broadcast cumulative totals; 0 (the ±inf
+       boundary) is always a candidate.
+
+    The driver holds the value axis once (capped at
+    ``max_broadcast_values`` distinct values — beyond it this raises
+    rather than silently truncating; fall back to per-group
+    ``ks_exact_counts`` scans there) and one result row per group.
+    Same int64 envelope as ``ks_exact_counts``: exact while both sides
+    stay under ~3·10^9 samples.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(batch.column(group_col)))
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.is_finite(v))
+        sub = batch.select([group_col, value_col]).filter(ok)
+        gb = sub.group_by([group_col, value_col]) \
+            .aggregate([([], "count_all")])
+        return pa.table({group_col: gb.column(group_col),
+                         value_col: gb.column(value_col),
+                         "c_p": gb.column("count_all")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, value_col]) \
+        .aggregate(Sum("c_p", alias_name="c")).materialize()
+
+    # per-value total axis: fold the (group, value) rows once more —
+    # one row per distinct value — then sort on the driver (16 B each)
+    totals = partials.groupby(value_col) \
+        .aggregate(Sum("c", alias_name="tv")).to_pandas()
+    if not len(totals):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "ks_num": pd.Series(dtype=np.int64),
+                             "n_a": pd.Series(dtype=np.int64),
+                             "n_b": pd.Series(dtype=np.int64)})
+    if len(totals) > max_broadcast_values:
+        raise ValueError(
+            f"ks_exact_by_group: {len(totals)} distinct values exceed "
+            f"the {max_broadcast_values} broadcast cap — run per-group "
+            f"ks_exact_counts scans instead")
+    totals = totals.sort_values(value_col)
+    vals = totals[value_col].to_numpy()
+    tv = totals["tv"].to_numpy(np.int64)
+    ct = np.cumsum(tv)
+    n_total = int(ct[-1])
+    axis_ref = ray.put((vals, ct, tv))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals_b, ct_b, tv_b = ray.get(axis_ref)
+        g = g.sort_values(value_col)
+        c = g["c"].to_numpy(np.int64)
+        ca = np.cumsum(c)
+        n_a = int(ca[-1])
+        n_b = n_total - n_a
+        idx = np.searchsorted(vals_b, g[value_col].to_numpy())
+        ct_i = ct_b[idx]
+        cb_at = ct_i - ca
+        d_at = ca * np.int64(n_b) - cb_at * np.int64(n_a)
+        ca_prev = ca - c
+        cb_before = (ct_i - tv_b[idx]) - ca_prev
+        d_before = ca_prev * np.int64(n_b) - cb_before * np.int64(n_a)
+        best = max(int(np.abs(d_at).max()), int(np.abs(d_before).max()), 0)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "ks_num": np.array([best], np.int64),
+                             "n_a": np.array([n_a], np.int64),
+                             "n_b": np.array([n_b], np.int64)})
+
+    out = partials.groupby(group_col).map_groups(
+        per_group, batch_format="pandas").to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
     """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics:
     the element at 1-indexed rank ``ceil(q·n)``), distributed — the

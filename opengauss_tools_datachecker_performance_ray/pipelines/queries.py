@@ -1674,10 +1674,13 @@ def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
     (round-3 verdict #3e):
 
     - numeric ``n_chars``: exact two-sample KS of each source vs the
-      rest through the distributed integer kernel
-      ``checks.ks_exact_counts`` — value = ks_num/(n_a·n_b) (identical
-      float division of identical integers on both sides), verdict by
-      the PURE-INTEGER rule 10·ks_num > n_a·n_b (KS > 0.1);
+      rest through the ONE-PASS grouped integer kernel
+      ``checks.ks_exact_by_group`` (shuffle volume = distinct
+      (source, value) pairs; equality with the per-group
+      ``ks_exact_counts`` loop pinned by test) — value =
+      ks_num/(n_a·n_b) (identical float division of identical integers
+      on both sides), verdict by the PURE-INTEGER rule
+      10·ks_num > n_a·n_b (KS > 0.1);
     - categorical ``lang``: exact PSI of each source vs the global
       distribution through ``checks.psi`` (same add-half smoothing as
       the oracled ``psi_lang_by_source``; float sum-order noise ~1e-16
@@ -1685,14 +1688,11 @@ def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
       margin is ≥ 7e-3 across the testdata — audited).
 
     The sketch-based ``drift_by_group`` + ``drift_exact_recheck``
-    two-phase pipeline remains the scale path (t-digest/HLL partials,
-    no per-group pass) and is pinned by pytest; this gate entry runs
-    the exact siblings end-to-end. The per-source KS loop is capped
-    (no-silent-caps rule) — at the gate's tens of sources it is a few
-    cheap column-pruned passes."""
+    two-phase pipeline remains the cheap first-pass (t-digest/HLL
+    partials) and is pinned by pytest; this gate entry runs the exact
+    siblings end-to-end."""
     from ray.data.aggregate import Count
 
-    max_groups = 64
     cat = _read(sf_dir, "documents", ["source", "lang"]) \
         .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
     cnt = cat.groupby(["source", "lang"]) \
@@ -1704,32 +1704,13 @@ def drift_documents_by_source(sf_dir: str) -> pd.DataFrame:
         rows.append({"grp": str(src), "col": "lang", "stat": "psi",
                      "value": float(p),
                      "result": "failed" if p > 0.25 else "success"})
-    sources = sorted(cnt["source"].astype(str).unique())
-    if len(sources) > max_groups:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "drift_documents_by_source: %d sources exceed the exact-KS "
-            "cap %d — first %d re-checked exactly, use drift_by_group "
-            "(sketch) for the rest", len(sources), max_groups, max_groups)
-        sources = sources[:max_groups]
-    base = _read(sf_dir, "documents", ["source", "n_chars"])
-    for src in sources:
-        def flag(batch: pa.Table, _s=src) -> pa.Table:
-            ok = pc.and_(pc.is_valid(batch.column("source")),
-                         pc.is_valid(batch.column("n_chars")))
-            sub = batch.filter(ok)
-            a = pc.cast(pc.equal(pc.cast(sub.column("source"),
-                                         pa.large_string()),
-                                 pa.scalar(_s, pa.large_string())),
-                        pa.int64())
-            return pa.table({"value": sub.column("n_chars"), "a": a})
-
-        res = checks.ks_exact_counts(
-            base.map_batches(flag, batch_format="pyarrow"), "value", "a")
-        num, n_a, n_b = res["ks_num"], res["n_a"], res["n_b"]
+    ks = checks.ks_exact_by_group(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        "source", "n_chars")
+    for r in ks.itertuples(index=False):
+        num, n_a, n_b = int(r.ks_num), int(r.n_a), int(r.n_b)
         rows.append({
-            "grp": src, "col": "n_chars", "stat": "ks_exact",
+            "grp": str(r.source), "col": "n_chars", "stat": "ks_exact",
             "value": num / (n_a * n_b) if n_a and n_b else 0.0,
             "result": "failed" if 10 * num > n_a * n_b else "success"})
     return pd.DataFrame(rows, columns=["grp", "col", "stat", "value",

@@ -758,3 +758,69 @@ class TestDigestMaterializationModes:
         v1, p1, s1 = self._canon(r1)
         v2, p2, s2 = self._canon(r2)
         assert v1.equals(v2) and p1 == p2 and s1 == s2
+
+
+class TestGroupedExactKS:
+    """checks.ks_exact_by_group: one-pass grouped exact KS must equal
+    the per-group ks_exact_counts loop bit-for-bit."""
+
+    def test_matches_per_group_loop(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        n = 20_000
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", "d"], n).astype(object),
+            "v": np.round(rng.normal(0, 1, n), 2)})
+        df.loc[df["g"] == "c", "v"] += 0.5
+        df.loc[rng.random(n) < 0.01, "v"] = np.nan   # dropped both routes
+        df.loc[rng.random(n) < 0.01, "g"] = None
+        ds = rd.from_pandas(df).repartition(8).materialize()
+        grouped = checks.ks_exact_by_group(ds, "g", "v")
+        assert list(grouped["g"]) == ["a", "b", "c", "d"]
+        for _, row in grouped.iterrows():
+            def flag(batch, _g=row["g"]):
+                import pyarrow.compute as pc
+
+                m = pc.and_(pc.is_valid(batch.column("g")),
+                            pc.is_valid(batch.column("v")))
+                sub = batch.filter(m)
+                a = pc.cast(pc.equal(sub.column("g"), _g), pa.int64())
+                return pa.table({"value": sub.column("v"), "a": a})
+            ref = checks.ks_exact_counts(
+                ds.map_batches(flag, batch_format="pyarrow"), "value", "a")
+            assert (int(row["ks_num"]), int(row["n_a"]), int(row["n_b"])) \
+                == (ref["ks_num"], ref["n_a"], ref["n_b"]), row["g"]
+
+    def test_disjoint_and_single_value_groups(self, ray_session):
+        """Extremes at rest-only values (just-before candidates) and a
+        one-value group — the shapes the candidate math must cover."""
+        import ray.data as rd
+
+        df = pd.DataFrame({
+            "g": ["a"] * 4 + ["b"] * 4 + ["c"] * 1,
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, 11.0, 12.0, 13.0, 7.0]})
+        ds = rd.from_pandas(df).repartition(3).materialize()
+        grouped = checks.ks_exact_by_group(ds, "g", "v") \
+            .set_index("g")
+        # group a fully below the rest: KS = 1 -> ks_num = n_a*n_b
+        assert grouped.loc["a", "ks_num"] == 4 * 5
+        # c's single value sits mid-axis; vs rest (8 values, 4 below):
+        # ECDF gap max = |1 - 4/8| = 1/2 -> num = 4 (n_a*n_b = 8)
+        assert grouped.loc["c", "ks_num"] == 4
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"g": pd.Series(dtype=object),
+                           "v": pd.Series(dtype=np.float64)})
+        out = checks.ks_exact_by_group(rd.from_pandas(df), "g", "v")
+        assert len(out) == 0
+
+    def test_broadcast_cap_raises(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"g": ["a", "b"] * 50, "v": np.arange(100.0)})
+        with pytest.raises(ValueError, match="broadcast cap"):
+            checks.ks_exact_by_group(rd.from_pandas(df), "g", "v",
+                                     max_broadcast_values=10)
