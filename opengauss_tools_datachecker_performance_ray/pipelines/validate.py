@@ -423,8 +423,12 @@ def validate_csv_pair(src_dir: str, snk_dir: str,
                                  compare_columns=cfg.compare_columns,
                                  partition_capacity=cfg.partition_capacity,
                                  bucket_capacity=cfg.bucket_capacity)
+    # "auto": classify from retained digests while the footprint fits
+    # the budget; streaming re-scan beyond (round-3 verdict #6)
     result.compare = cmp.compare_tables(src, snk, dcfg, table=table,
-                                        batch_size=cfg.batch_size)
+                                        batch_size=cfg.batch_size,
+                                        materialize_digests="auto",
+                                        approx_rows=approx)
     result.summary = {**result.compare.summary,
                       "cost": round(time.time() - t0, 3)}
     v = result.compare.violations
