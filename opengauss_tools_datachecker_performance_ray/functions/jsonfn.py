@@ -82,8 +82,9 @@ def extract_int(arr, key: str) -> pa.Array:
         # integer, diverging from json.loads last-wins (advice finding).
         # Counting the quoted key is conservative (a key echoed inside a
         # string value also routes slow) — correctness over speed there.
-        ndup = s.str.count(re.escape(f'"{key}"')).fillna(0).to_numpy()
-        flat &= ndup <= 1
+        # Scanned over the flat subset only, not the whole series.
+        ndup = s[flat].str.count(re.escape(f'"{key}"')).to_numpy()
+        flat[np.flatnonzero(flat)[ndup > 1]] = False
     if flat.any():
         got = s[flat].str.extract(_key_re(key), expand=False)
         sa = pa.array(got.where(got.notna(), None), type=pa.string())

@@ -91,6 +91,52 @@ def uniqueness_violations(ds, key_columns: list[str],
         reduce, batch_format="pandas").select_columns(cols + ["n"])
 
 
+def exact_distinct_counts(ds, cols: list[str], num_buckets: int = 64,
+                          batch_size: int | None = None) -> dict[str, int]:
+    """EXACT count-distinct for SEVERAL columns in ONE pass: per batch,
+    each column's block-distinct values are tagged with the column name
+    and a hash bucket; one groupby over (col, bucket) counts uniques;
+    the driver sums ``num_buckets`` tiny rows per column. Reads the
+    table once instead of once per column (review finding, round 4)."""
+    from ..functions import hashing
+
+    def part(batch: pa.Table) -> pa.Table:
+        outs = []
+        for col in cols:
+            u = batch.column(col)
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            u = pc.unique(u.drop_null())
+            s = u if pa.types.is_large_string(u.type) else \
+                u.cast(pa.string()).cast(pa.large_string())
+            kh = hashing.hash64(s)
+            outs.append(pa.table({
+                "col": pa.array([col] * len(s), pa.large_string()),
+                "v": s,
+                "bucket": pa.array(
+                    (kh % np.uint64(num_buckets)).astype(np.int32)),
+            }))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"col": pa.array([], pa.large_string()),
+             "v": pa.array([], pa.large_string()),
+             "bucket": pa.array([], pa.int32())})
+
+    partials = ds.map_batches(part, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"col": [g["col"].iloc[0]],
+                             "n": [int(g["v"].nunique())]})
+
+    out = partials.groupby(["col", "bucket"]).map_groups(
+        reduce, batch_format="pandas").to_pandas()
+    counts = {c: 0 for c in cols}
+    if len(out):
+        for c, n in out.groupby("col")["n"].sum().items():
+            counts[str(c)] = int(n)
+    return counts
+
+
 def exact_distinct_count(ds, col: str, num_buckets: int = 64,
                          batch_size: int | None = None) -> int:
     """EXACT count-distinct, distributed: per-batch ``pc.unique``

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 from ..functions import textfn
 from ..stages import compare as cmp
 from ..stages.digest import DigestConfig
-from ..stages.profile import profile_dataset, profile_frame
+from ..stages.profile import profile_dataset
 from . import checks
 
 TOKEN_RE = r"[A-Za-z0-9_']+"  # same regex on Ray (python re) and DuckDB (RE2)
@@ -156,28 +156,34 @@ def hll_profile_documents(sf_dir: str) -> pd.DataFrame:
     """HLL distinct estimates VALIDATED against the exact distributed
     distinct count (round-3 verdict #3d): per column of ``documents``
     emits (col, n_rows, n_nulls, exact_distinct, hll_ok) where
-    ``exact_distinct`` comes from ``checks.exact_distinct_count`` (the
-    scale-safe exact sibling) and ``hll_ok`` asserts the seeded HLL
-    estimate inside its ±2σ band (σ = 1.04/√m, the published HLL
-    standard error; m = 2^14 registers). Every column is integer/bool,
-    so the row value-hashes against the SQL oracle — the sketch's
-    accuracy contract is now part of the correctness gate instead of a
+    ``exact_distinct`` comes from ``checks.exact_distinct_counts`` (all
+    five columns in ONE tagged pass — two table scans total, not six;
+    review finding) and ``hll_ok`` asserts the seeded HLL estimate
+    inside max(±2σ, ±3) of exact: σ = 1.04/√m is the published HLL
+    standard error (m = 2^14 registers), and the absolute ±3 floor
+    covers the linear-counting regime at tiny cardinalities, where one
+    discrete register collision costs ~1 and would otherwise dwarf the
+    asymptotic band (review finding). Every column is integer/bool, so
+    the row value-hashes against the SQL oracle — the sketch's
+    accuracy contract is part of the correctness gate instead of a
     rows-only entry."""
     ds = _read(sf_dir, "documents")
     profs = profile_dataset(ds)
+    exact_all = checks.exact_distinct_counts(
+        _read(sf_dir, "documents", sorted(profs)), sorted(profs))
     rows = []
     for name in sorted(profs):
         p = profs[name]
-        exact = checks.exact_distinct_count(
-            _read(sf_dir, "documents", [name]), name)
+        exact = exact_all[name]
         est = p.hll.estimate()
         sigma = 1.04 / np.sqrt(p.hll.m)
+        band = max(2.0 * sigma * max(exact, 1), 3.0)
         rows.append({
             "col": name,
             "n_rows": np.int64(p.count),
             "n_nulls": np.int64(p.nulls),
             "exact_distinct": np.int64(exact),
-            "hll_ok": bool(abs(est - exact) <= 2.0 * sigma * max(exact, 1)),
+            "hll_ok": bool(abs(est - exact) <= band),
         })
     return pd.DataFrame(rows)
 
@@ -855,8 +861,19 @@ def minhash_lsh_candidates(sf_dir: str):
         ds.map_batches(has_token, batch_format="pyarrow"),
         "doc_id", "text", k=5, num_perm=GATE_MINHASH_PERMS,
         bands=GATE_MINHASH_PERMS, verify_threshold=0.0,
-        hash_fn=textfn.md5_hash64)
+        hash_fn=textfn.md5_hash64,
+        # the SQL emits the full clique of a bucket; the star-compare
+        # group cap (the scale path) would silently drop pairs a capped
+        # group's SQL still produces — pin the uncapped regime for the
+        # oracle-matched configuration (review finding, round 4)
+        max_group_size=GATE_UNCAPPED_GROUP)
     return pairs.select_columns(["a", "b"])
+
+
+# gate queries run on bounded testdata; the O(n^2)-guard star-compare
+# stays the production default but must not engage under an
+# all-pairs-clique SQL oracle
+GATE_UNCAPPED_GROUP = 1_000_000_000
 
 
 GATE_MINHASH_PERMS = 16
@@ -1761,7 +1778,8 @@ SELECT grp, 'lang' AS col, 'psi' AS stat, psi AS value,
 FROM psi
 UNION ALL
 SELECT grp, 'n_chars' AS col, 'ks_exact' AS stat,
-       ks_num / (n_a::DOUBLE * n_b) AS value,
+       CASE WHEN n_a * n_b = 0 THEN 0.0
+            ELSE ks_num / (n_a::DOUBLE * n_b) END AS value,
        CASE WHEN 10 * ks_num > n_a * n_b THEN 'failed'
             ELSE 'success' END AS result
 FROM ks
@@ -2000,7 +2018,8 @@ def simhash_near_dups_documents(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash_near_duplicates(
         ds, "doc_id", "text", max_hamming=3, prefix_bits=16,
-        rotations=4, hash_fn=textfn.md5_hash64).to_pandas()
+        rotations=4, hash_fn=textfn.md5_hash64,
+        max_group_size=GATE_UNCAPPED_GROUP).to_pandas()
 
 
 SIMHASH_NEAR_DUPS_DOCUMENTS_SQL = f"""
@@ -2035,7 +2054,7 @@ def embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = dedup.embedding_cosine_duplicates(
         ds, "vec_id", "embedding", threshold=0.45, num_buckets=32,
-        use_float64=True).to_pandas()
+        use_float64=True, max_group_size=GATE_UNCAPPED_GROUP).to_pandas()
     return out[["a", "b"]].astype(np.int64)
 
 

@@ -66,7 +66,9 @@ def main() -> int:
             continue
         out = json.loads(p.stdout.strip().splitlines()[-1])
         cals = out.get("host_calibration_sec", [])
-        quiet = all(x["t16"] <= args.threshold for x in cals)
+        # bool(cals): an unprobed run must never be accepted as quiet
+        quiet = bool(cals) and all(x["t16"] <= args.threshold
+                                   for x in cals)
         log(f"bench done total={out.get('total_sec')} probes={cals} "
             f"quiet={quiet}")
         if quiet:
