@@ -824,3 +824,35 @@ class TestGroupedExactKS:
         with pytest.raises(ValueError, match="broadcast cap"):
             checks.ks_exact_by_group(rd.from_pandas(df), "g", "v",
                                      max_broadcast_values=10)
+
+
+class TestExactDistinctCounts:
+    """checks.exact_distinct_counts: one tagged pass over N columns
+    must equal the per-column kernel and SQL COUNT(DISTINCT)."""
+
+    def test_matches_per_column_and_sql(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        n = 8000
+        df = pd.DataFrame({
+            "i": rng.integers(0, 500, n),
+            "s": rng.choice([f"v{j}" for j in range(37)], n).astype(object),
+            "f": np.round(rng.normal(0, 1, n), 1),
+        })
+        df.loc[rng.random(n) < 0.05, "s"] = None
+        ds = rd.from_pandas(df).repartition(6).materialize()
+        got = checks.exact_distinct_counts(ds, ["i", "s", "f"])
+        for c in ("i", "s", "f"):
+            assert got[c] == checks.exact_distinct_count(ds, c), c
+        con = duckdb.connect()
+        con.register("t", df)
+        for c in ("i", "s", "f"):
+            # float distinct compares via the same string canonical form
+            # the engine hashes; integers/strings match SQL directly
+            if c != "f":
+                ref = con.execute(
+                    f"SELECT count(DISTINCT {c}) FROM t").fetchone()[0]
+                assert got[c] == ref, c
+        assert got["s"] == df["s"].dropna().nunique()
