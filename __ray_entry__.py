@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_exact_documents": q.dedup_exact_documents,
         "line_dedup_documents": q.line_dedup_documents,
+        "dup_spans_documents": q.dup_spans_documents,
+        "pattern_scan_documents": q.pattern_scan_documents,
         "corpus_curation_v2": q.corpus_curation_v2,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "simhash_documents": q.simhash_documents,
@@ -108,6 +110,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": q.NGRAM_JACCARD_PAIRS_SQL,
         "dedup_exact_documents": q.DEDUP_EXACT_DOCUMENTS_SQL,
         "line_dedup_documents": q.LINE_DEDUP_DOCUMENTS_SQL,
+        # substring-level dedup diagnostic: SQL regroups the same word
+        # 5-shingles by STRING; Ray groups by the 64-bit shingle hash
+        "dup_spans_documents": q.DUP_SPANS_DOCUMENTS_SQL,
+        # PII presets + corpus-hitting patterns + redact kernel, all
+        # through the same RE2-portable literals on both engines
+        "pattern_scan_documents": q.PATTERN_SCAN_DOCUMENTS_SQL,
         # composed pipeline: sample -> repetition filter -> line dedup
         # -> per-lang rollup, one end-to-end oracle
         "corpus_curation_v2": q.CORPUS_CURATION_V2_SQL,

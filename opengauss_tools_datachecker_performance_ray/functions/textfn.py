@@ -260,3 +260,45 @@ def extract_domain(urls) -> "pa.Array":
     host = pc.utf8_lower(pc.struct_field(m, "host"))
     # extract_regex nulls whole non-matching rows; keep that null
     return host
+
+
+# --- pattern scan / redaction (PII presets) ---------------------------
+# ASCII-only patterns written to the COMMON subset of python re and
+# RE2 (no lookaround, no backrefs, \b and \d only over ASCII input):
+# the same literal string drives the Ray kernel and a DuckDB
+# regexp_extract_all / regexp_replace oracle. On non-ASCII corpora
+# python's unicode \d is wider than RE2's — keep inputs ASCII or swap
+# in explicit [0-9] classes when oracle parity matters.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+}
+
+
+def pattern_counts(texts: pd.Series,
+                   patterns: dict[str, str]) -> pd.DataFrame:
+    """Non-overlapping match counts per row for each named pattern
+    (one int64 column per pattern name). ``str.count`` scans
+    left-to-right non-overlapping, the same contract as DuckDB's
+    ``len(regexp_extract_all(text, pat))``. Nulls count as ""."""
+    t = texts.fillna("")
+    return pd.DataFrame(
+        {name: t.str.count(pat).to_numpy(dtype=np.int64)
+         for name, pat in patterns.items()},
+        index=t.index)
+
+
+def redact(texts: pd.Series, patterns: dict[str, str] | list[str],
+           token: str = "[X]") -> pd.Series:
+    """Replace every match of every pattern with ``token``. Patterns
+    apply in iteration order over the previous pass's OUTPUT — the SQL
+    analog is nested ``regexp_replace(..., 'g')`` in the same order,
+    so a later pattern can in principle match across an earlier
+    replacement; keep ``token`` free of pattern alphabet characters
+    (the bracketed default is) when composing passes."""
+    t = texts.fillna("")
+    pats = patterns.values() if isinstance(patterns, dict) else patterns
+    for pat in pats:
+        t = t.str.replace(pat, token, regex=True)
+    return t

@@ -2365,3 +2365,106 @@ SELECT l_returnflag, l_linestatus,
            AS sum_disc_bp
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+# --- round-4 additions: substring-level dedup analytics + PII scan ----
+
+
+def dup_spans_documents(sf_dir: str):
+    """Cross-document duplicated k-gram span histogram (Lee-et-al-style
+    substring dedup diagnostic, ``stages/dedup.dup_span_histogram``).
+    VALUE-MATCHED: the SQL recomputes the same word 5-shingles (same
+    tokenization as the minhash oracle) and groups by the shingle
+    STRING, while the Ray side groups by the production 64-bit shingle
+    hash — equality classes agree up to a 64-bit collision among the
+    corpus's distinct shingles (~1e-8 at sf0.1; same accepted risk as
+    every hash-bucketed stage here)."""
+    from ..stages.dedup import dup_span_histogram
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_histogram(ds, "doc_id", "text", k=5)
+
+
+DUP_SPANS_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
+  FROM documents
+), shl AS (
+  SELECT doc_id, CASE
+    WHEN len(ws) >= 5
+      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh
+  FROM toks
+), ex AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+), per AS (
+  SELECT s, count(*) AS docs_sharing FROM ex GROUP BY s
+)
+SELECT docs_sharing, count(*) AS n_shingles FROM per GROUP BY docs_sharing
+"""
+
+
+# corpus-hitting extra patterns for the gate query: the synthetic
+# documents table is lowercase ASCII word soup, so the PII presets
+# legitimately count zero there (the oracle proves it); these two make
+# the counts non-trivial on the same corpus.
+_SCAN_TERM = r"\bspark\b"
+_SCAN_BIGRAM = r"\btable table\b"
+
+
+def pattern_scan_documents(sf_dir: str):
+    """PII/pattern scan + redaction accounting per lang
+    (``functions/textfn.pattern_counts`` / ``redact``). The PII presets
+    (email/ipv4/phone) run for real over every document; the
+    corpus-hitting term/bigram patterns exercise non-zero counts; and
+    ``redacted_chars`` (total text length after redacting the term)
+    drives the redact kernel end-to-end against DuckDB's
+    ``regexp_replace(..., 'g')``. Counts pre-aggregate per batch by
+    lang, so the shuffle carries one tiny partial row per (batch,
+    lang), never text."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        t = batch.column("text").to_pandas().fillna("")
+        df = textfn.pattern_counts(t, textfn.PII_PATTERNS)
+        df.columns = ["n_email", "n_ipv4", "n_phone"]
+        df["n_term"] = t.str.count(_SCAN_TERM).to_numpy(dtype=np.int64)
+        df["n_bigram"] = t.str.count(_SCAN_BIGRAM).to_numpy(dtype=np.int64)
+        df["redacted_chars"] = textfn.redact(t, [_SCAN_TERM]) \
+            .str.len().to_numpy(dtype=np.int64)
+        df["docs"] = np.int64(1)
+        df["lang"] = batch.column("lang").to_pandas().fillna("").to_numpy(
+            dtype=object)
+        return df.groupby("lang", as_index=False).sum()
+
+    cols = ["docs", "n_email", "n_ipv4", "n_phone", "n_term", "n_bigram",
+            "redacted_chars"]
+    return ds.map_batches(scan, batch_format="pyarrow") \
+        .groupby("lang").aggregate(*[Sum(c, alias_name=c) for c in cols])
+
+
+def _pattern_scan_sql() -> str:
+    def cnt(pat: str, name: str) -> str:
+        return ("CAST(sum(len(regexp_extract_all(coalesce(text,''), "
+                f"'{pat}'))) AS BIGINT) AS {name}")
+
+    from ..functions.textfn import PII_PATTERNS as P
+
+    return f"""
+SELECT coalesce(lang,'') AS lang, count(*) AS docs,
+  {cnt(P["email"], "n_email")},
+  {cnt(P["ipv4"], "n_ipv4")},
+  {cnt(P["phone"], "n_phone")},
+  {cnt(_SCAN_TERM, "n_term")},
+  {cnt(_SCAN_BIGRAM, "n_bigram")},
+  CAST(sum(length(regexp_replace(coalesce(text,''), '{_SCAN_TERM}',
+      '[X]', 'g'))) AS BIGINT) AS redacted_chars
+FROM documents GROUP BY coalesce(lang,'')
+"""
+
+
+PATTERN_SCAN_DOCUMENTS_SQL = _pattern_scan_sql()

@@ -834,3 +834,59 @@ def line_dedup(ds, id_col: str, text_col: str, *, delimiter: str = "\n",
 
     return lines_ds.union(tagged).groupby("dbucket").map_groups(
         rebuild_group, batch_format="pandas")
+
+
+def dup_span_histogram(ds, id_col: str, text_col: str, *, k: int = 5,
+                       hash_fn=None):
+    """Cross-document duplicated-span histogram — substring-level
+    dedup analytics (after Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": the diagnostic that sizes how
+    much exact k-gram overlap a corpus carries before committing to
+    span removal, the substring counterpart of whole-doc
+    ``exact_duplicates`` and line-level ``line_dedup``).
+
+    For every distinct k-token shingle, counts how many DISTINCT
+    documents contain it, then histograms those counts. Output rows
+    ``(docs_sharing, n_shingles)``: the row (3, 17) means 17 distinct
+    spans each appear in exactly 3 documents.
+
+    Scale shape: the explode task emits 16-byte (shingle_hash,
+    partial_count) rows — document text never leaves the scan task.
+    A document lives wholly inside one batch row, so the within-batch
+    per-document distinct is globally exact and the partial counts sum
+    correctly across batches; ONE groupby(shingle).sum carries the
+    pre-reduced partials, and the second groupby runs over the tiny
+    docs_sharing domain. Nothing materializes on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column(text_col).to_pandas()
+        di, sh = textfn.shingle_hashes(texts, k=k, hash_fn=hash_fn)
+        if len(sh) == 0:
+            return pd.DataFrame({"sh": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64)})
+        order = np.lexsort((sh, di))
+        di_s, sh_s = di[order], sh[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        first[1:] = (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        u, c = np.unique(sh_s[first], return_counts=True)
+        # int64 bit-view of the uint64 hash: equality classes are
+        # unchanged and every block carries one stable dtype (mixed
+        # uint64/int64 blocks trip Ray's schema-consistency warning)
+        return pd.DataFrame({"sh": u.view(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    per_shingle = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("sh").aggregate(Sum("cnt", alias_name="docs_sharing"))
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        v = batch.column("docs_sharing").to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pd.DataFrame({"docs_sharing": u.astype(np.int64),
+                             "n_shingles": c.astype(np.int64)})
+
+    return per_shingle.map_batches(hist, batch_format="pyarrow") \
+        .groupby("docs_sharing").aggregate(Sum("n_shingles",
+                                               alias_name="n_shingles"))

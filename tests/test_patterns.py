@@ -1,0 +1,142 @@
+"""Pattern scan / redaction (PII presets) + duplicated-span histogram.
+
+The synthetic documents corpus contains no PII, so the presets' REAL
+behavior (emails, IPs, phones found and redacted) is pinned here on
+strings that do contain them, with DuckDB's RE2 engine as the parity
+oracle — the same literal patterns must count and replace identically
+on both engines (the contract ``pattern_scan_documents`` relies on).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from opengauss_tools_datachecker_performance_ray.functions import textfn
+
+SAMPLES = [
+    "contact alice@example.com or bob.smith+tag@mail.example.co today",
+    "servers 10.0.0.1 and 192.168.1.255; call 555-123-4567 or 555 987 6543",
+    "no pii here, just table scan spark spark",
+    "edge@case.io.",  # trailing dot stays outside the match
+    "",
+    None,
+]
+
+
+def test_pii_counts_expected():
+    df = textfn.pattern_counts(pd.Series(SAMPLES), textfn.PII_PATTERNS)
+    assert df["email"].tolist() == [2, 0, 0, 1, 0, 0]
+    assert df["ipv4"].tolist() == [0, 2, 0, 0, 0, 0]
+    # "555 987 6543" matches the [- .] separator class too
+    assert df["phone"].tolist() == [0, 2, 0, 0, 0, 0]
+
+
+def test_pii_counts_match_duckdb():
+    con = duckdb.connect()
+    df = textfn.pattern_counts(pd.Series(SAMPLES), textfn.PII_PATTERNS)
+    for name, pat in textfn.PII_PATTERNS.items():
+        oracle = [con.execute(
+            "SELECT len(regexp_extract_all(coalesce(?, ''), ?))",
+            [t, pat]).fetchone()[0] for t in SAMPLES]
+        assert df[name].tolist() == oracle, name
+
+
+def test_redact_matches_duckdb():
+    con = duckdb.connect()
+    got = textfn.redact(pd.Series(SAMPLES), textfn.PII_PATTERNS,
+                        token="[X]").tolist()
+    for t, g in zip(SAMPLES, got):
+        expr, params = "coalesce(?, '')", [t]
+        for pat in textfn.PII_PATTERNS.values():
+            expr = f"regexp_replace({expr}, ?, '[X]', 'g')"
+            params.append(pat)
+        assert g == con.execute(f"SELECT {expr}", params).fetchone()[0]
+
+
+def test_redact_removes_all_matches():
+    red = textfn.redact(pd.Series(SAMPLES), textfn.PII_PATTERNS)
+    counts = textfn.pattern_counts(red, textfn.PII_PATTERNS)
+    assert not counts.to_numpy().any()
+
+
+def _brute_histogram(texts: list[str], k: int = 5) -> dict[int, int]:
+    per_doc = []
+    for t in texts:
+        toks = textfn._WORD_RE.findall((t or "").lower())
+        if len(toks) >= k:
+            per_doc.append({" ".join(toks[j:j + k])
+                            for j in range(len(toks) - k + 1)})
+        elif toks:
+            per_doc.append({" ".join(toks)})
+        else:
+            per_doc.append(set())
+    sharing: dict[str, int] = {}
+    for sh_set in per_doc:
+        for s in sh_set:
+            sharing[s] = sharing.get(s, 0) + 1
+    hist: dict[int, int] = {}
+    for c in sharing.values():
+        hist[c] = hist.get(c, 0) + 1
+    return hist
+
+
+def test_dup_span_histogram_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.stages.dedup import (
+        dup_span_histogram,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # shares 5-gram
+        "a quick brown fox jumps over a fence today",     # with doc 0
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "completely different words in this document here now",
+        "tiny doc",                                       # < k tokens
+        "",                                                # no shingles
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = dup_span_histogram(rd.from_pandas(df).repartition(3),
+                             "doc_id", "text", k=5).to_pandas()
+    got = dict(zip(got["docs_sharing"], got["n_shingles"]))
+    assert got == _brute_histogram(texts)
+
+
+def test_dup_span_histogram_repeated_span_within_doc(ray_session):
+    """A span repeated INSIDE one doc counts that doc once."""
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.stages.dedup import (
+        dup_span_histogram,
+    )
+
+    span = "one two three four five"
+    texts = [f"{span} filler {span}", span]
+    df = pd.DataFrame({"doc_id": [1, 2], "text": texts})
+    got = dup_span_histogram(rd.from_pandas(df), "doc_id", "text",
+                             k=5).to_pandas()
+    got = dict(zip(got["docs_sharing"], got["n_shingles"]))
+    assert got == _brute_histogram(texts)
+    assert got[2] == 1  # exactly the shared 5-gram
+
+
+@pytest.mark.parametrize("name", ["dup_spans_documents",
+                                  "pattern_scan_documents"])
+def test_gate_parity_sf0001(ray_session, sf_dir, name):
+    """Driver-gate simulation for the two new entries at sf0.001."""
+    import __ray_entry__ as e
+
+    res = e.queries()[name](sf_dir)
+    got = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(e.oracle_sql()[name]).df()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
