@@ -140,3 +140,36 @@ def test_gate_parity_sf0001(ray_session, sf_dir, name):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     want = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --- adversarial parity: random strings over the PII alphabet --------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PII_ALPHABET = st.sampled_from(list(
+    "ab9@.-+ _%" "05: ()"))
+_pii_text = st.text(alphabet=_PII_ALPHABET, max_size=60)
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.one_of(st.none(), _pii_text), min_size=1, max_size=8))
+def test_pattern_parity_fuzz(texts):
+    """The same literal pattern must count AND redact identically on
+    python re (Ray kernel) and RE2 (DuckDB oracle) for arbitrary
+    strings over the PII pattern alphabet — the portability contract
+    ``pattern_scan_documents`` depends on."""
+    con = duckdb.connect()
+    s = pd.Series(texts, dtype=object)
+    counts = textfn.pattern_counts(s, textfn.PII_PATTERNS)
+    red = textfn.redact(s, textfn.PII_PATTERNS, token="[X]").tolist()
+    for i, t in enumerate(texts):
+        expr, params = "coalesce(?, '')", [t]
+        for name, pat in textfn.PII_PATTERNS.items():
+            n = con.execute(
+                "SELECT len(regexp_extract_all(coalesce(?, ''), ?))",
+                [t, pat]).fetchone()[0]
+            assert counts[name].iloc[i] == n, (name, t)
+            expr = f"regexp_replace({expr}, ?, '[X]', 'g')"
+            params.append(pat)
+        assert red[i] == con.execute(
+            f"SELECT {expr}", params).fetchone()[0], t
