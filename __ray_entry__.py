@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q.dedup_exact_documents,
         "line_dedup_documents": q.line_dedup_documents,
         "dup_spans_documents": q.dup_spans_documents,
+        "span_dup_scores_documents": q.span_dup_scores_documents,
         "pattern_scan_documents": q.pattern_scan_documents,
         "corpus_curation_v2": q.corpus_curation_v2,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         # substring-level dedup diagnostic: SQL regroups the same word
         # 5-shingles by STRING; Ray groups by the 64-bit shingle hash
         "dup_spans_documents": q.DUP_SPANS_DOCUMENTS_SQL,
+        "span_dup_scores_documents": q.SPAN_DUP_SCORES_DOCUMENTS_SQL,
         # PII presets + corpus-hitting patterns + redact kernel, all
         # through the same RE2-portable literals on both engines
         "pattern_scan_documents": q.PATTERN_SCAN_DOCUMENTS_SQL,

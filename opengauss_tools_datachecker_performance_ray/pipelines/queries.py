@@ -2468,3 +2468,42 @@ FROM documents GROUP BY coalesce(lang,'')
 
 
 PATTERN_SCAN_DOCUMENTS_SQL = _pattern_scan_sql()
+
+
+def span_dup_scores_documents(sf_dir: str):
+    """Per-document duplicated-span scores (the filter-side companion
+    of ``dup_spans_documents`` — ``stages/dedup.span_dup_scores``),
+    restricted to documents that share at least one 5-gram with
+    another document. Same shingle-hash-vs-shingle-string oracle
+    equivalence as ``dup_spans_documents``."""
+    from ..stages.dedup import span_dup_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dup_scores(ds, "doc_id", "text", k=5) \
+        .filter(expr="n_dup_shingles > 0")
+
+
+SPAN_DUP_SCORES_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
+  FROM documents
+), shl AS (
+  SELECT doc_id, CASE
+    WHEN len(ws) >= 5
+      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh
+  FROM toks
+), ex AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+), per AS (
+  SELECT s, count(*) AS c FROM ex GROUP BY s
+)
+SELECT e.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN p.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_shingles
+FROM ex e JOIN per p ON e.s = p.s
+GROUP BY e.doc_id
+HAVING n_dup_shingles > 0
+"""

@@ -890,3 +890,103 @@ def dup_span_histogram(ds, id_col: str, text_col: str, *, k: int = 5,
     return per_shingle.map_batches(hist, batch_format="pyarrow") \
         .groupby("docs_sharing").aggregate(Sum("n_shingles",
                                                alias_name="n_shingles"))
+
+
+def span_dup_scores(ds, id_col: str, text_col: str, *, k: int = 5,
+                    num_buckets: int = 64,
+                    broadcast_max: int = BROADCAST_LOSERS_MAX):
+    """Per-document duplicated-span scores — the filter-side companion
+    of ``dup_span_histogram`` (Lee et al. 2022): for every document,
+    how many of its distinct k-token shingles also appear in at least
+    one OTHER document. ``n_dup_shingles / n_shingles`` is the
+    standard span-contamination signal a curation pipeline thresholds
+    on before dropping or trimming a document.
+
+    Returns a Dataset ``(id_col, n_shingles, n_dup_shingles)`` with one
+    row per document that has at least one shingle (empty/stopword-free
+    docs carry no signal and are absent, matching the SQL oracle).
+
+    Shuffle discipline (same family as ``line_dedup``): ONE explode
+    pass materializes distinct 16-byte ``(id, shingle_hash)`` pairs —
+    text never leaves the scan task — and feeds both consumers: the
+    shared-shingle discovery (pre-reduced groupby(sh).count) and the
+    per-doc tally. Shared shingles come back by BROADCAST (one
+    ``ray.put`` of a sorted int64 array, searchsorted membership in
+    every tally task) while they fit ``broadcast_max``; past that the
+    membership test becomes a bucketed join on ``hash % num_buckets``
+    (pairs and shared keys co-group; still only 16-24 B rows move).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas()
+        di, sh = textfn.shingle_hashes(texts, k=k)
+        if len(sh) == 0:
+            return pa.table({
+                id_col: pa.array([], batch.column(id_col).type),
+                "sh": pa.array([], pa.int64())})
+        order = np.lexsort((sh, di))
+        di_s, sh_s = di[order], sh[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        first[1:] = (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(di_s[first])),
+            "sh": pa.array(sh_s[first].view(np.int64), pa.int64())})
+
+    pairs = ds.map_batches(explode_pairs, batch_format="pyarrow") \
+        .materialize()
+
+    shared = pairs.groupby("sh").aggregate(Count(alias_name="c")) \
+        .filter(expr="c >= 2").select_columns(["sh"]).materialize()
+    n_shared = shared.count()
+
+    if n_shared <= broadcast_max:
+        arr = np.sort(shared.to_pandas()["sh"].to_numpy(
+            dtype=np.int64)) if n_shared else None
+        ref = ray.put(arr)
+
+        def tally(batch: pa.Table) -> pa.Table:
+            sh = batch.column("sh").to_numpy(zero_copy_only=False)
+            lk = ray.get(ref)
+            if lk is None:
+                dup = np.zeros(len(sh), dtype=np.int64)
+            else:
+                pos = np.searchsorted(lk, sh)
+                pos[pos == len(lk)] = 0
+                dup = (lk[pos] == sh).astype(np.int64) \
+                    if len(lk) else np.zeros(len(sh), dtype=np.int64)
+            return batch.select([id_col]).append_column(
+                "n_shingles",
+                pa.array(np.ones(len(sh), dtype=np.int64))).append_column(
+                "n_dup_shingles", pa.array(dup))
+
+        scored = pairs.map_batches(tally, batch_format="pyarrow")
+    else:  # shared set too big to broadcast: bucketed groupby route
+        logger.info("span_dup_scores: %d shared shingles exceed the "
+                    "%d broadcast budget - bucketed-groupby membership",
+                    n_shared, broadcast_max)
+
+        def with_bucket(batch: pa.Table) -> pa.Table:
+            h = batch.column("sh").to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            return batch.append_column("bucket", pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int32)))
+
+        def mark(g: pd.DataFrame) -> pd.DataFrame:
+            # rows are globally distinct per (doc, shingle), so the
+            # per-shingle row count within its bucket IS docs_sharing
+            dup = (g.groupby("sh")["sh"].transform("size")
+                   .to_numpy(dtype=np.int64) >= 2).astype(np.int64)
+            return pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "n_shingles": np.ones(len(g), dtype=np.int64),
+                "n_dup_shingles": dup})
+
+        scored = pairs.map_batches(with_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(mark, batch_format="pandas")
+
+    return scored.groupby(id_col).aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_dup_shingles", alias_name="n_dup_shingles"))

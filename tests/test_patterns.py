@@ -124,7 +124,8 @@ def test_dup_span_histogram_repeated_span_within_doc(ray_session):
 
 
 @pytest.mark.parametrize("name", ["dup_spans_documents",
-                                  "pattern_scan_documents"])
+                                  "pattern_scan_documents",
+                                  "span_dup_scores_documents"])
 def test_gate_parity_sf0001(ray_session, sf_dir, name):
     """Driver-gate simulation for the two new entries at sf0.001."""
     import __ray_entry__ as e
@@ -173,3 +174,51 @@ def test_pattern_parity_fuzz(texts):
             params.append(pat)
         assert red[i] == con.execute(
             f"SELECT {expr}", params).fetchone()[0], t
+
+
+def _brute_span_scores(texts, k: int = 5):
+    per_doc = []
+    for t in texts:
+        toks = textfn._WORD_RE.findall((t or "").lower())
+        if len(toks) >= k:
+            per_doc.append({" ".join(toks[j:j + k])
+                            for j in range(len(toks) - k + 1)})
+        elif toks:
+            per_doc.append({" ".join(toks)})
+        else:
+            per_doc.append(set())
+    counts: dict[str, int] = {}
+    for sh in per_doc:
+        for s in sh:
+            counts[s] = counts.get(s, 0) + 1
+    shared = {s for s, c in counts.items() if c >= 2}
+    return {i: (len(sh), len(sh & shared))
+            for i, sh in enumerate(per_doc) if sh}
+
+
+@pytest.mark.parametrize("broadcast_max", [10**9, 0])
+def test_span_dup_scores_both_routes(ray_session, broadcast_max):
+    """Broadcast route and bucketed-groupby fallback (forced via
+    broadcast_max=0) produce identical per-doc scores."""
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.stages.dedup import (
+        span_dup_scores,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown fox jumps over a fence today",
+        "the quick brown fox jumps over the lazy dog",
+        "completely different words in this document here now",
+        "tiny doc",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = span_dup_scores(rd.from_pandas(df).repartition(3), "doc_id",
+                          "text", k=5,
+                          broadcast_max=broadcast_max).to_pandas()
+    got = {r.doc_id: (r.n_shingles, r.n_dup_shingles)
+           for r in got.itertuples()}
+    assert got == _brute_span_scores(texts)
+    assert got[0][1] > 0 and got[3][1] == 0  # sanity: shared vs unique
