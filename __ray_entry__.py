@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dup_scores_documents": q.span_dup_scores_documents,
         "pattern_scan_documents": q.pattern_scan_documents,
         "corpus_curation_v2": q.corpus_curation_v2,
+        "corpus_curation_v3": q.corpus_curation_v3,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "simhash_documents": q.simhash_documents,
         "token_stats_documents": q.token_stats_documents,
@@ -121,6 +122,9 @@ def oracle_sql() -> dict[str, str]:
         # composed pipeline: sample -> repetition filter -> line dedup
         # -> per-lang rollup, one end-to-end oracle
         "corpus_curation_v2": q.CORPUS_CURATION_V2_SQL,
+        # round-4 composition: span-contamination filter -> redaction
+        # -> per-lang rollup, one end-to-end oracle
+        "corpus_curation_v3": q.CORPUS_CURATION_V3_SQL,
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,

@@ -2507,3 +2507,101 @@ FROM ex e JOIN per p ON e.s = p.s
 GROUP BY e.doc_id
 HAVING n_dup_shingles > 0
 """
+
+
+def corpus_curation_v3(sf_dir: str) -> pd.DataFrame:
+    """Curation pipeline composing the round-4 operators end-to-end,
+    value-matched against ONE oracle: span-contamination filter (drop
+    documents whose duplicated-5-gram fraction exceeds 25% —
+    ``span_dup_scores``; the flagged set is the minority being dropped,
+    so it broadcasts like line_dedup's losers) -> PII/term redaction
+    (``textfn.redact``) -> per-lang docs/tokens/chars rollup over the
+    REDACTED text. Empty/null texts drop on both sides."""
+    import ray
+
+    from ..stages.dedup import span_dup_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_dup_shingles").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_shingles").to_numpy(zero_copy_only=False)
+        return batch.select(["doc_id"]).filter(pa.array(nd * 4 > ns))
+
+    flagged = span_dup_scores(ds, "doc_id", "text", k=5) \
+        .map_batches(over_threshold, batch_format="pyarrow") \
+        .to_pandas()["doc_id"].to_numpy(dtype=np.int64)
+    flagged.sort()
+    ref = ray.put(flagged)
+
+    def keep_redact_partial(batch: pa.Table) -> pd.DataFrame:
+        bad = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        keep = ~np.isin(ids, bad) if len(bad) else \
+            np.ones(len(ids), dtype=bool)
+        txt = batch.column("text")
+        ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")) \
+            .to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(keep & ok))
+        t = batch.column("text").to_pandas()
+        rt = textfn.redact(t, [_SCAN_TERM])
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas().fillna("")
+            .to_numpy(dtype=object),
+            "n_docs": np.ones(len(rt), dtype=np.int64),
+            "n_tokens": rt.str.count(TOKEN_RE).to_numpy(dtype=np.int64),
+            "n_chars": rt.str.len().to_numpy(dtype=np.int64),
+        })
+        return df.groupby("lang", as_index=False).sum()
+
+    parts = ds.map_batches(keep_redact_partial,
+                           batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype=np.int64),
+                             "n_tokens": pd.Series(dtype=np.int64),
+                             "n_chars": pd.Series(dtype=np.int64)})
+    out = parts.groupby("lang", sort=True, as_index=False).sum()
+    for c in ("n_docs", "n_tokens", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _curation_v3_sql() -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_'']+') AS ws
+  FROM documents
+), shl AS (
+  SELECT doc_id, CASE
+    WHEN len(ws) >= 5
+      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
+    ELSE [] END AS sh
+  FROM toks
+), ex AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+), per AS (
+  SELECT s, count(*) AS c FROM ex GROUP BY s
+), sc AS (
+  SELECT e.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN p.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM ex e JOIN per p ON e.s = p.s GROUP BY e.doc_id
+), red AS (
+  SELECT coalesce(d.lang, '') AS lang,
+         regexp_replace(d.text, '{_SCAN_TERM}', '[X]', 'g') AS rt
+  FROM documents d
+  WHERE d.text IS NOT NULL AND d.text <> ''
+    AND d.doc_id NOT IN (SELECT doc_id FROM sc WHERE n_dup * 4 > n_shingles)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(rt, '{tok}'))) AS BIGINT)
+           AS n_tokens,
+       CAST(sum(length(rt)) AS BIGINT) AS n_chars
+FROM red GROUP BY lang
+"""
+
+
+CORPUS_CURATION_V3_SQL = _curation_v3_sql()
