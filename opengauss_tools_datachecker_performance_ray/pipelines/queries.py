@@ -2385,8 +2385,10 @@ def dup_spans_documents(sf_dir: str):
     return dup_span_histogram(ds, "doc_id", "text", k=5)
 
 
-DUP_SPANS_DOCUMENTS_SQL = r"""
-WITH toks AS (
+# one shared word-5-shingle CTE drives all three span oracles below —
+# a tokenizer / window-arithmetic change lands everywhere at once
+# (review finding, round 4)
+_SHINGLE_CTE_SQL = r"""WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
   FROM documents
 ), shl AS (
@@ -2399,7 +2401,9 @@ WITH toks AS (
 ), ex AS (
   SELECT DISTINCT doc_id, s
   FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
-), per AS (
+)"""
+
+DUP_SPANS_DOCUMENTS_SQL = _SHINGLE_CTE_SQL + """, per AS (
   SELECT s, count(*) AS docs_sharing FROM ex GROUP BY s
 )
 SELECT docs_sharing, count(*) AS n_shingles FROM per GROUP BY docs_sharing
@@ -2431,7 +2435,7 @@ def pattern_scan_documents(sf_dir: str):
     def scan(batch: pa.Table) -> pd.DataFrame:
         t = batch.column("text").to_pandas().fillna("")
         df = textfn.pattern_counts(t, textfn.PII_PATTERNS)
-        df.columns = ["n_email", "n_ipv4", "n_phone"]
+        df = df.rename(columns={n: f"n_{n}" for n in textfn.PII_PATTERNS})
         df["n_term"] = t.str.count(_SCAN_TERM).to_numpy(dtype=np.int64)
         df["n_bigram"] = t.str.count(_SCAN_BIGRAM).to_numpy(dtype=np.int64)
         df["redacted_chars"] = textfn.redact(t, [_SCAN_TERM]) \
@@ -2449,8 +2453,9 @@ def pattern_scan_documents(sf_dir: str):
 
 def _pattern_scan_sql() -> str:
     def cnt(pat: str, name: str) -> str:
+        q = pat.replace("'", "''")  # SQL string-literal escaping
         return ("CAST(sum(len(regexp_extract_all(coalesce(text,''), "
-                f"'{pat}'))) AS BIGINT) AS {name}")
+                f"'{q}'))) AS BIGINT) AS {name}")
 
     from ..functions.textfn import PII_PATTERNS as P
 
@@ -2483,21 +2488,7 @@ def span_dup_scores_documents(sf_dir: str):
         .filter(expr="n_dup_shingles > 0")
 
 
-SPAN_DUP_SCORES_DOCUMENTS_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
-  FROM documents
-), shl AS (
-  SELECT doc_id, CASE
-    WHEN len(ws) >= 5
-      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
-    ELSE [] END AS sh
-  FROM toks
-), ex AS (
-  SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
-), per AS (
+SPAN_DUP_SCORES_DOCUMENTS_SQL = _SHINGLE_CTE_SQL + """, per AS (
   SELECT s, count(*) AS c FROM ex GROUP BY s
 )
 SELECT e.doc_id, count(*) AS n_shingles,
@@ -2509,18 +2500,28 @@ HAVING n_dup_shingles > 0
 """
 
 
-def corpus_curation_v3(sf_dir: str) -> pd.DataFrame:
+def corpus_curation_v3(sf_dir: str,
+                       flagged_broadcast_max: int | None = None
+                       ) -> pd.DataFrame:
     """Curation pipeline composing the round-4 operators end-to-end,
     value-matched against ONE oracle: span-contamination filter (drop
     documents whose duplicated-5-gram fraction exceeds 25% —
-    ``span_dup_scores``; the flagged set is the minority being dropped,
-    so it broadcasts like line_dedup's losers) -> PII/term redaction
-    (``textfn.redact``) -> per-lang docs/tokens/chars rollup over the
-    REDACTED text. Empty/null texts drop on both sides."""
+    ``span_dup_scores``) -> PII/term redaction (``textfn.redact``) ->
+    per-lang docs/tokens/chars rollup over the REDACTED text.
+    Empty/null texts drop on both sides.
+
+    The flagged set is normally the minority being dropped, so it
+    broadcasts (one ``ray.put``) while it fits
+    ``flagged_broadcast_max`` (default: dedup.BROADCAST_LOSERS_MAX);
+    past the budget the filter becomes a distributed ``left_anti``
+    hash join on doc_id — text shuffles once, nothing lands on the
+    driver (the line_dedup fallback discipline)."""
     import ray
 
-    from ..stages.dedup import span_dup_scores
+    from ..stages.dedup import BROADCAST_LOSERS_MAX, span_dup_scores
 
+    if flagged_broadcast_max is None:
+        flagged_broadcast_max = BROADCAST_LOSERS_MAX
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def over_threshold(batch: pa.Table) -> pa.Table:
@@ -2528,17 +2529,16 @@ def corpus_curation_v3(sf_dir: str) -> pd.DataFrame:
         ns = batch.column("n_shingles").to_numpy(zero_copy_only=False)
         return batch.select(["doc_id"]).filter(pa.array(nd * 4 > ns))
 
-    flagged = span_dup_scores(ds, "doc_id", "text", k=5) \
+    flag_ds = span_dup_scores(ds, "doc_id", "text", k=5) \
         .map_batches(over_threshold, batch_format="pyarrow") \
-        .to_pandas()["doc_id"].to_numpy(dtype=np.int64)
-    flagged.sort()
-    ref = ray.put(flagged)
+        .materialize()
+    n_flagged = flag_ds.count()
 
-    def keep_redact_partial(batch: pa.Table) -> pd.DataFrame:
-        bad = ray.get(ref)
-        ids = batch.column("doc_id").to_numpy()
-        keep = ~np.isin(ids, bad) if len(bad) else \
-            np.ones(len(ids), dtype=bool)
+    def redact_partial(batch: pa.Table,
+                       bad: np.ndarray | None) -> pd.DataFrame:
+        keep = np.ones(batch.num_rows, dtype=bool)
+        if bad is not None and len(bad):
+            keep = ~np.isin(batch.column("doc_id").to_numpy(), bad)
         txt = batch.column("text")
         ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")) \
             .to_numpy(zero_copy_only=False)
@@ -2554,8 +2554,20 @@ def corpus_curation_v3(sf_dir: str) -> pd.DataFrame:
         })
         return df.groupby("lang", as_index=False).sum()
 
-    parts = ds.map_batches(keep_redact_partial,
-                           batch_format="pyarrow").to_pandas()
+    if n_flagged <= flagged_broadcast_max:
+        ref = ray.put(
+            flag_ds.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
+        kept = ds.map_batches(
+            lambda b: redact_partial(b, ray.get(ref)),
+            batch_format="pyarrow")
+    else:
+        kept = ds.join(flag_ds, join_type="left_anti",
+                       num_partitions=max(16, flag_ds.num_blocks()),
+                       on=("doc_id",)) \
+            .map_batches(lambda b: redact_partial(b, None),
+                         batch_format="pyarrow")
+
+    parts = kept.to_pandas()
     if not len(parts):
         return pd.DataFrame({"lang": pd.Series(dtype=object),
                              "n_docs": pd.Series(dtype=np.int64),
@@ -2569,21 +2581,8 @@ def corpus_curation_v3(sf_dir: str) -> pd.DataFrame:
 
 def _curation_v3_sql() -> str:
     tok = TOKEN_RE.replace("'", "''")
-    return rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_'']+') AS ws
-  FROM documents
-), shl AS (
-  SELECT doc_id, CASE
-    WHEN len(ws) >= 5
-      THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-    WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
-    ELSE [] END AS sh
-  FROM toks
-), ex AS (
-  SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
-), per AS (
+    term = _SCAN_TERM.replace("'", "''")
+    return _SHINGLE_CTE_SQL + f""", per AS (
   SELECT s, count(*) AS c FROM ex GROUP BY s
 ), sc AS (
   SELECT e.doc_id, count(*) AS n_shingles,
@@ -2591,7 +2590,7 @@ WITH toks AS (
   FROM ex e JOIN per p ON e.s = p.s GROUP BY e.doc_id
 ), red AS (
   SELECT coalesce(d.lang, '') AS lang,
-         regexp_replace(d.text, '{_SCAN_TERM}', '[X]', 'g') AS rt
+         regexp_replace(d.text, '{term}', '[X]', 'g') AS rt
   FROM documents d
   WHERE d.text IS NOT NULL AND d.text <> ''
     AND d.doc_id NOT IN (SELECT doc_id FROM sc WHERE n_dup * 4 > n_shingles)

@@ -852,11 +852,14 @@ def dup_span_histogram(ds, id_col: str, text_col: str, *, k: int = 5,
 
     Scale shape: the explode task emits 16-byte (shingle_hash,
     partial_count) rows — document text never leaves the scan task.
-    A document lives wholly inside one batch row, so the within-batch
-    per-document distinct is globally exact and the partial counts sum
-    correctly across batches; ONE groupby(shingle).sum carries the
-    pre-reduced partials, and the second groupby runs over the tiny
-    docs_sharing domain. Nothing materializes on the driver.
+    Document identity is ``id_col`` (rows sharing an id inside a batch
+    unify); like the reference engine, input must be PK-unique on
+    ``id_col`` ACROSS batches — a duplicate id split over two batches
+    would count as two documents here while the SQL oracle's DISTINCT
+    merges it. Per-doc distinct shingles pre-reduce within the batch,
+    the partial counts sum across batches, ONE groupby(shingle).sum
+    carries the pre-reduced partials, and the second groupby runs over
+    the tiny docs_sharing domain. Nothing materializes on the driver.
     """
     from ray.data.aggregate import Sum
 
@@ -866,6 +869,9 @@ def dup_span_histogram(ds, id_col: str, text_col: str, *, k: int = 5,
         if len(sh) == 0:
             return pd.DataFrame({"sh": np.empty(0, np.int64),
                                  "cnt": np.empty(0, np.int64)})
+        codes = pd.factorize(
+            batch.column(id_col).to_pandas(), use_na_sentinel=False)[0]
+        di = codes[di]  # doc identity = id_col, not row position
         order = np.lexsort((sh, di))
         di_s, sh_s = di[order], sh[order]
         first = np.empty(len(sh_s), dtype=bool)
@@ -926,13 +932,23 @@ def span_dup_scores(ds, id_col: str, text_col: str, *, k: int = 5,
             return pa.table({
                 id_col: pa.array([], batch.column(id_col).type),
                 "sh": pa.array([], pa.int64())})
+        # doc identity = id_col (rows sharing an id inside a batch
+        # unify; PK-unique across batches expected, as documented on
+        # dup_span_histogram); row_of maps each code back to a row
+        # carrying that id
+        codes = pd.factorize(
+            batch.column(id_col).to_pandas(), use_na_sentinel=False)[0]
+        row_of = np.zeros(codes.max() + 1, dtype=np.int64)
+        row_of[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        di = codes[di]
         order = np.lexsort((sh, di))
         di_s, sh_s = di[order], sh[order]
         first = np.empty(len(sh_s), dtype=bool)
         first[0] = True
         first[1:] = (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])
         return pa.table({
-            id_col: batch.column(id_col).take(pa.array(di_s[first])),
+            id_col: batch.column(id_col).take(
+                pa.array(row_of[di_s[first]])),
             "sh": pa.array(sh_s[first].view(np.int64), pa.int64())})
 
     pairs = ds.map_batches(explode_pairs, batch_format="pyarrow") \

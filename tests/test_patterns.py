@@ -223,3 +223,43 @@ def test_span_dup_scores_both_routes(ray_session, broadcast_max):
            for r in got.itertuples()}
     assert got == _brute_span_scores(texts)
     assert got[0][1] > 0 and got[3][1] == 0  # sanity: shared vs unique
+
+
+def test_curation_v3_antijoin_route(ray_session, sf_dir):
+    """Forcing flagged_broadcast_max=0 drives the distributed
+    left_anti-join filter; results must equal the broadcast route."""
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q,
+    )
+
+    a = q.corpus_curation_v3(sf_dir)
+    b = q.corpus_curation_v3(sf_dir, flagged_broadcast_max=0)
+    pd.testing.assert_frame_equal(
+        a.sort_values("lang").reset_index(drop=True),
+        b.sort_values("lang").reset_index(drop=True))
+
+
+def test_span_ops_unify_duplicate_ids_within_batch(ray_session):
+    """Document identity is id_col: two rows with the same id inside a
+    batch count as ONE document (matching the SQL oracle's DISTINCT),
+    both for the histogram and the per-doc scores."""
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.stages.dedup import (
+        dup_span_histogram, span_dup_scores,
+    )
+
+    span = "alpha beta gamma delta epsilon"
+    df = pd.DataFrame({"doc_id": [7, 7, 9],
+                       "text": [span, span + " tail word here",
+                                "unrelated words entirely different set"]})
+    hist = dup_span_histogram(rd.from_pandas(df), "doc_id", "text",
+                              k=5).to_pandas()
+    hist = dict(zip(hist["docs_sharing"], hist["n_shingles"]))
+    # the shared span belongs to doc 7 twice -> docs_sharing == 1
+    assert 2 not in hist
+    scores = span_dup_scores(rd.from_pandas(df), "doc_id", "text",
+                             k=5).to_pandas()
+    row7 = scores[scores["doc_id"] == 7].iloc[0]
+    assert row7["n_dup_shingles"] == 0  # no OTHER doc shares it
+    assert row7["n_shingles"] == 4      # union of both rows' shingles
