@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="fixed token-window lines (default: split on \\n)")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
+    c.add_argument("--max-span-dup-ratio", type=float, default=None,
+                   help="drop docs whose duplicated-5-gram fraction "
+                        "strictly exceeds this (e.g. 0.25) before "
+                        "line dedup")
+    c.add_argument("--redact", default=None,
+                   help="comma list of PII presets (email,ipv4,phone) "
+                        "or 'all', applied to the text column after "
+                        "dedup")
     c.add_argument("--partition-col", default="lang")
     c.add_argument("--num-cpus", type=int, default=None)
 
@@ -252,11 +260,43 @@ def _run(args) -> int:
                              f"key first"}), file=sys.stderr)
                 return 2
             ds = stable_sample(ds, args.id_col, args.sample_rate)
+        if args.max_span_dup_ratio is not None:
+            from .stages.dedup import span_contamination_filter
+
+            ds = span_contamination_filter(
+                ds, args.id_col, args.text_col,
+                max_dup_ratio=args.max_span_dup_ratio)
         carry = [args.partition_col] \
             if args.partition_col in ds.schema().names else []
         rebuilt = line_dedup(ds, args.id_col, args.text_col,
                              tokens_per_line=args.tokens_per_line,
                              carry_cols=carry or None)
+        if args.redact:
+            from .functions import textfn
+
+            names = list(textfn.PII_PATTERNS) if args.redact == "all" \
+                else args.redact.split(",")
+            try:
+                pats = [textfn.PII_PATTERNS[n] for n in names]
+            except KeyError as exc:
+                print(json.dumps({
+                    "result": "error",
+                    "error": f"unknown --redact preset {exc.args[0]!r}; "
+                             f"known: {sorted(textfn.PII_PATTERNS)}"}),
+                    file=sys.stderr)
+                return 2
+
+            def apply_redact(batch: pa.Table) -> pa.Table:
+                t = batch.column(args.text_col).to_pandas()
+                rt = textfn.redact(t, pats)
+                idx = batch.schema.get_field_index(args.text_col)
+                return batch.set_column(
+                    idx, args.text_col,
+                    pa.array(rt.to_numpy(dtype=object),
+                             type=batch.column(args.text_col).type))
+
+            rebuilt = rebuilt.map_batches(apply_redact,
+                                          batch_format="pyarrow")
         if carry:
             res = write_partitioned(rebuilt.materialize(), args.out,
                                     args.partition_col)

@@ -2505,44 +2505,22 @@ def corpus_curation_v3(sf_dir: str,
                        ) -> pd.DataFrame:
     """Curation pipeline composing the round-4 operators end-to-end,
     value-matched against ONE oracle: span-contamination filter (drop
-    documents whose duplicated-5-gram fraction exceeds 25% —
-    ``span_dup_scores``) -> PII/term redaction (``textfn.redact``) ->
+    documents whose duplicated-5-gram fraction strictly exceeds 25% —
+    ``stages/dedup.span_contamination_filter``, broadcast or left_anti
+    join per its budget) -> PII/term redaction (``textfn.redact``) ->
     per-lang docs/tokens/chars rollup over the REDACTED text.
-    Empty/null texts drop on both sides.
+    Empty/null texts drop on both sides."""
+    from ..stages.dedup import span_contamination_filter
 
-    The flagged set is normally the minority being dropped, so it
-    broadcasts (one ``ray.put``) while it fits
-    ``flagged_broadcast_max`` (default: dedup.BROADCAST_LOSERS_MAX);
-    past the budget the filter becomes a distributed ``left_anti``
-    hash join on doc_id — text shuffles once, nothing lands on the
-    driver (the line_dedup fallback discipline)."""
-    import ray
-
-    from ..stages.dedup import BROADCAST_LOSERS_MAX, span_dup_scores
-
-    if flagged_broadcast_max is None:
-        flagged_broadcast_max = BROADCAST_LOSERS_MAX
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = span_contamination_filter(
+        ds, "doc_id", "text", k=5, max_dup_ratio=0.25,
+        flagged_broadcast_max=flagged_broadcast_max)
 
-    def over_threshold(batch: pa.Table) -> pa.Table:
-        nd = batch.column("n_dup_shingles").to_numpy(zero_copy_only=False)
-        ns = batch.column("n_shingles").to_numpy(zero_copy_only=False)
-        return batch.select(["doc_id"]).filter(pa.array(nd * 4 > ns))
-
-    flag_ds = span_dup_scores(ds, "doc_id", "text", k=5) \
-        .map_batches(over_threshold, batch_format="pyarrow") \
-        .materialize()
-    n_flagged = flag_ds.count()
-
-    def redact_partial(batch: pa.Table,
-                       bad: np.ndarray | None) -> pd.DataFrame:
-        keep = np.ones(batch.num_rows, dtype=bool)
-        if bad is not None and len(bad):
-            keep = ~np.isin(batch.column("doc_id").to_numpy(), bad)
+    def redact_partial(batch: pa.Table) -> pd.DataFrame:
         txt = batch.column("text")
-        ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")) \
-            .to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array(keep & ok))
+        ok = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+        batch = batch.filter(ok)
         t = batch.column("text").to_pandas()
         rt = textfn.redact(t, [_SCAN_TERM])
         df = pd.DataFrame({
@@ -2554,20 +2532,8 @@ def corpus_curation_v3(sf_dir: str,
         })
         return df.groupby("lang", as_index=False).sum()
 
-    if n_flagged <= flagged_broadcast_max:
-        ref = ray.put(
-            flag_ds.to_pandas()["doc_id"].to_numpy(dtype=np.int64))
-        kept = ds.map_batches(
-            lambda b: redact_partial(b, ray.get(ref)),
-            batch_format="pyarrow")
-    else:
-        kept = ds.join(flag_ds, join_type="left_anti",
-                       num_partitions=max(16, flag_ds.num_blocks()),
-                       on=("doc_id",)) \
-            .map_batches(lambda b: redact_partial(b, None),
-                         batch_format="pyarrow")
-
-    parts = kept.to_pandas()
+    parts = kept.map_batches(redact_partial,
+                             batch_format="pyarrow").to_pandas()
     if not len(parts):
         return pd.DataFrame({"lang": pd.Series(dtype=object),
                              "n_docs": pd.Series(dtype=np.int64),

@@ -1006,3 +1006,55 @@ def span_dup_scores(ds, id_col: str, text_col: str, *, k: int = 5,
     return scored.groupby(id_col).aggregate(
         Sum("n_shingles", alias_name="n_shingles"),
         Sum("n_dup_shingles", alias_name="n_dup_shingles"))
+
+
+def span_contamination_filter(ds, id_col: str, text_col: str, *,
+                              k: int = 5, max_dup_ratio: float = 0.25,
+                              flagged_broadcast_max: int | None = None):
+    """Drop documents whose duplicated-k-gram fraction exceeds
+    ``max_dup_ratio`` (strictly) — ``span_dup_scores`` turned into the
+    curation filter it exists for. Returns the kept rows of ``ds``
+    with all columns intact.
+
+    The flagged set is normally the minority being dropped, so it
+    broadcasts (one ``ray.put``, membership by np.isin) while it fits
+    ``flagged_broadcast_max`` (default ``BROADCAST_LOSERS_MAX``); past
+    the budget the filter becomes a distributed ``left_anti`` hash
+    join on ``id_col`` — text shuffles once, nothing lands on the
+    driver (line_dedup's fallback discipline). The ratio compare is
+    float (``n_dup > ratio * n_shingles``) — exact for dyadic ratios
+    like the 0.25 default, since the counts are small integers.
+    """
+    import ray
+
+    if flagged_broadcast_max is None:
+        flagged_broadcast_max = BROADCAST_LOSERS_MAX
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_dup_shingles").to_numpy(zero_copy_only=False)
+        ns = batch.column("n_shingles").to_numpy(zero_copy_only=False)
+        return batch.select([id_col]).filter(
+            pa.array(nd > max_dup_ratio * ns))
+
+    flag_ds = span_dup_scores(ds, id_col, text_col, k=k) \
+        .map_batches(over_threshold, batch_format="pyarrow") \
+        .materialize()
+    n_flagged = flag_ds.count()
+    if n_flagged == 0:
+        return ds
+    if n_flagged <= flagged_broadcast_max:
+        ref = ray.put(flag_ds.to_pandas()[id_col].to_numpy())
+
+        def drop_flagged(batch: pa.Table) -> pa.Table:
+            bad = ray.get(ref)
+            keep = ~np.isin(batch.column(id_col).to_numpy(
+                zero_copy_only=False), bad)
+            return batch.filter(pa.array(keep))
+
+        return ds.map_batches(drop_flagged, batch_format="pyarrow")
+    logger.info("span_contamination_filter: %d flagged docs exceed the "
+                "%d broadcast budget - left_anti join route",
+                n_flagged, flagged_broadcast_max)
+    return ds.join(flag_ds, join_type="left_anti",
+                   num_partitions=max(16, flag_ds.num_blocks()),
+                   on=(id_col,))

@@ -169,3 +169,47 @@ class TestCurateCli:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["written"] == [] and sorted(rep["skipped"]) == \
             ["de", "en", "fr"]
+
+    def test_curate_redact_and_span_filter(self, ray_session, tmp_path,
+                                           capsys):
+        span = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([
+                span,                                   # contaminated
+                span + " unique tail words here now",   # partly shared
+                "mail me at bob@example.com for info please today",
+                "plain words only in this one document here",
+            ]),
+            "lang": pa.array(["en"] * 4),
+        })
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(docs, src)
+        out = str(tmp_path / "out_red")
+        rc = main(["curate", "--input", src, "--out", out,
+                   "--max-span-dup-ratio", "0.9", "--redact", "email"])
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        back = pq.read_table(out + "/part=en").to_pandas() \
+            .sort_values("doc_id")
+        # doc 0: every shingle shared with doc 1 -> ratio 1.0 > 0.9,
+        # dropped; doc 1 keeps (its tail shingles are unique)
+        assert 0 not in set(back["doc_id"])
+        assert {1, 2, 3} <= set(back["doc_id"])
+        redacted = back.loc[back["doc_id"] == 2, "text"].iloc[0]
+        assert "bob@example.com" not in redacted
+        assert "[REDACTED]" in redacted or "[X]" in redacted
+
+    def test_curate_unknown_redact_preset(self, ray_session, tmp_path,
+                                          capsys):
+        docs = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["some words"]),
+            "lang": pa.array(["en"]),
+        })
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(docs, src)
+        rc = main(["curate", "--input", src,
+                   "--out", str(tmp_path / "o2"), "--redact", "ssn"])
+        err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+        assert rc == 2 and "unknown --redact preset" in err["error"]
