@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_v2": q.corpus_curation_v2,
         "corpus_curation_v3": q.corpus_curation_v3,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
+        "neardup_components_documents": q.neardup_components_documents,
         "simhash_documents": q.simhash_documents,
         "token_stats_documents": q.token_stats_documents,
         "topk_longest_documents": q.topk_longest_documents,
@@ -177,4 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_documents": q.SIMHASH_NEAR_DUPS_DOCUMENTS_SQL,
         "embedding_dup_pairs": q.EMBEDDING_DUP_PAIRS_SQL,
         "drift_documents_by_source": q.DRIFT_DOCUMENTS_BY_SOURCE_SQL,
+        # near-dup clusters: min-label propagation vs the identical
+        # 8-round propagation unrolled in SQL over the same edge set
+        "neardup_components_documents": q.NEARDUP_COMPONENTS_DOCUMENTS_SQL,
     }

@@ -2570,3 +2570,54 @@ FROM red GROUP BY lang
 
 
 CORPUS_CURATION_V3_SQL = _curation_v3_sql()
+
+
+def neardup_components_documents(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate clusters with a keep-one verdict
+    (``stages/components.neardup_components``): documents connect when
+    they share a 5-token shingle held by 2..64 distinct documents;
+    clusters come from min-label propagation (8-round budget,
+    early-exit on the monotone label-sum certificate). Output
+    ``(doc_id, comp, keep)`` — ``comp`` is the cluster's min doc_id,
+    ``keep=1`` marks the representative. VALUE-MATCHED against an
+    unrolled 8-round SQL propagation over the identical edge set (same
+    shingle-hash-vs-string equivalence as ``dup_spans_documents``)."""
+    from ..stages import components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = components.neardup_components(ds, "doc_id", "text", k=5)
+    df = _with_schema(out, ["doc_id", "comp", "keep"],
+                      {"doc_id": np.int64, "comp": np.int64,
+                       "keep": np.int64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _neardup_components_sql(rounds: int = 8, max_docs: int = 64) -> str:
+    # AS MATERIALIZED: edges is referenced once per round and every
+    # round references its predecessor twice — without materialization
+    # DuckDB re-inlines the whole chain (2^rounds blowup)
+    sql = _SHINGLE_CTE_SQL + f""", grp AS MATERIALIZED (
+  SELECT s, min(doc_id) AS hub
+  FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND {max_docs}
+), star AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id AS a, g.hub AS b
+  FROM ex e JOIN grp g USING (s) WHERE e.doc_id <> g.hub
+), edges AS MATERIALIZED (
+  SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS n, a AS lbl FROM edges
+)"""
+    for i in range(1, rounds + 1):
+        sql += f""", l{i} AS MATERIALIZED (
+  SELECT n, min(lbl) AS lbl FROM (
+    SELECT e.b AS n, l.lbl FROM edges e JOIN l{i - 1} l ON l.n = e.a
+    UNION ALL SELECT n, lbl FROM l{i - 1}
+  ) GROUP BY n
+)"""
+    return sql + f"""
+SELECT n AS doc_id, lbl AS comp, CAST(n = lbl AS BIGINT) AS keep
+FROM l{rounds}
+"""
+
+
+NEARDUP_COMPONENTS_DOCUMENTS_SQL = _neardup_components_sql()

@@ -898,6 +898,37 @@ def dup_span_histogram(ds, id_col: str, text_col: str, *, k: int = 5,
                                                alias_name="n_shingles"))
 
 
+def explode_shingle_pairs(batch: pa.Table, id_col: str, text_col: str,
+                          *, k: int = 5) -> pa.Table:
+    """Distinct ``(id, shingle_hash)`` pairs for one batch — the shared
+    explode kernel of ``span_dup_scores``, ``span_contamination_filter``
+    and ``stages/components.shingle_star_edges``. Document identity is
+    ``id_col`` (rows sharing an id inside a batch unify; PK-unique
+    across batches expected, as documented on ``dup_span_histogram``);
+    text never leaves the scan task — only 16-byte pairs do."""
+    texts = batch.column(text_col).to_pandas()
+    di, sh = textfn.shingle_hashes(texts, k=k)
+    if len(sh) == 0:
+        return pa.table({
+            id_col: pa.array([], batch.column(id_col).type),
+            "sh": pa.array([], pa.int64())})
+    # row_of maps each factorized doc code back to a row carrying it
+    codes = pd.factorize(
+        batch.column(id_col).to_pandas(), use_na_sentinel=False)[0]
+    row_of = np.zeros(codes.max() + 1, dtype=np.int64)
+    row_of[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+    di = codes[di]
+    order = np.lexsort((sh, di))
+    di_s, sh_s = di[order], sh[order]
+    first = np.empty(len(sh_s), dtype=bool)
+    first[0] = True
+    first[1:] = (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])
+    return pa.table({
+        id_col: batch.column(id_col).take(
+            pa.array(row_of[di_s[first]])),
+        "sh": pa.array(sh_s[first].view(np.int64), pa.int64())})
+
+
 def span_dup_scores(ds, id_col: str, text_col: str, *, k: int = 5,
                     num_buckets: int = 64,
                     broadcast_max: int = BROADCAST_LOSERS_MAX):
@@ -925,34 +956,9 @@ def span_dup_scores(ds, id_col: str, text_col: str, *, k: int = 5,
     import ray
     from ray.data.aggregate import Count, Sum
 
-    def explode_pairs(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pandas()
-        di, sh = textfn.shingle_hashes(texts, k=k)
-        if len(sh) == 0:
-            return pa.table({
-                id_col: pa.array([], batch.column(id_col).type),
-                "sh": pa.array([], pa.int64())})
-        # doc identity = id_col (rows sharing an id inside a batch
-        # unify; PK-unique across batches expected, as documented on
-        # dup_span_histogram); row_of maps each code back to a row
-        # carrying that id
-        codes = pd.factorize(
-            batch.column(id_col).to_pandas(), use_na_sentinel=False)[0]
-        row_of = np.zeros(codes.max() + 1, dtype=np.int64)
-        row_of[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
-        di = codes[di]
-        order = np.lexsort((sh, di))
-        di_s, sh_s = di[order], sh[order]
-        first = np.empty(len(sh_s), dtype=bool)
-        first[0] = True
-        first[1:] = (di_s[1:] != di_s[:-1]) | (sh_s[1:] != sh_s[:-1])
-        return pa.table({
-            id_col: batch.column(id_col).take(
-                pa.array(row_of[di_s[first]])),
-            "sh": pa.array(sh_s[first].view(np.int64), pa.int64())})
-
-    pairs = ds.map_batches(explode_pairs, batch_format="pyarrow") \
-        .materialize()
+    pairs = ds.map_batches(
+        lambda b: explode_shingle_pairs(b, id_col, text_col, k=k),
+        batch_format="pyarrow").materialize()
 
     shared = pairs.groupby("sh").aggregate(Count(alias_name="c")) \
         .filter(expr="c >= 2").select_columns(["sh"]).materialize()
