@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_lang": q.top_terms_by_lang,
         "events_props_rollup": q.events_props_rollup,
         "stable_sample_orders": q.stable_sample_orders,
+        "cap_per_source_documents": q.cap_per_source_documents,
+        "pack_chunks_documents": q.pack_chunks_documents,
         "repetition_features_documents": q.repetition_features_documents,
         "quality_documents": q.quality_documents,
         "quality_features_documents": q.quality_features_documents,
@@ -142,6 +144,10 @@ def oracle_sql() -> dict[str, str]:
         "events_props_rollup": q.EVENTS_PROPS_ROLLUP_SQL,
         # Knuth multiplicative hash is integer-exact in SQL too
         "stable_sample_orders": q.STABLE_SAMPLE_ORDERS_SQL,
+        # per-domain cap: same integer-exact Knuth order in QUALIFY form
+        "cap_per_source_documents": q.CAP_PER_SOURCE_DOCUMENTS_SQL,
+        # two-pass distributed prefix sum vs the SQL window prefix sum
+        "pack_chunks_documents": q.PACK_CHUNKS_DOCUMENTS_SQL,
         "repetition_features_documents":
             q.REPETITION_FEATURES_DOCUMENTS_SQL,
         "quality_features_documents": q.QUALITY_FEATURES_DOCUMENTS_SQL,

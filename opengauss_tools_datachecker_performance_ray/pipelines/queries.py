@@ -2621,3 +2621,80 @@ FROM l{rounds}
 
 
 NEARDUP_COMPONENTS_DOCUMENTS_SQL = _neardup_components_sql()
+
+
+def cap_per_source_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-domain/source cap (``stages/sampling.cap_per_group``): keep
+    at most k documents per source, chosen by the Knuth hash of doc_id
+    — the CommonCrawl-style hot-domain limit, deterministic and
+    SQL-reproducible (integer-exact QUALIFY oracle)."""
+    from ..stages import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = sampling.cap_per_group(ds, "source", "doc_id", k)
+    df = _with_schema(out, ["doc_id", "source"],
+                      {"doc_id": np.int64, "source": object})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+CAP_PER_SOURCE_DOCUMENTS_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+             % 4294967296, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def pack_chunks_documents(sf_dir: str, chunk_size: int = 2048
+                          ) -> pd.DataFrame:
+    """Sequence packing (``stages/packing.pack_chunks``): global token
+    offset of every document in the id-ordered concatenated stream and
+    the [chunk_first, chunk_last] span of 2048-token training chunks
+    it lands in — a distributed two-pass prefix sum (per-range-bucket
+    partials -> driver scan over one int per bucket -> broadcast).
+    Integer-exact, value-matched against the SQL window prefix sum."""
+    from ..stages import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(s.str.count(pat).to_numpy(np.int64))})
+
+    weights = ds.map_batches(tok, batch_format="pyarrow")
+    out = packing.pack_chunks(weights, "doc_id", "n_tokens", chunk_size,
+                              bucket_width=64)
+    df = _with_schema(out, ["doc_id", "n_tokens", "offset",
+                            "chunk_first", "chunk_last"],
+                      {c: np.int64 for c in
+                       ("doc_id", "n_tokens", "offset",
+                        "chunk_first", "chunk_last")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_CHUNKS_DOCUMENTS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_'']+'))
+             AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS "offset"
+  FROM w
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // 2048 AS chunk_first,
+       CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 2048
+            ELSE "offset" // 2048 END AS chunk_last
+FROM o
+"""

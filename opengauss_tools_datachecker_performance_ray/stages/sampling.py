@@ -52,6 +52,48 @@ def stable_sample(ds, key_col: str, rate: float):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def knuth_u32(keys: np.ndarray) -> np.ndarray:
+    """The raw 32-bit Knuth hash value (the order key ``cap_per_group``
+    ranks by; integer-exact in SQL, see module doc)."""
+    return ((keys.astype(np.uint64) % _M32) * _KNUTH) % _M32
+
+
+def cap_per_group(ds, group_col: str, key_col: str, k: int):
+    """Keep at most ``k`` rows per group, chosen deterministically by
+    the Knuth hash of ``key_col`` (ties broken by the key itself) — the
+    per-domain/source cap every web-corpus curation recipe applies so
+    one hot domain cannot dominate the training mix (axis: Common-
+    Crawl-style per-domain limits). Which rows survive is a pure
+    function of (key, k), never of partitioning — so the cap is
+    SQL-reproducible: ``QUALIFY row_number() OVER (PARTITION BY grp
+    ORDER BY knuth(key), key) <= k``.
+
+    Scale shape: top-k is a semilattice under the (hash, key) order,
+    so a per-batch partial head(k) runs before the one
+    groupby(group) shuffle — at most ``k`` rows per (batch, group)
+    move, text and all. The final per-group candidate set is bounded
+    by k x (batches containing the group); for corpora where that
+    product is large, insert a ``repartition`` + second partial pass
+    between (the partial is idempotent).
+    """
+    import pandas as pd
+
+    def order(df):
+        u = knuth_u32(df[key_col].to_numpy())
+        return df.assign(_u=u.astype(np.int64)) \
+            .sort_values(["_u", key_col], kind="stable")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return order(df).groupby(group_col, sort=False,
+                                 dropna=False).head(k)
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        return order(g).head(k).drop(columns=["_u"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 def split_train_holdout(ds, key_col: str, holdout_frac: float):
     """(train, holdout) — complementary by construction: every key
     falls in exactly one side, stable across runs and partitionings."""
