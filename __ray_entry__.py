@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_v3": q.corpus_curation_v3,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "neardup_components_documents": q.neardup_components_documents,
+        "decontaminate_documents": q.decontaminate_documents,
         "simhash_documents": q.simhash_documents,
         "token_stats_documents": q.token_stats_documents,
         "topk_longest_documents": q.topk_longest_documents,
@@ -187,4 +188,6 @@ def oracle_sql() -> dict[str, str]:
         # near-dup clusters: min-label propagation vs the identical
         # 8-round propagation unrolled in SQL over the same edge set
         "neardup_components_documents": q.NEARDUP_COMPONENTS_DOCUMENTS_SQL,
+        # benchmark n-gram decontamination vs a shingle semi-join
+        "decontaminate_documents": q.DECONTAMINATE_DOCUMENTS_SQL,
     }

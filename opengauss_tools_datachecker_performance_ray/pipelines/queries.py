@@ -2698,3 +2698,44 @@ SELECT doc_id, n_tokens, "offset",
             ELSE "offset" // 2048 END AS chunk_last
 FROM o
 """
+
+
+def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (``stages/dedup.ref_shingle_overlap``):
+    the deterministic pseudo-benchmark is every doc with
+    ``doc_id % 97 == 0``; for each remaining document, count its
+    distinct 5-token shingles that also occur in the benchmark set
+    (the GPT-3/Llama n-gram decontamination scan). Only contaminated
+    docs (>= 1 overlapping shingle) return. Same shingle-hash-vs-string
+    oracle equivalence as ``dup_spans_documents``."""
+    from ..stages.dedup import ref_shingle_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(is_ref: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if is_ref else (ids % 97 != 0)
+            return batch.filter(pa.array(m))
+        return f
+
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    ref = ds.map_batches(side(True), batch_format="pyarrow")
+    out = ref_shingle_overlap(corpus, ref, "doc_id", "text", k=5)
+    df = _with_schema(out, ["doc_id", "n_shingles", "n_ref_shingles"],
+                      {c: np.int64 for c in
+                       ("doc_id", "n_shingles", "n_ref_shingles")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAMINATE_DOCUMENTS_SQL = _SHINGLE_CTE_SQL + """, ref AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+)
+SELECT e.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref_shingles
+FROM ex e LEFT JOIN ref r ON e.s = r.s
+WHERE e.doc_id % 97 <> 0
+GROUP BY e.doc_id
+HAVING n_ref_shingles > 0
+"""

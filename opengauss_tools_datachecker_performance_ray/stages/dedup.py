@@ -1064,3 +1064,107 @@ def span_contamination_filter(ds, id_col: str, text_col: str, *,
     return ds.join(flag_ds, join_type="left_anti",
                    num_partitions=max(16, flag_ds.num_blocks()),
                    on=(id_col,))
+
+
+def ref_shingle_overlap(ds, ref_ds, id_col: str, text_col: str, *,
+                        k: int = 5, num_buckets: int = 64,
+                        broadcast_max: int = BROADCAST_LOSERS_MAX):
+    """Benchmark decontamination scan (GPT-3-appendix-C / Llama-style
+    n-gram decontamination): for every document in ``ds``, count how
+    many of its distinct k-token shingles also occur anywhere in the
+    REFERENCE corpus ``ref_ds`` (the eval/benchmark set). Returns a
+    Dataset ``(id_col, n_shingles, n_ref_shingles)`` with one row per
+    contaminated document (``n_ref_shingles >= 1``); callers threshold
+    the ratio to drop or trim.
+
+    Same shuffle discipline as ``span_dup_scores``: one explode pass
+    per side ships 16-byte (id, shingle_hash) pairs, text never moves.
+    Benchmark sets are small, so the reference shingle set normally
+    BROADCASTS (one ``ray.put`` of a sorted int64 array, searchsorted
+    membership per batch); past ``broadcast_max`` distinct reference
+    shingles the membership test falls back to a bucketed co-group on
+    ``hash % num_buckets`` — both routes byte-identical.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pairs = ds.map_batches(
+        lambda b: explode_shingle_pairs(b, id_col, text_col, k=k),
+        batch_format="pyarrow")
+
+    ref_sh = ref_ds.map_batches(
+        lambda b: explode_shingle_pairs(b, id_col, text_col, k=k),
+        batch_format="pyarrow").select_columns(["sh"]) \
+        .groupby("sh").aggregate(Count(alias_name="c")) \
+        .select_columns(["sh"]).materialize()
+    n_ref = ref_sh.count()
+
+    if n_ref <= broadcast_max:
+        arr = np.sort(ref_sh.to_pandas()["sh"].to_numpy(
+            dtype=np.int64)) if n_ref else None
+        ref = ray.put(arr)
+
+        def tally(batch: pa.Table) -> pa.Table:
+            sh = batch.column("sh").to_numpy(zero_copy_only=False)
+            lk = ray.get(ref)
+            if lk is None or not len(lk):
+                hit = np.zeros(len(sh), dtype=np.int64)
+            else:
+                pos = np.searchsorted(lk, sh)
+                pos[pos == len(lk)] = 0
+                hit = (lk[pos] == sh).astype(np.int64)
+            return batch.select([id_col]).append_column(
+                "n_shingles",
+                pa.array(np.ones(len(sh), dtype=np.int64))).append_column(
+                "n_ref_shingles", pa.array(hit))
+
+        scored = pairs.map_batches(tally, batch_format="pyarrow")
+    else:
+        logger.info("ref_shingle_overlap: %d reference shingles exceed "
+                    "the %d broadcast budget - bucketed-groupby "
+                    "membership", n_ref, broadcast_max)
+
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            h = batch.column("sh").to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "sh": batch.column("sh"),
+                "is_ref": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32))})
+
+        def tag_ref(batch: pa.Table) -> pa.Table:
+            h = batch.column("sh").to_numpy(
+                zero_copy_only=False).view(np.uint64)
+            return pa.table({
+                id_col: pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "sh": batch.column("sh"),
+                "is_ref": pa.array(np.ones(batch.num_rows, np.int64)),
+                "bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32))})
+
+        def mark(g: pd.DataFrame) -> pd.DataFrame:
+            is_ref = g["is_ref"].to_numpy() == 1
+            ref_set = np.unique(g.loc[is_ref, "sh"].to_numpy(np.int64))
+            doc = g.loc[~is_ref]
+            sh = doc["sh"].to_numpy(dtype=np.int64)
+            if len(ref_set):
+                pos = np.searchsorted(ref_set, sh)
+                pos[pos == len(ref_set)] = 0
+                hit = (ref_set[pos] == sh).astype(np.int64)
+            else:
+                hit = np.zeros(len(sh), dtype=np.int64)
+            return pd.DataFrame({
+                id_col: doc[id_col].to_numpy(),
+                "n_shingles": np.ones(len(sh), dtype=np.int64),
+                "n_ref_shingles": hit})
+
+        scored = pairs.map_batches(tag_pairs, batch_format="pyarrow") \
+            .union(ref_sh.map_batches(tag_ref, batch_format="pyarrow")) \
+            .groupby("bucket").map_groups(mark, batch_format="pandas")
+
+    return scored.groupby(id_col).aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_ref_shingles", alias_name="n_ref_shingles")) \
+        .filter(expr="n_ref_shingles > 0")
