@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_scan_documents": q.pattern_scan_documents,
         "corpus_curation_v2": q.corpus_curation_v2,
         "corpus_curation_v3": q.corpus_curation_v3,
+        "corpus_curation_v4": q.corpus_curation_v4,
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "neardup_components_documents": q.neardup_components_documents,
         "decontaminate_documents": q.decontaminate_documents,
@@ -129,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         # round-4 composition: span-contamination filter -> redaction
         # -> per-lang rollup, one end-to-end oracle
         "corpus_curation_v3": q.CORPUS_CURATION_V3_SQL,
+        # capstone: cap -> decontaminate -> CC keep-one -> pack ->
+        # rollup, ONE end-to-end oracle over three shingle-CTE sets
+        "corpus_curation_v4": q.CORPUS_CURATION_V4_SQL,
         "token_stats_documents": q.TOKEN_STATS_DOCUMENTS_SQL,
         "topk_longest_documents": q.TOPK_LONGEST_DOCUMENTS_SQL,
         "lang_by_source": q.LANG_BY_SOURCE_SQL,

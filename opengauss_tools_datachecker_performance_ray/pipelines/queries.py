@@ -2388,20 +2388,30 @@ def dup_spans_documents(sf_dir: str):
 # one shared word-5-shingle CTE drives all three span oracles below —
 # a tokenizer / window-arithmetic change lands everywhere at once
 # (review finding, round 4)
-_SHINGLE_CTE_SQL = r"""WITH toks AS (
+_SHINGLE_CTE_TMPL = r"""%(p)stoks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_'']+') AS ws
-  FROM documents
-), shl AS (
+  FROM %(rel)s
+), %(p)sshl AS (
   SELECT doc_id, CASE
     WHEN len(ws) >= 5
       THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
     WHEN len(ws) >= 1 THEN [array_to_string(ws, ' ')]
     ELSE [] END AS sh
-  FROM toks
-), ex AS (
+  FROM %(p)stoks
+), %(p)sex AS (
   SELECT DISTINCT doc_id, s
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shl)
+  FROM (SELECT doc_id, unnest(sh) AS s FROM %(p)sshl)
 )"""
+
+
+def _shingle_cte_for(rel: str, prefix: str = "") -> str:
+    """The shared word-5-shingle CTE chain over an arbitrary relation,
+    CTE names prefixed so several instances can coexist in one WITH
+    (the composed v4 oracle shingles three different filtered sets)."""
+    return _SHINGLE_CTE_TMPL % {"rel": rel, "p": prefix}
+
+
+_SHINGLE_CTE_SQL = "WITH " + _shingle_cte_for("documents")
 
 DUP_SPANS_DOCUMENTS_SQL = _SHINGLE_CTE_SQL + """, per AS (
   SELECT s, count(*) AS docs_sharing FROM ex GROUP BY s
@@ -2592,16 +2602,20 @@ def neardup_components_documents(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-def _neardup_components_sql(rounds: int = 8, max_docs: int = 64) -> str:
-    # AS MATERIALIZED: edges is referenced once per round and every
-    # round references its predecessor twice — without materialization
-    # DuckDB re-inlines the whole chain (2^rounds blowup)
-    sql = _SHINGLE_CTE_SQL + f""", grp AS MATERIALIZED (
+def _cc_propagation_sql(exrel: str, rounds: int = 8,
+                        max_docs: int = 64) -> str:
+    """grp/star/edges/l0..lN clauses (min-label propagation, unrolled)
+    over a shingle-pairs relation ``exrel``; the caller reads the final
+    labels from ``l{rounds}``. AS MATERIALIZED: edges is referenced
+    once per round and every round references its predecessor twice —
+    without materialization DuckDB re-inlines the whole chain
+    (2^rounds blowup)."""
+    sql = f"""grp AS MATERIALIZED (
   SELECT s, min(doc_id) AS hub
-  FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND {max_docs}
+  FROM {exrel} GROUP BY s HAVING count(*) BETWEEN 2 AND {max_docs}
 ), star AS MATERIALIZED (
   SELECT DISTINCT e.doc_id AS a, g.hub AS b
-  FROM ex e JOIN grp g USING (s) WHERE e.doc_id <> g.hub
+  FROM {exrel} e JOIN grp g USING (s) WHERE e.doc_id <> g.hub
 ), edges AS MATERIALIZED (
   SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star
 ), l0 AS MATERIALIZED (
@@ -2614,10 +2628,15 @@ def _neardup_components_sql(rounds: int = 8, max_docs: int = 64) -> str:
     UNION ALL SELECT n, lbl FROM l{i - 1}
   ) GROUP BY n
 )"""
-    return sql + f"""
+    return sql
+
+
+def _neardup_components_sql(rounds: int = 8, max_docs: int = 64) -> str:
+    return (_SHINGLE_CTE_SQL + ", "
+            + _cc_propagation_sql("ex", rounds, max_docs) + f"""
 SELECT n AS doc_id, lbl AS comp, CAST(n = lbl AS BIGINT) AS keep
 FROM l{rounds}
-"""
+""")
 
 
 NEARDUP_COMPONENTS_DOCUMENTS_SQL = _neardup_components_sql()
@@ -2739,3 +2758,124 @@ WHERE e.doc_id % 97 <> 0
 GROUP BY e.doc_id
 HAVING n_ref_shingles > 0
 """
+
+
+def corpus_curation_v4(sf_dir: str) -> pd.DataFrame:
+    """Capstone curation pipeline composing the four round-4
+    continuation operators end-to-end under ONE oracle:
+
+    1. split off the deterministic pseudo-benchmark (doc_id % 97 == 0);
+    2. hot-domain cap — keep <= 15 docs per source by Knuth-hash order
+       (``sampling.cap_per_group``);
+    3. benchmark decontamination — drop any capped doc sharing a
+       5-token shingle with the benchmark set
+       (``dedup.ref_shingle_overlap`` + ``filter_out_ids``);
+    4. near-dup keep-one — connected components over shared-shingle
+       star edges, drop every non-representative
+       (``components.neardup_components``);
+    5. sequence packing — global token offsets / 2048-token chunk
+       spans over the survivors (``packing.pack_chunks``);
+    6. per-source rollup: n_docs, n_tokens, first/last chunk touched.
+
+    Every stage is the production operator, unmodified; the SQL oracle
+    recomputes the identical pipeline (three prefixed shingle-CTE
+    instances over the successive filtered sets + the unrolled
+    propagation)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages import components, packing, sampling
+    from ..stages.dedup import filter_out_ids, ref_shingle_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def side(is_ref: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if is_ref else (ids % 97 != 0)
+            return batch.filter(pa.array(m))
+        return f
+
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    bench = ds.map_batches(side(True), batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+
+    capped = sampling.cap_per_group(corpus, "source", "doc_id", 15) \
+        .materialize()  # consumed by the overlap scan AND the filter
+    flagged = ref_shingle_overlap(capped, bench, "doc_id", "text", k=5)
+    clean = filter_out_ids(capped, flagged, "doc_id").materialize()
+    losers = components.neardup_components(clean, "doc_id", "text", k=5) \
+        .filter(expr="keep == 0")
+    kept = filter_out_ids(clean, losers, "doc_id")
+
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def tok(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist()).fillna("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pa.array(s.str.count(pat).to_numpy(np.int64))})
+
+    packed = packing.pack_chunks(
+        kept.map_batches(tok, batch_format="pyarrow"),
+        "doc_id", "n_tokens", 2048, bucket_width=64,
+        carry_cols=["source"])
+    out = packed.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Min("chunk_first", alias_name="first_chunk"),
+        Max("chunk_last", alias_name="last_chunk"))
+    df = _with_schema(out, ["source", "n_docs", "n_tokens",
+                            "first_chunk", "last_chunk"],
+                      {"source": object} | {c: np.int64 for c in
+                       ("n_docs", "n_tokens", "first_chunk",
+                        "last_chunk")})
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def _curation_v4_sql(cap_k: int = 15, chunk: int = 2048) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return ("WITH base AS MATERIALIZED (\n"
+            "  SELECT doc_id, source, text FROM documents"
+            " WHERE doc_id % 97 <> 0\n"
+            "), refdocs AS MATERIALIZED (\n"
+            "  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0\n"
+            "), " + _shingle_cte_for("refdocs", "r") + f""", capped AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text, row_number() OVER (
+      PARTITION BY source
+      ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+               % 4294967296, doc_id) AS rn
+    FROM base) WHERE rn <= {cap_k}
+), """ + _shingle_cte_for("capped", "c") + """, cont AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id
+  FROM cex e JOIN (SELECT DISTINCT s FROM rex) r USING (s)
+), clean AS MATERIALIZED (
+  SELECT * FROM capped
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+), """ + _shingle_cte_for("clean", "k") + ", "
+            + _cc_propagation_sql("kex") + f""", kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM clean
+  WHERE doc_id NOT IN (SELECT n FROM l8 WHERE n <> lbl)
+), w AS MATERIALIZED (
+  SELECT doc_id, source,
+         len(regexp_extract_all(coalesce(text, ''), '{tok}')) AS nt
+  FROM kept
+), o AS MATERIALIZED (
+  SELECT source, CAST(nt AS BIGINT) AS nt,
+         CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM w
+)
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       min(off // {chunk}) AS first_chunk,
+       max(CASE WHEN nt > 0 THEN (off + nt - 1) // {chunk}
+                ELSE off // {chunk} END) AS last_chunk
+FROM o GROUP BY source
+""")
+
+
+CORPUS_CURATION_V4_SQL = _curation_v4_sql()

@@ -1043,12 +1043,32 @@ def span_contamination_filter(ds, id_col: str, text_col: str, *,
             pa.array(nd > max_dup_ratio * ns))
 
     flag_ds = span_dup_scores(ds, id_col, text_col, k=k) \
-        .map_batches(over_threshold, batch_format="pyarrow") \
-        .materialize()
+        .map_batches(over_threshold, batch_format="pyarrow")
+    return filter_out_ids(ds, flag_ds, id_col,
+                          broadcast_max=flagged_broadcast_max,
+                          caller="span_contamination_filter")
+
+
+def filter_out_ids(ds, flag_ds, id_col: str, *,
+                   broadcast_max: int | None = None,
+                   caller: str = "filter_out_ids"):
+    """Drop from ``ds`` every row whose ``id_col`` appears in
+    ``flag_ds`` (a Dataset whose ``id_col`` column is the drop list).
+    The flagged set is normally the minority being dropped, so it
+    broadcasts (one ``ray.put``, membership by np.isin) while it fits
+    ``broadcast_max``; past the budget the filter becomes a
+    distributed ``left_anti`` hash join on ``id_col`` — text shuffles
+    once, nothing lands on the driver (line_dedup's fallback
+    discipline)."""
+    import ray
+
+    if broadcast_max is None:
+        broadcast_max = BROADCAST_LOSERS_MAX
+    flag_ds = flag_ds.select_columns([id_col]).materialize()
     n_flagged = flag_ds.count()
     if n_flagged == 0:
         return ds
-    if n_flagged <= flagged_broadcast_max:
+    if n_flagged <= broadcast_max:
         ref = ray.put(flag_ds.to_pandas()[id_col].to_numpy())
 
         def drop_flagged(batch: pa.Table) -> pa.Table:
@@ -1058,9 +1078,8 @@ def span_contamination_filter(ds, id_col: str, text_col: str, *,
             return batch.filter(pa.array(keep))
 
         return ds.map_batches(drop_flagged, batch_format="pyarrow")
-    logger.info("span_contamination_filter: %d flagged docs exceed the "
-                "%d broadcast budget - left_anti join route",
-                n_flagged, flagged_broadcast_max)
+    logger.info("%s: %d flagged docs exceed the %d broadcast budget - "
+                "left_anti join route", caller, n_flagged, broadcast_max)
     return ds.join(flag_ds, join_type="left_anti",
                    num_partitions=max(16, flag_ds.num_blocks()),
                    on=(id_col,))

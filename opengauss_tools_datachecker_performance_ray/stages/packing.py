@@ -32,24 +32,31 @@ import pyarrow as pa
 
 
 def pack_chunks(weights, id_col: str, weight_col: str, chunk_size: int,
-                *, bucket_width: int = 4096):
+                *, bucket_width: int = 4096,
+                carry_cols: list[str] | None = None):
     """Assign each row of ``weights`` (a Dataset with integer ``id_col``
     >= 0 and non-negative int ``weight_col``) its place in the packed
     stream: ``(id_col, weight_col, offset, chunk_first, chunk_last)``
     where ``offset`` is the global sum of weights over all smaller ids
     and the chunk span covers the row's tokens (zero-weight rows pin to
     the boundary chunk ``offset // chunk_size``). ``id_col`` must be
-    unique; document order is ascending id."""
+    unique; document order is ascending id. ``carry_cols`` ride along
+    unchanged (metadata a downstream rollup groups by)."""
     import ray
     from ray.data.aggregate import Sum
+
+    carry = list(carry_cols or [])
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: ids.astype(np.int64),
             "bucket": (ids // bucket_width).astype(np.int64),
             "w": w.astype(np.int64)})
+        for c in carry:
+            out[c] = batch.column(c).to_pandas().to_numpy()
+        return out
 
     rows = weights.map_batches(bucketize,
                                batch_format="pyarrow").materialize()
@@ -72,11 +79,14 @@ def pack_chunks(weights, id_col: str, weight_col: str, chunk_size: int,
         off = base + np.concatenate([[0], np.cumsum(w)[:-1]])
         first = off // chunk_size
         last = np.where(w > 0, (off + w - 1) // chunk_size, first)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: g[id_col].to_numpy(),
             weight_col: w,
             "offset": off.astype(np.int64),
             "chunk_first": first.astype(np.int64),
             "chunk_last": last.astype(np.int64)})
+        for c in carry:
+            out[c] = g[c].to_numpy()
+        return out
 
     return rows.groupby("bucket").map_groups(assign, batch_format="pandas")

@@ -423,3 +423,58 @@ class TestDriftCompositeOracle:
                            atol=1e-12)
         failed = set(mine.loc[mine["result"] == "failed", "grp"])
         assert "s3" in failed
+
+
+class TestCurationV4Oracle:
+    """corpus_curation_v4 vs CORPUS_CURATION_V4_SQL on a corpus built
+    to exercise every stage: a hot source overflowing the 15-doc cap,
+    a benchmark doc (id % 97 == 0) contaminating two corpus docs,
+    multi-hop shared-shingle duplicate chains, and a zero-token doc."""
+
+    @pytest.fixture(scope="class")
+    def docs_path(self, tmp_path_factory):
+        P = "quick brown fox jumps over"
+        Q = "lazy dog sleeps all day"
+        rows = []
+        # id 0: benchmark (0 % 97 == 0); contaminates ids 101, 205
+        rows.append((0, "bench", f"{P} benchmark only content here"))
+        # hot source: 30 docs (cap keeps 15), two of them contaminated
+        for i in range(30):
+            did = 100 + i
+            extra = P if did in (101,) else f"u{i} v{i} w{i} x{i} y{i}"
+            rows.append((did, "hot", f"doc {i} of hot source {extra} "
+                                     f"a{i} b{i} c{i} d{i} e{i}"))
+        # dup chain across two quiet sources: 205 contaminated, 300/301
+        # share Q with 302 via overlapping phrases
+        rows.append((205, "quiet1", f"{P} something else entirely here"))
+        rows.append((300, "quiet1", f"{Q} alpha beta gamma delta eps"))
+        rows.append((301, "quiet2", f"{Q} zeta eta theta iota kappa"))
+        rows.append((302, "quiet2", "alpha beta gamma delta eps "
+                                    "zeta eta theta iota kappa"))
+        rows.append((400, "quiet2", ""))  # zero-token doc
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        d = tmp_path_factory.mktemp("v4docs")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    def test_value_parity(self, ray_session, docs_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = q.corpus_curation_v4(docs_path)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{docs_path}/documents.parquet')")
+        oracle = (con.execute(q.CORPUS_CURATION_V4_SQL).df()
+                  .sort_values("source").reset_index(drop=True))
+        for c in ("n_docs", "n_tokens", "first_chunk", "last_chunk"):
+            oracle[c] = oracle[c].astype(np.int64)
+        pd.testing.assert_frame_equal(mine, oracle[mine.columns])
+        # stage effects visible in the rollup: benchmark source absent,
+        # hot source capped below 15 (cap minus contamination drops)
+        by_src = mine.set_index("source")["n_docs"].to_dict()
+        assert "bench" not in by_src
+        assert by_src["hot"] <= 15
