@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": q.minhash_lsh_candidates,
         "neardup_components_documents": q.neardup_components_documents,
         "decontaminate_documents": q.decontaminate_documents,
+        "minhash_dedup_keep_documents": q.minhash_dedup_keep_documents,
         "simhash_documents": q.simhash_documents,
         "token_stats_documents": q.token_stats_documents,
         "topk_longest_documents": q.topk_longest_documents,
@@ -194,4 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components_documents": q.NEARDUP_COMPONENTS_DOCUMENTS_SQL,
         # benchmark n-gram decontamination vs a shingle semi-join
         "decontaminate_documents": q.DECONTAMINATE_DOCUMENTS_SQL,
+        # LSH pairs -> CC keep-one: exact minhash SQL replica chained
+        # into the same unrolled propagation
+        "minhash_dedup_keep_documents": q.MINHASH_DEDUP_KEEP_DOCUMENTS_SQL,
     }

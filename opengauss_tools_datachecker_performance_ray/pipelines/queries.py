@@ -879,13 +879,15 @@ GATE_UNCAPPED_GROUP = 1_000_000_000
 GATE_MINHASH_PERMS = 16
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_parts() -> tuple[str, str]:
+    """(CTE chain, final pair select) of the minhash-LSH SQL replica —
+    split so the component oracle can reuse the chain with the pair
+    select wrapped as one more CTE."""
     a, b = textfn.minhash_params(GATE_MINHASH_PERMS)
     params = ",\n        ".join(
         f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
         for j in range(GATE_MINHASH_PERMS))
-    return rf"""
-WITH params(j, pa, pb) AS (VALUES
+    ctes = rf"""params(j, pa, pb) AS (VALUES
         {params}),
 toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_'']+') AS ws
@@ -904,11 +906,16 @@ toks AS (
          min(((pa * h + pb) % 18446744073709551616::HUGEINT)
              % 2305843009213693951::HUGEINT) AS m
   FROM h CROSS JOIN params GROUP BY doc_id, j
-)
-SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+)"""
+    select = """SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
 FROM sig s1 JOIN sig s2
-  ON s1.j = s2.j AND s1.m = s2.m AND s1.doc_id < s2.doc_id
-"""
+  ON s1.j = s2.j AND s1.m = s2.m AND s1.doc_id < s2.doc_id"""
+    return ctes, select
+
+
+def _minhash_lsh_sql() -> str:
+    ctes, select = _minhash_lsh_parts()
+    return f"\nWITH {ctes}\n{select}\n"
 
 
 MINHASH_LSH_CANDIDATES_SQL = _minhash_lsh_sql()
@@ -2618,7 +2625,15 @@ def _cc_propagation_sql(exrel: str, rounds: int = 8,
   FROM {exrel} e JOIN grp g USING (s) WHERE e.doc_id <> g.hub
 ), edges AS MATERIALIZED (
   SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star
-), l0 AS MATERIALIZED (
+)"""
+    return sql + ", " + _cc_label_rounds_sql(rounds)
+
+
+def _cc_label_rounds_sql(rounds: int = 8) -> str:
+    """l0..lN min-label propagation clauses over an ``edges`` relation
+    (both directions present) — shared by the shingle-edge and the
+    minhash-candidate-edge component oracles."""
+    sql = """l0 AS MATERIALIZED (
   SELECT DISTINCT a AS n, a AS lbl FROM edges
 )"""
     for i in range(1, rounds + 1):
@@ -2879,3 +2894,52 @@ FROM o GROUP BY source
 
 
 CORPUS_CURATION_V4_SQL = _curation_v4_sql()
+
+
+def minhash_dedup_keep_documents(sf_dir: str) -> pd.DataFrame:
+    """The production fuzzy-dedup composition end-to-end: MinHash-LSH
+    candidate pairs (gate configuration of ``minhash_lsh_candidates``,
+    so the SQL replica emits the identical pair set) -> connected
+    components (min-label propagation) -> keep-one verdict. Output
+    ``(doc_id, comp, keep)`` for every doc in at least one candidate
+    pair. VALUE-MATCHED: the oracle chains the exact minhash SQL
+    replica into the same unrolled 8-round propagation."""
+    from ..stages import components
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def has_token(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        ok = pc.and_(pc.is_valid(t),
+                     pc.greater(pc.count_substring_regex(
+                         t, r"[\p{L}\p{N}_']+"), 0))
+        return batch.filter(ok)
+
+    pairs = minhash_lsh_pairs(
+        ds.map_batches(has_token, batch_format="pyarrow"),
+        "doc_id", "text", k=5, num_perm=GATE_MINHASH_PERMS,
+        bands=GATE_MINHASH_PERMS, verify_threshold=0.0,
+        hash_fn=textfn.md5_hash64,
+        max_group_size=GATE_UNCAPPED_GROUP).select_columns(["a", "b"])
+    labels, _, _ = components.connected_components(
+        components.mirror_pairs(pairs))
+    out = components.keep_one_verdict(labels, "doc_id")
+    df = _with_schema(out, ["doc_id", "comp", "keep"],
+                      {c: np.int64 for c in ("doc_id", "comp", "keep")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _minhash_components_sql(rounds: int = 8) -> str:
+    ctes, select = _minhash_lsh_parts()
+    return ("WITH " + ctes + f""", cand AS MATERIALIZED (
+{select}
+), edges AS MATERIALIZED (
+  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand
+), """ + _cc_label_rounds_sql(rounds) + f"""
+SELECT n AS doc_id, lbl AS comp, CAST(n = lbl AS BIGINT) AS keep
+FROM l{rounds}
+""")
+
+
+MINHASH_DEDUP_KEEP_DOCUMENTS_SQL = _minhash_components_sql()

@@ -159,6 +159,32 @@ def connected_components(edges, *, rounds: int = 8):
     return labels, r, converged
 
 
+def mirror_pairs(pairs, a_col: str = "a", b_col: str = "b"):
+    """Undirected candidate pairs (a < b) -> directed-both-ways edge
+    Dataset for ``connected_components``."""
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.concatenate([a, b])),
+                         "b": pa.array(np.concatenate([b, a]))})
+
+    return pairs.map_batches(mirror, batch_format="pyarrow")
+
+
+def keep_one_verdict(labels, id_col: str):
+    """Label Dataset ``(n, lbl)`` -> ``(id_col, comp, keep)`` where
+    ``keep=1`` marks the component representative (min id)."""
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        lbl = b.column("lbl").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: b.column("n"), "comp": b.column("lbl"),
+                         "keep": pa.array((n == lbl).astype(np.int64))})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 def neardup_components(ds, id_col: str, text_col: str, *, k: int = 5,
                        min_docs: int = 2, max_docs: int = 64,
                        rounds: int = 8):
@@ -170,11 +196,4 @@ def neardup_components(ds, id_col: str, text_col: str, *, k: int = 5,
     edges = shingle_star_edges(ds, id_col, text_col, k=k,
                                min_docs=min_docs, max_docs=max_docs)
     labels, _, _ = connected_components(edges, rounds=rounds)
-
-    def finish(b: pa.Table) -> pa.Table:
-        n = b.column("n").to_numpy(zero_copy_only=False)
-        lbl = b.column("lbl").to_numpy(zero_copy_only=False)
-        return pa.table({id_col: b.column("n"), "comp": b.column("lbl"),
-                         "keep": pa.array((n == lbl).astype(np.int64))})
-
-    return labels.map_batches(finish, batch_format="pyarrow")
+    return keep_one_verdict(labels, id_col)

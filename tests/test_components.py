@@ -145,3 +145,17 @@ def test_neardup_components_matches_unrolled_sql(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         out.astype(np.int64), oracle.astype(np.int64))
+
+
+def test_mirror_pairs_and_keep_one_verdict(ray_session):
+    # pairs form two clusters {1,2,3} (chain via 1-2, 2-3) and {7,9}
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"a": np.array([1, 2, 7], np.int64),
+         "b": np.array([2, 3, 9], np.int64)}))
+    labels, _, converged = components.connected_components(
+        components.mirror_pairs(pairs))
+    assert converged
+    out = components.keep_one_verdict(labels, "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["comp"].tolist() == [1, 1, 1, 7, 7]
+    assert out["keep"].tolist() == [1, 0, 0, 1, 0]
