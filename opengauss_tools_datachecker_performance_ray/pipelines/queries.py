@@ -846,9 +846,18 @@ def minhash_lsh_candidates(sf_dir: str):
     DISTINCT mirrors that. Docs without a single word token are
     filtered on both sides (an all-MAX signature would otherwise pair
     empty docs in Ray while SQL's empty shingle list drops them)."""
-    from ..stages.dedup import minhash_lsh_pairs
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _gate_minhash_pairs(ds)
+
+
+def _gate_minhash_pairs(ds):
+    """The ONE oracle-pinned minhash gate configuration (tokenful-doc
+    filter, md5 shingle hashes, bands=num_perm, no verify threshold,
+    star-compare cap disabled because the SQL emits full cliques —
+    review finding, round 4), shared by ``minhash_lsh_candidates`` and
+    the composed ``minhash_dedup_keep_documents`` so the two gate
+    queries cannot drift apart."""
+    from ..stages.dedup import minhash_lsh_pairs
 
     def has_token(batch: pa.Table) -> pa.Table:
         t = batch.column("text")
@@ -862,10 +871,6 @@ def minhash_lsh_candidates(sf_dir: str):
         "doc_id", "text", k=5, num_perm=GATE_MINHASH_PERMS,
         bands=GATE_MINHASH_PERMS, verify_threshold=0.0,
         hash_fn=textfn.md5_hash64,
-        # the SQL emits the full clique of a bucket; the star-compare
-        # group cap (the scale path) would silently drop pairs a capped
-        # group's SQL still produces — pin the uncapped regime for the
-        # oracle-matched configuration (review finding, round 4)
         max_group_size=GATE_UNCAPPED_GROUP)
     return pairs.select_columns(["a", "b"])
 
@@ -974,19 +979,24 @@ FROM documents d LEFT JOIN sh USING (doc_id)
 # Text analysis
 # ---------------------------------------------------------------------------
 
-def token_stats_documents(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+def _token_count_batch(batch: pa.Table,
+                       carry_cols: tuple[str, ...] = ("doc_id",)
+                       ) -> pa.Table:
+    """Shared TOKEN_RE token-count kernel: (carry_cols..., n_tokens).
+    One copy so the Ray side of token_stats / pack_chunks / v4 cannot
+    drift from their common regexp_extract_all SQL oracle."""
     import re
 
     pat = re.compile(TOKEN_RE)
+    s = pd.Series(batch.column("text").to_pylist()).fillna("")
+    n = s.str.count(pat).to_numpy(dtype=np.int64)
+    return pa.table({c: batch.column(c) for c in carry_cols}
+                    | {"n_tokens": pa.array(n, pa.int64())})
 
-    def tok(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column("text").to_pylist()).fillna("")
-        n = s.str.count(pat).to_numpy(dtype=np.int64)
-        return pa.table({"doc_id": batch.column("doc_id"),
-                         "n_tokens": pa.array(n, pa.int64())})
 
-    return ds.map_batches(tok, batch_format="pyarrow")
+def token_stats_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_token_count_batch, batch_format="pyarrow")
 
 
 TOKEN_STATS_DOCUMENTS_SQL = """
@@ -2610,7 +2620,7 @@ def neardup_components_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def _cc_propagation_sql(exrel: str, rounds: int = 8,
-                        max_docs: int = 64) -> str:
+                        max_docs: int = 64, min_docs: int = 2) -> str:
     """grp/star/edges/l0..lN clauses (min-label propagation, unrolled)
     over a shingle-pairs relation ``exrel``; the caller reads the final
     labels from ``l{rounds}``. AS MATERIALIZED: edges is referenced
@@ -2619,7 +2629,7 @@ def _cc_propagation_sql(exrel: str, rounds: int = 8,
     (2^rounds blowup)."""
     sql = f"""grp AS MATERIALIZED (
   SELECT s, min(doc_id) AS hub
-  FROM {exrel} GROUP BY s HAVING count(*) BETWEEN 2 AND {max_docs}
+  FROM {exrel} GROUP BY s HAVING count(*) BETWEEN {min_docs} AND {max_docs}
 ), star AS MATERIALIZED (
   SELECT DISTINCT e.doc_id AS a, g.hub AS b
   FROM {exrel} e JOIN grp g USING (s) WHERE e.doc_id <> g.hub
@@ -2657,11 +2667,17 @@ FROM l{rounds}
 NEARDUP_COMPONENTS_DOCUMENTS_SQL = _neardup_components_sql()
 
 
-def cap_per_source_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+GATE_CAP_PER_SOURCE_K = 10  # one constant drives BOTH engines
+
+
+def cap_per_source_documents(sf_dir: str,
+                             k: int = GATE_CAP_PER_SOURCE_K
+                             ) -> pd.DataFrame:
     """Per-domain/source cap (``stages/sampling.cap_per_group``): keep
     at most k documents per source, chosen by the Knuth hash of doc_id
     — the CommonCrawl-style hot-domain limit, deterministic and
-    SQL-reproducible (integer-exact QUALIFY oracle)."""
+    SQL-reproducible (integer-exact QUALIFY oracle; use
+    ``_cap_per_source_sql(k)`` for a non-default k)."""
     from ..stages import sampling
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -2671,38 +2687,37 @@ def cap_per_source_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-CAP_PER_SOURCE_DOCUMENTS_SQL = """
+def _cap_per_source_sql(k: int = GATE_CAP_PER_SOURCE_K) -> str:
+    return f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (
     PARTITION BY source
     ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
              % 4294967296, doc_id) AS rn
-  FROM documents) WHERE rn <= 10
+  FROM documents) WHERE rn <= {k}
 """
 
 
-def pack_chunks_documents(sf_dir: str, chunk_size: int = 2048
+CAP_PER_SOURCE_DOCUMENTS_SQL = _cap_per_source_sql()
+
+
+GATE_PACK_CHUNK_TOKENS = 2048  # one constant drives BOTH engines
+
+
+def pack_chunks_documents(sf_dir: str,
+                          chunk_size: int = GATE_PACK_CHUNK_TOKENS
                           ) -> pd.DataFrame:
     """Sequence packing (``stages/packing.pack_chunks``): global token
     offset of every document in the id-ordered concatenated stream and
     the [chunk_first, chunk_last] span of 2048-token training chunks
     it lands in — a distributed two-pass prefix sum (per-range-bucket
     partials -> driver scan over one int per bucket -> broadcast).
-    Integer-exact, value-matched against the SQL window prefix sum."""
+    Integer-exact, value-matched against the SQL window prefix sum
+    (use ``_pack_chunks_sql(chunk)`` for a non-default size)."""
     from ..stages import packing
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    import re
-
-    pat = re.compile(TOKEN_RE)
-
-    def tok(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column("text").to_pylist()).fillna("")
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(s.str.count(pat).to_numpy(np.int64))})
-
-    weights = ds.map_batches(tok, batch_format="pyarrow")
+    weights = ds.map_batches(_token_count_batch, batch_format="pyarrow")
     out = packing.pack_chunks(weights, "doc_id", "n_tokens", chunk_size,
                               bucket_width=64)
     df = _with_schema(out, ["doc_id", "n_tokens", "offset",
@@ -2713,10 +2728,12 @@ def pack_chunks_documents(sf_dir: str, chunk_size: int = 2048
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-PACK_CHUNKS_DOCUMENTS_SQL = """
+def _pack_chunks_sql(chunk: int = GATE_PACK_CHUNK_TOKENS) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return f"""
 WITH w AS (
   SELECT doc_id,
-         len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_'']+'))
+         len(regexp_extract_all(coalesce(text, ''), '{tok}'))
              AS n_tokens
   FROM documents
 ), o AS (
@@ -2727,11 +2744,32 @@ WITH w AS (
   FROM w
 )
 SELECT doc_id, n_tokens, "offset",
-       "offset" // 2048 AS chunk_first,
-       CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 2048
-            ELSE "offset" // 2048 END AS chunk_last
+       "offset" // {chunk} AS chunk_first,
+       CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // {chunk}
+            ELSE "offset" // {chunk} END AS chunk_last
 FROM o
 """
+
+
+PACK_CHUNKS_DOCUMENTS_SQL = _pack_chunks_sql()
+
+
+GATE_BENCH_MOD = 97  # doc_id % 97 == 0 is the pseudo-benchmark set
+
+
+def _bench_split(is_ref: bool):
+    """Batch filter for the deterministic pseudo-benchmark split —
+    ONE predicate shared by decontaminate_documents and
+    corpus_curation_v4 so the Ray side cannot drift from the
+    ``doc_id % 97`` literals in their SQL oracles."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % GATE_BENCH_MOD == 0) if is_ref \
+            else (ids % GATE_BENCH_MOD != 0)
+        return batch.filter(pa.array(m))
+
+    return f
 
 
 def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
@@ -2745,16 +2783,8 @@ def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import ref_shingle_overlap
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def side(is_ref: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            m = (ids % 97 == 0) if is_ref else (ids % 97 != 0)
-            return batch.filter(pa.array(m))
-        return f
-
-    corpus = ds.map_batches(side(False), batch_format="pyarrow")
-    ref = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(_bench_split(False), batch_format="pyarrow")
+    ref = ds.map_batches(_bench_split(True), batch_format="pyarrow")
     out = ref_shingle_overlap(corpus, ref, "doc_id", "text", k=5)
     df = _with_schema(out, ["doc_id", "n_shingles", "n_ref_shingles"],
                       {c: np.int64 for c in
@@ -2802,19 +2832,12 @@ def corpus_curation_v4(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import filter_out_ids, ref_shingle_overlap
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-
-    def side(is_ref: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            m = (ids % 97 == 0) if is_ref else (ids % 97 != 0)
-            return batch.filter(pa.array(m))
-        return f
-
-    corpus = ds.map_batches(side(False), batch_format="pyarrow")
-    bench = ds.map_batches(side(True), batch_format="pyarrow") \
+    corpus = ds.map_batches(_bench_split(False), batch_format="pyarrow")
+    bench = ds.map_batches(_bench_split(True), batch_format="pyarrow") \
         .select_columns(["doc_id", "text"])
 
-    capped = sampling.cap_per_group(corpus, "source", "doc_id", 15) \
+    capped = sampling.cap_per_group(corpus, "source", "doc_id",
+                                    V4_CAP_K) \
         .materialize()  # consumed by the overlap scan AND the filter
     flagged = ref_shingle_overlap(capped, bench, "doc_id", "text", k=5)
     clean = filter_out_ids(capped, flagged, "doc_id").materialize()
@@ -2822,20 +2845,11 @@ def corpus_curation_v4(sf_dir: str) -> pd.DataFrame:
         .filter(expr="keep == 0")
     kept = filter_out_ids(clean, losers, "doc_id")
 
-    import re
-
-    pat = re.compile(TOKEN_RE)
-
-    def tok(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column("text").to_pylist()).fillna("")
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "source": batch.column("source"),
-            "n_tokens": pa.array(s.str.count(pat).to_numpy(np.int64))})
-
     packed = packing.pack_chunks(
-        kept.map_batches(tok, batch_format="pyarrow"),
-        "doc_id", "n_tokens", 2048, bucket_width=64,
+        kept.map_batches(
+            lambda b: _token_count_batch(b, ("doc_id", "source")),
+            batch_format="pyarrow"),
+        "doc_id", "n_tokens", GATE_PACK_CHUNK_TOKENS, bucket_width=64,
         carry_cols=["source"])
     out = packed.groupby("source").aggregate(
         Count(alias_name="n_docs"),
@@ -2850,7 +2864,11 @@ def corpus_curation_v4(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("source").reset_index(drop=True)
 
 
-def _curation_v4_sql(cap_k: int = 15, chunk: int = 2048) -> str:
+V4_CAP_K = 15  # one constant drives BOTH v4 engines
+
+
+def _curation_v4_sql(cap_k: int = V4_CAP_K,
+                     chunk: int = GATE_PACK_CHUNK_TOKENS) -> str:
     tok = TOKEN_RE.replace("'", "''")
     return ("WITH base AS MATERIALIZED (\n"
             "  SELECT doc_id, source, text FROM documents"
@@ -2905,23 +2923,9 @@ def minhash_dedup_keep_documents(sf_dir: str) -> pd.DataFrame:
     pair. VALUE-MATCHED: the oracle chains the exact minhash SQL
     replica into the same unrolled 8-round propagation."""
     from ..stages import components
-    from ..stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def has_token(batch: pa.Table) -> pa.Table:
-        t = batch.column("text")
-        ok = pc.and_(pc.is_valid(t),
-                     pc.greater(pc.count_substring_regex(
-                         t, r"[\p{L}\p{N}_']+"), 0))
-        return batch.filter(ok)
-
-    pairs = minhash_lsh_pairs(
-        ds.map_batches(has_token, batch_format="pyarrow"),
-        "doc_id", "text", k=5, num_perm=GATE_MINHASH_PERMS,
-        bands=GATE_MINHASH_PERMS, verify_threshold=0.0,
-        hash_fn=textfn.md5_hash64,
-        max_group_size=GATE_UNCAPPED_GROUP).select_columns(["a", "b"])
+    pairs = _gate_minhash_pairs(ds)
     labels, _, _ = components.connected_components(
         components.mirror_pairs(pairs))
     out = components.keep_one_verdict(labels, "doc_id")

@@ -1031,8 +1031,6 @@ def span_contamination_filter(ds, id_col: str, text_col: str, *,
     float (``n_dup > ratio * n_shingles``) — exact for dyadic ratios
     like the 0.25 default, since the counts are small integers.
     """
-    import ray
-
     if flagged_broadcast_max is None:
         flagged_broadcast_max = BROADCAST_LOSERS_MAX
 

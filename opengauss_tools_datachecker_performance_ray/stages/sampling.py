@@ -31,9 +31,7 @@ _M32 = np.uint64(4294967296)
 
 
 def _keep_mask(keys: np.ndarray, threshold: int) -> np.ndarray:
-    k = keys.astype(np.uint64) % _M32
-    u = (k * _KNUTH) % _M32
-    return u < np.uint64(threshold)
+    return knuth_u32(keys) < np.uint64(threshold)
 
 
 def sample_threshold(rate: float) -> int:

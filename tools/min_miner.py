@@ -116,8 +116,10 @@ def main() -> int:
 
     prev = _seed("/tmp/BENCH_min_r4.json")
     if prev:
-        full.q_min = dict(prev.get("queries", {}))
-        full.rerun_min = dict(prev.get("queries_rerun_min", {}))
+        full.q_min = dict(prev.get("queries_raw")
+                          or prev.get("queries", {}))
+        full.rerun_min = dict(prev.get("queries_rerun_raw")
+                              or prev.get("queries_rerun_min", {}))
         full.attempts = list(prev.get("attempts", []))
         full.best_attempt = prev.get("best_single_attempt")
         quiet_found = bool(prev.get("quiet_attempt_found", False))
@@ -150,6 +152,7 @@ def main() -> int:
         print("seeded scaling legs from "
               f"{len(legs[4].attempts)}/{len(legs[16].attempts)} prior "
               "attempts", flush=True)
+    decode_trials = 0
     prev = _seed("/tmp/decode_min_r4.json")
     if prev:
         if prev.get("sec_4cpu") is not None:
@@ -157,7 +160,10 @@ def main() -> int:
         if prev.get("sec_16cpu") is not None:
             decode_min[16] = prev["sec_16cpu"]
         decode_cals = [c for c in prev.get("host_calibration_sec", [])]
-        print(f"seeded decode minima {decode_min}", flush=True)
+        decode_trials = int(prev.get("trials",
+                                     len(decode_cals)))
+        print(f"seeded decode minima {decode_min} "
+              f"({decode_trials} prior trials)", flush=True)
     heads = ("compare_orders_pair_scaled", "text_analysis_scaled")
 
     if not args.skip_decode and not os.path.exists(f"{DIGEST_DIR}/cfg.json"):
@@ -185,6 +191,10 @@ def main() -> int:
                 "queries": {k: round(v, 3) for k, v in full.q_min.items()},
                 "queries_rerun_min": {k: round(v, 3)
                                       for k, v in full.rerun_min.items()},
+                # unrounded copies: restart seeding must not drift the
+                # composite minima low by re-ingesting rounded values
+                "queries_raw": full.q_min,
+                "queries_rerun_raw": full.rerun_min,
                 "total_sec_min_composite": round(
                     sum(full.q_min.values()), 3),
                 "rows_per_sec_best": round(n_orders_rep / flag, 1),
@@ -248,13 +258,14 @@ def main() -> int:
                 r = dis.run_leg(ncpu, DIGEST_DIR)
                 decode_min[ncpu] = min(decode_min[ncpu], r["sec"])
             decode_cals.append([cal0, bench.calibrate()])
+            decode_trials += 1
             write_json("/tmp/decode_min_r4.json", {
                 "metric": "compare_leg_decode_isolated_scaling",
                 "value": round((decode_min[4] / decode_min[16]) / 4.0, 3),
                 "unit": "ratio",
                 "sec_4cpu": decode_min[4], "sec_16cpu": decode_min[16],
                 "repeat": 64, "sf": SF_DIR,
-                "trials": len(decode_cals),
+                "trials": decode_trials,
                 "host_calibration_sec": decode_cals[-3:],
                 "note": ("signature+merkle+classify from pre-materialized "
                          "digest parquet; per-leg minimum across repeated "
