@@ -95,6 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionization": q.events_sessionization,
         "events_asof_last_order": q.events_asof_last_order,
         "events_range_join_orders": q.events_range_join_orders,
+        # round-4 continuation #3: canonicalization, quality filter,
+        # retrieval, JSONL interchange round-trip
+        "normalize_text_documents": q.normalize_text_documents,
+        "gopher_filter_documents": q.gopher_filter_documents,
+        "keyword_search_documents": q.keyword_search_documents,
+        "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
     }
 
 
@@ -198,4 +204,13 @@ def oracle_sql() -> dict[str, str]:
         # LSH pairs -> CC keep-one: exact minhash SQL replica chained
         # into the same unrolled propagation
         "minhash_dedup_keep_documents": q.MINHASH_DEDUP_KEEP_DOCUMENTS_SQL,
+        # NFC/lower/collapse normalization proven by md5 byte parity
+        # (utf8proc + RE2 on both engines)
+        "normalize_text_documents": q.NORMALIZE_TEXT_DOCUMENTS_SQL,
+        # integer-exact Gopher rules (cross-multiplied thresholds)
+        "gopher_filter_documents": q.GOPHER_FILTER_DOCUMENTS_SQL,
+        # integer tf ranking -> bit-exact ORDER BY/LIMIT parity
+        "keyword_search_documents": q.KEYWORD_SEARCH_DOCUMENTS_SQL,
+        # sink+source cycle vs the straight-from-parquet rollup
+        "jsonl_roundtrip_documents": q.JSONL_ROUNDTRIP_DOCUMENTS_SQL,
     }

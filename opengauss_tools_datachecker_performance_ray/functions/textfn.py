@@ -302,3 +302,118 @@ def redact(texts: pd.Series, patterns: dict[str, str] | list[str],
     for pat in pats:
         t = t.str.replace(pat, token, regex=True)
     return t
+
+
+# ---------------------------------------------------------------------------
+# Normalization / Gopher-rule features / fixed-term tf (round-4 cont.)
+#
+# All three are Arrow-kernel vectorized and deliberately built from
+# libraries DuckDB links too (utf8proc for NFC/lower, RE2 for regex),
+# so each has a bit-parity SQL oracle in pipelines/queries.py.
+# ---------------------------------------------------------------------------
+
+# Complement of queries.TOKEN_RE after lower(): splitting on this and
+# dropping empties yields exactly regexp_extract_all(lower(x), TOKEN_RE).
+_TOKEN_SPLIT_RE = "[^a-z0-9_']+"
+
+# The five Gopher-style English stopwords the filter requires (subset of
+# STOPWORDS["en"], pinned as a tuple so the SQL literal cannot drift).
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def normalize_text(texts):
+    """Canonical text normalization: NFC -> lowercase -> strip
+    leading/trailing whitespace -> collapse interior whitespace runs
+    to one space. Lower/trim/collapse are pyarrow kernels backed by
+    the SAME libraries DuckDB uses (utf8proc for ``utf8_lower`` =
+    ``lower``; RE2 for ``replace_substring_regex`` =
+    ``regexp_replace(..., 'g')``), so a content hash of the result is
+    byte-comparable with the SQL oracle.
+
+    NFC deliberately does NOT use ``pc.utf8_normalize``: Arrow 16's
+    kernel fails to COMPOSE (it leaves e + U+0301 decomposed, verified
+    empirically), which would diverge from DuckDB's ``nfc_normalize``.
+    Instead a vectorized RE2 scan finds rows containing any non-ASCII
+    byte (NFC is the identity on pure ASCII) and only those rows take
+    the per-row ``unicodedata.normalize`` path — the same
+    fast-path/slow-path split as jsonfn's validating extractor.
+    Takes and returns a pyarrow string array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pc.fill_null(texts, "")
+    nonascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+    if pc.any(nonascii).as_py():
+        import unicodedata
+
+        arr = t.to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(
+                nonascii.to_numpy(zero_copy_only=False)):
+            arr[i] = unicodedata.normalize("NFC", arr[i])
+        t = pa.array(arr, type=pa.string())
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"^\s+|\s+$", "")
+    return pc.replace_substring_regex(t, r"\s+", " ")
+
+
+def _explode_tokens(texts):
+    """(tokens, parent_row_idx, token_char_lens) for a pyarrow string
+    array — lowercased complement-split tokenization with empties
+    dropped, i.e. exactly ``regexp_extract_all(lower(x), TOKEN_RE)``
+    flattened. Fully vectorized (split + list_flatten +
+    list_parent_indices); no per-row Python."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(pc.fill_null(texts, ""))
+    lists = pc.split_pattern_regex(t, _TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    ne = lens > 0
+    toks = flat.to_numpy(zero_copy_only=False)
+    return toks[ne], parent[ne], lens[ne]
+
+
+def gopher_features(texts) -> pd.DataFrame:
+    """Integer Gopher-style quality-rule evidence (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", app. A1.1 — public heuristic family), one row
+    per input row, all int64 so the filter thresholds stay exact via
+    cross-multiplication: token count, total token chars (mean word
+    length = sum/count without ever dividing), exact distinct-token
+    count, stopword occurrences. Input is a pyarrow string array."""
+    toks, parent, lens = _explode_tokens(texts)
+    n = len(texts)
+    n_words = np.bincount(parent, minlength=n).astype(np.int64)
+    sum_wc = np.bincount(parent, weights=lens,
+                         minlength=n).astype(np.int64)
+    if len(toks):
+        dd = pd.DataFrame({"p": parent, "t": toks}).drop_duplicates()
+        n_distinct = np.bincount(dd["p"].to_numpy(),
+                                 minlength=n).astype(np.int64)
+        stop_mask = np.isin(toks, GOPHER_STOPWORDS)
+        n_stop = np.bincount(parent[stop_mask],
+                             minlength=n).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+    return pd.DataFrame({"n_words": n_words, "sum_word_chars": sum_wc,
+                         "n_distinct_words": n_distinct,
+                         "n_stopwords": n_stop})
+
+
+def term_frequencies(texts, terms: tuple[str, ...]):
+    """Exact token-equality term frequencies for a fixed query
+    vocabulary — the inverted-index tf kernel behind keyword search.
+    Returns ``(tf, dl)``: tf is (n_rows, n_terms) int64, dl the int64
+    per-row total token count (same token definition as the packing /
+    token-stats operators). Input is a pyarrow string array."""
+    toks, parent, _ = _explode_tokens(texts)
+    n = len(texts)
+    dl = np.bincount(parent, minlength=n).astype(np.int64)
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    for j, term in enumerate(terms):
+        m = toks == term
+        if m.any():
+            tf[:, j] = np.bincount(parent[m], minlength=n)
+    return tf, dl

@@ -2947,3 +2947,267 @@ FROM l{rounds}
 
 
 MINHASH_DEDUP_KEEP_DOCUMENTS_SQL = _minhash_components_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation #3: normalization, Gopher quality filter,
+# keyword search, JSONL sink/source round-trip
+# ---------------------------------------------------------------------------
+
+def normalize_text_documents(sf_dir: str) -> pd.DataFrame:
+    """Text canonicalization with byte-parity proof
+    (``functions/textfn.normalize_text``): NFC -> lower -> trim ->
+    whitespace collapse, per doc, emitting the normalized char count
+    and the low-64-bit md5 content hash. Because every kernel is
+    utf8proc/RE2 on BOTH engines, the oracle hash-matches only when
+    the normalized byte stream is identical — this is the same
+    canonicalize-before-digest contract as the compare pipeline's
+    M1 type canonicalizer, applied to web text. Pure map_batches;
+    no shuffle at any scale."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = textfn.normalize_text(batch.column("text"))
+        h = textfn.md5_hash64(norm.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_chars": pc.utf8_length(norm).cast(pa.int64()),
+            "norm_hash": pa.array(h, type=pa.uint64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(f, batch_format="pyarrow")
+    df = _with_schema(out, ["doc_id", "norm_chars", "norm_hash"],
+                      {"doc_id": np.int64, "norm_chars": np.int64,
+                       "norm_hash": np.uint64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+NORMALIZE_TEXT_DOCUMENTS_SQL = r"""
+SELECT doc_id, CAST(len(x) AS BIGINT) AS norm_chars,
+       CAST(md5_number_lower(x) AS UBIGINT) AS norm_hash
+FROM (SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(nfc_normalize(coalesce(text, ''))),
+                 '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS x
+      FROM documents)
+"""
+
+
+# Gopher-rule thresholds (Rae et al. 2021 app. A1.1 family) — one set
+# of integer constants drives BOTH engines.
+GATE_GOPHER_MIN_WORDS = 30
+GATE_GOPHER_MAX_WORDS = 50000
+GATE_GOPHER_MWL_LO = 2       # mean word length lower bound
+GATE_GOPHER_MWL_HI = 10      # mean word length upper bound
+GATE_GOPHER_DISTINCT_MULT = 5  # keep iff 5 * n_distinct > n_words
+GATE_GOPHER_MIN_STOP = 2
+
+
+def gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style document quality filter
+    (``functions/textfn.gopher_features``): keep documents with
+    30 <= n_words <= 50000, mean word length in [2, 10] (evaluated as
+    ``2*n <= sum_chars <= 10*n`` so it stays integer-exact), distinct
+    fraction > 1/5 (``5*n_distinct > n_words``) and >= 2 stopwords.
+    Returns kept docs WITH the integer evidence columns, so the SQL
+    oracle value-matches the full decision basis, not just the id
+    list. Embarrassingly parallel map_batches -> filter; nothing
+    shuffles at any corpus size."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = textfn.gopher_features(batch.column("text"))
+        nw = feats["n_words"].to_numpy()
+        wc = feats["sum_word_chars"].to_numpy()
+        nd = feats["n_distinct_words"].to_numpy()
+        ns = feats["n_stopwords"].to_numpy()
+        keep = ((nw >= GATE_GOPHER_MIN_WORDS)
+                & (nw <= GATE_GOPHER_MAX_WORDS)
+                & (GATE_GOPHER_MWL_LO * nw <= wc)
+                & (wc <= GATE_GOPHER_MWL_HI * nw)
+                & (GATE_GOPHER_DISTINCT_MULT * nd > nw)
+                & (ns >= GATE_GOPHER_MIN_STOP))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(nw), "sum_word_chars": pa.array(wc),
+            "n_distinct_words": pa.array(nd),
+            "n_stopwords": pa.array(ns),
+        }).filter(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(f, batch_format="pyarrow")
+    cols = ["doc_id", "n_words", "sum_word_chars", "n_distinct_words",
+            "n_stopwords"]
+    df = _with_schema(out, cols, {c: np.int64 for c in cols})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _gopher_filter_sql() -> str:
+    from ..functions.textfn import GOPHER_STOPWORDS
+
+    tok = TOKEN_RE.replace("'", "''")
+    stop_pred = " OR ".join(f"x = '{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{tok}') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(coalesce(list_aggregate(
+             list_transform(ws, x -> len(x)), 'sum'), 0) AS BIGINT)
+             AS sum_word_chars,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         CAST(len(list_filter(ws, x -> {stop_pred})) AS BIGINT)
+             AS n_stopwords
+  FROM toks)
+SELECT * FROM f
+WHERE n_words BETWEEN {GATE_GOPHER_MIN_WORDS} AND {GATE_GOPHER_MAX_WORDS}
+  AND {GATE_GOPHER_MWL_LO} * n_words <= sum_word_chars
+  AND sum_word_chars <= {GATE_GOPHER_MWL_HI} * n_words
+  AND {GATE_GOPHER_DISTINCT_MULT} * n_distinct_words > n_words
+  AND n_stopwords >= {GATE_GOPHER_MIN_STOP}
+"""
+
+
+GOPHER_FILTER_DOCUMENTS_SQL = _gopher_filter_sql()
+
+
+# Fixed gate search vocabulary + result size: integer tf ranking keeps
+# the top-k bit-exact (no float scores to tie-break differently).
+GATE_SEARCH_TERMS = ("vector", "spark", "window")
+GATE_SEARCH_TOPK = 100
+
+
+def keyword_search_documents(sf_dir: str,
+                             terms: tuple[str, ...] = GATE_SEARCH_TERMS,
+                             k: int = GATE_SEARCH_TOPK) -> pd.DataFrame:
+    """Distributed keyword search over the corpus
+    (``functions/textfn.term_frequencies``): exact token-equality term
+    frequencies for a fixed query vocabulary, ranked by total tf with
+    doc_id as the deterministic tie-break. Scale path: each block
+    emits at most k rows (local partial top-k inside ``map_batches``,
+    the ``similarity.py`` brute-force-ANN shape), the driver merges
+    k x n_blocks candidate rows — no global sort, no shuffle. Integer
+    ranking means the SQL ``ORDER BY total_tf DESC, doc_id LIMIT k``
+    oracle matches bit-for-bit; a float BM25 score is the same
+    plumbing with tf/dl/df plugged into the closed form."""
+
+    def f(batch: pa.Table) -> pd.DataFrame:
+        tf, dl = textfn.term_frequencies(batch.column("text"), terms)
+        total = tf.sum(axis=1)
+        df = pd.DataFrame({"doc_id": batch.column("doc_id").to_numpy()})
+        for j, t in enumerate(terms):
+            df[f"tf_{t}"] = tf[:, j]
+        df["dl"] = dl
+        df["total_tf"] = total
+        df = df[df["total_tf"] > 0]
+        return df.sort_values(["total_tf", "doc_id"],
+                              ascending=[False, True]).head(k)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cols = (["doc_id"] + [f"tf_{t}" for t in terms] + ["dl", "total_tf"])
+    df = _with_schema(ds.map_batches(f, batch_format="pyarrow"),
+                      cols, {c: np.int64 for c in cols})
+    df = df.sort_values(["total_tf", "doc_id"],
+                        ascending=[False, True]).head(k)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _keyword_search_sql(terms: tuple[str, ...] = GATE_SEARCH_TERMS,
+                        k: int = GATE_SEARCH_TOPK) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms)
+    total = " + ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{tok}') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         {tf_cols},
+         CAST(len(ws) AS BIGINT) AS dl
+  FROM toks)
+SELECT *, CAST({total} AS BIGINT) AS total_tf FROM f
+WHERE {total} > 0
+ORDER BY total_tf DESC, doc_id
+LIMIT {k}
+"""
+
+
+KEYWORD_SEARCH_DOCUMENTS_SQL = _keyword_search_sql()
+
+
+def jsonl_roundtrip_documents(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink + source round-trip validation — the newline-
+    delimited-JSON interchange format of Common-Crawl-style corpora,
+    added beside the CSV slice reader (reference parity:
+    ``sources/csvsrc.py``; the reference's extract side reads
+    table slices, here the slice IS a JSONL shard). Writes
+    (doc_id, text, lang) as sharded JSONL under /tmp via
+    ``Dataset.write_json``, reads it back with ``ray.data.read_json``,
+    and rolls up per lang: doc count, doc_id sum, char sum, and the
+    order-independent XOR of per-doc md5 content hashes. The oracle
+    computes the identical rollup straight from the parquet view —
+    any escaping / unicode / numeric-precision corruption in the
+    encode-decode cycle breaks the hash match. Per-batch partials
+    (<= n_langs rows each) fold on the driver; nothing wide."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out_dir = ("/tmp/graft_jsonl_"
+               f"{os.path.basename(os.path.normpath(sf_dir))}"
+               f"_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _read(sf_dir, "documents",
+          ["doc_id", "text", "lang"]).write_json(out_dir)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(batch.column("text"), "")
+        h = textfn.md5_hash64(txt.to_numpy(zero_copy_only=False))
+        chars = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
+        ids = batch.column("doc_id").to_numpy()
+        rows = []
+        for lang in np.unique(langs):
+            m = langs == lang
+            rows.append((lang, int(m.sum()), int(ids[m].sum()),
+                         int(chars[m].sum()),
+                         np.bitwise_xor.reduce(h[m])))
+        return pd.DataFrame(rows, columns=[
+            "lang", "n_docs", "sum_doc_id", "sum_chars",
+            "text_hash_xor"])
+
+    parts = rd.read_json(out_dir).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype=np.int64),
+            "sum_doc_id": pd.Series(dtype=np.int64),
+            "sum_chars": pd.Series(dtype=np.int64),
+            "text_hash_xor": pd.Series(dtype=np.uint64)})
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_doc_id=("sum_doc_id", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        text_hash_xor=("text_hash_xor",
+                       lambda s: np.bitwise_xor.reduce(
+                           s.to_numpy(dtype=np.uint64))))
+    out["text_hash_xor"] = out["text_hash_xor"].astype(np.uint64)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+JSONL_ROUNDTRIP_DOCUMENTS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(len(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(md5_number_lower(coalesce(text, '')) AS UBIGINT))
+           AS text_hash_xor
+FROM documents GROUP BY lang
+"""

@@ -1,0 +1,175 @@
+"""Adversarial parity + kernel tests for the round-4 continuation text
+operators: normalization (NFC/lower/collapse with md5 byte-parity),
+Gopher-rule quality filter, fixed-vocabulary keyword search, and the
+JSONL sink/source round-trip.
+
+Same contract as test_oracle_parity: the driver gate only sees
+well-behaved testdata, so these fixtures stress the equivalences that
+could silently diverge — unicode normalization forms, non-ASCII
+whitespace vs RE2's ASCII ``\\s``, apostrophe tokens, JSON escaping of
+quotes/backslashes/newlines/non-BMP code points, and each Gopher rule
+failing in isolation.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TEXTS = [
+    "",                                    # 0 empty
+    "  The  QUICK\t brown FOX  ",          # 1 trim + collapse + case
+    "éclair ÉCLAIR",            # 2 NFC composition + lower
+    "a b",                            # 3 NBSP is NOT RE2 \s: kept
+    "don't don vector vectors",            # 4 token equality, not substr
+    "the a of to and " * 8,                # 5 40 words but 5 distinct:
+                                           #   fails the distinct rule
+    "the a " + " ".join(f"w{i}" for i in range(30)),
+                                           # 6 32 words all distinct,
+                                           #   2 stopwords, mwl at the
+                                           #   exact lower bound: keep
+    "the a " + "supercalifragilistic " * 33,  # 7 mean word len > 10
+    "the a of to and " + "word wort word tok en chars go by now ok "
+    * 3,                                   # 8 passes every rule
+    "one two",                             # 9 < 30 words
+    'quote " back \\ slash / newline\nand\ttab the a',  # 10 escaping
+    "emoji \U0001F600 plane \U0001D11E unicode",        # 11 non-BMP
+]
+LANGS = ["en", "de", "en", "fr", "en", "de",
+         "en", "de", "en", "fr", "en", "de"]
+
+
+@pytest.fixture(scope="module")
+def docs_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("textops")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+        "text": pa.array(TEXTS),
+        "lang": pa.array(LANGS),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def con(docs_path):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{docs_path}/documents.parquet')")
+    return c
+
+
+def _q():
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries,
+    )
+    return queries
+
+
+class TestNormalizeText:
+    def test_kernel_semantics(self):
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+
+        out = textfn.normalize_text(pa.array(TEXTS)).to_pylist()
+        assert out[1] == "the quick brown fox"
+        # combining e + U+0301 composes to the same bytes as lower(É)
+        assert out[2] == "éclair éclair"
+        # NBSP is not ASCII \s: neither collapsed nor trimmed
+        assert out[3] == "a b"
+        assert out[0] == ""
+        assert textfn.normalize_text(
+            pa.array([None], type=pa.string())).to_pylist() == [""]
+
+    def test_oracle_parity(self, ray_session, docs_path, con):
+        q = _q()
+        mine = q.normalize_text_documents(docs_path)
+        oracle = (con.execute(q.NORMALIZE_TEXT_DOCUMENTS_SQL).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert list(mine["norm_chars"]) == list(oracle["norm_chars"])
+        assert [int(x) for x in mine["norm_hash"]] == \
+            [int(x) for x in oracle["norm_hash"]]
+
+
+class TestGopherFilter:
+    def test_feature_kernel(self):
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+
+        f = textfn.gopher_features(pa.array(TEXTS))
+        # doc 4: don't / don / vector / vectors — apostrophe token kept
+        assert f.loc[4, "n_words"] == 4
+        assert f.loc[4, "n_distinct_words"] == 4
+        # doc 5: 40 tokens, 5 distinct, all stopwords
+        assert f.loc[5, "n_words"] == 40
+        assert f.loc[5, "n_distinct_words"] == 5
+        assert f.loc[5, "n_stopwords"] == 40
+        assert f.loc[0, "n_words"] == 0
+
+    def test_each_rule_bites(self, ray_session, docs_path):
+        q = _q()
+        kept = set(q.gopher_filter_documents(docs_path)["doc_id"])
+        assert 9 not in kept   # word-count rule (< 30)
+        assert 7 not in kept   # mean-word-length rule (> 10)
+        assert 5 not in kept   # distinct-fraction rule (5*5 <= 40)
+        assert 6 in kept       # 42 words, 2 stopwords, short tokens
+        assert 8 in kept       # passes every rule
+        # stopword rule: doc 6 minus its stopwords would fail
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+        f = textfn.gopher_features(pa.array(["zz " * 40]))
+        assert f.loc[0, "n_stopwords"] == 0  # would fail min_stop=2
+
+    def test_oracle_parity(self, ray_session, docs_path, con):
+        q = _q()
+        mine = q.gopher_filter_documents(docs_path)
+        oracle = (con.execute(q.GOPHER_FILTER_DOCUMENTS_SQL).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert mine.astype("int64").equals(oracle.astype("int64"))
+
+
+class TestKeywordSearch:
+    TERMS = ("vector", "don", "the")
+
+    def test_token_equality_not_substring(self, ray_session, docs_path):
+        q = _q()
+        out = q.keyword_search_documents(docs_path, terms=self.TERMS)
+        row = out[out["doc_id"] == 4].iloc[0]
+        # 'vectors' does not count toward 'vector'; "don't" is one
+        # token and does not count toward 'don'
+        assert row["tf_vector"] == 1
+        assert row["tf_don"] == 1
+        assert row["dl"] == 4
+
+    def test_oracle_parity_with_ranking(self, ray_session, docs_path,
+                                        con):
+        q = _q()
+        mine = q.keyword_search_documents(docs_path, terms=self.TERMS,
+                                          k=3)
+        sql = q._keyword_search_sql(self.TERMS, 3)
+        oracle = (con.execute(sql).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert len(mine) == 3
+        assert mine.astype("int64").equals(oracle.astype("int64"))
+
+
+class TestJsonlRoundtrip:
+    def test_escaping_survives(self, ray_session, docs_path, con):
+        """Quotes, backslashes, embedded newlines/tabs and non-BMP
+        code points must survive the write_json -> read_json cycle:
+        the per-lang md5-XOR only matches the straight-from-parquet
+        oracle when every byte round-tripped."""
+        q = _q()
+        mine = q.jsonl_roundtrip_documents(docs_path)
+        oracle = (con.execute(q.JSONL_ROUNDTRIP_DOCUMENTS_SQL).df()
+                  .sort_values("lang").reset_index(drop=True))
+        assert list(mine["lang"]) == list(oracle["lang"])
+        assert list(mine["n_docs"]) == list(oracle["n_docs"])
+        assert list(mine["sum_doc_id"]) == list(oracle["sum_doc_id"])
+        assert list(mine["sum_chars"]) == list(oracle["sum_chars"])
+        assert [int(x) for x in mine["text_hash_xor"]] == \
+            [int(x) for x in oracle["text_hash_xor"]]
