@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation #3: canonicalization, quality filter,
         # retrieval, JSONL interchange round-trip
         "normalize_text_documents": q.normalize_text_documents,
+        "corpus_curation_v5": q.corpus_curation_v5,
         "gopher_filter_documents": q.gopher_filter_documents,
         "keyword_search_documents": q.keyword_search_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
@@ -204,6 +205,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH pairs -> CC keep-one: exact minhash SQL replica chained
         # into the same unrolled propagation
         "minhash_dedup_keep_documents": q.MINHASH_DEDUP_KEEP_DOCUMENTS_SQL,
+        # v4 chain + the Gopher gate CTE spliced in, one end-to-end
+        # oracle over the full curation recipe
+        "corpus_curation_v5": q.CORPUS_CURATION_V5_SQL,
         # NFC/lower/collapse normalization proven by md5 byte parity
         # (utf8proc + RE2 on both engines)
         "normalize_text_documents": q.NORMALIZE_TEXT_DOCUMENTS_SQL,

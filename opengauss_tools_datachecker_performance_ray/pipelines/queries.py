@@ -3003,6 +3003,29 @@ GATE_GOPHER_DISTINCT_MULT = 5  # keep iff 5 * n_distinct > n_words
 GATE_GOPHER_MIN_STOP = 2
 
 
+def _gopher_keep_mask(feats: pd.DataFrame) -> np.ndarray:
+    """ONE boolean rule expression shared by the gate query and the
+    v5 curation stage, so the Ray side cannot drift from the literals
+    in their SQL oracles (the ``_bench_split`` discipline)."""
+    nw = feats["n_words"].to_numpy()
+    wc = feats["sum_word_chars"].to_numpy()
+    nd = feats["n_distinct_words"].to_numpy()
+    ns = feats["n_stopwords"].to_numpy()
+    return ((nw >= GATE_GOPHER_MIN_WORDS)
+            & (nw <= GATE_GOPHER_MAX_WORDS)
+            & (GATE_GOPHER_MWL_LO * nw <= wc)
+            & (wc <= GATE_GOPHER_MWL_HI * nw)
+            & (GATE_GOPHER_DISTINCT_MULT * nd > nw)
+            & (ns >= GATE_GOPHER_MIN_STOP))
+
+
+def _gopher_keep_batch(batch: pa.Table) -> pa.Table:
+    """Filter a batch to Gopher-rule survivors, keeping ALL columns —
+    the composable stage form used by ``corpus_curation_v5``."""
+    feats = textfn.gopher_features(batch.column("text"))
+    return batch.filter(pa.array(_gopher_keep_mask(feats)))
+
+
 def gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
     """Gopher-style document quality filter
     (``functions/textfn.gopher_features``): keep documents with
@@ -3016,21 +3039,15 @@ def gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
 
     def f(batch: pa.Table) -> pa.Table:
         feats = textfn.gopher_features(batch.column("text"))
-        nw = feats["n_words"].to_numpy()
-        wc = feats["sum_word_chars"].to_numpy()
-        nd = feats["n_distinct_words"].to_numpy()
-        ns = feats["n_stopwords"].to_numpy()
-        keep = ((nw >= GATE_GOPHER_MIN_WORDS)
-                & (nw <= GATE_GOPHER_MAX_WORDS)
-                & (GATE_GOPHER_MWL_LO * nw <= wc)
-                & (wc <= GATE_GOPHER_MWL_HI * nw)
-                & (GATE_GOPHER_DISTINCT_MULT * nd > nw)
-                & (ns >= GATE_GOPHER_MIN_STOP))
+        keep = _gopher_keep_mask(feats)
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "n_words": pa.array(nw), "sum_word_chars": pa.array(wc),
-            "n_distinct_words": pa.array(nd),
-            "n_stopwords": pa.array(ns),
+            "n_words": pa.array(feats["n_words"].to_numpy()),
+            "sum_word_chars":
+                pa.array(feats["sum_word_chars"].to_numpy()),
+            "n_distinct_words":
+                pa.array(feats["n_distinct_words"].to_numpy()),
+            "n_stopwords": pa.array(feats["n_stopwords"].to_numpy()),
         }).filter(pa.array(keep))
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -3041,7 +3058,7 @@ def gopher_filter_documents(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
-def _gopher_filter_sql() -> str:
+def _gopher_filter_sql(rel: str = "documents") -> str:
     from ..functions.textfn import GOPHER_STOPWORDS
 
     tok = TOKEN_RE.replace("'", "''")
@@ -3050,7 +3067,7 @@ def _gopher_filter_sql() -> str:
 WITH toks AS (
   SELECT doc_id,
          regexp_extract_all(lower(coalesce(text, '')), '{tok}') AS ws
-  FROM documents
+  FROM {rel}
 ), f AS (
   SELECT doc_id,
          CAST(len(ws) AS BIGINT) AS n_words,
@@ -3211,3 +3228,112 @@ SELECT lang, count(*) AS n_docs,
            AS text_hash_xor
 FROM documents GROUP BY lang
 """
+
+
+def corpus_curation_v5(sf_dir: str) -> pd.DataFrame:
+    """Capstone curation v5 = v4 with the Gopher quality gate as the
+    first corpus stage — the full modern curation recipe under ONE
+    end-to-end oracle:
+
+    1. split off the deterministic pseudo-benchmark (doc_id % 97 == 0);
+    2. Gopher-rule quality filter (``_gopher_keep_batch``, map-only);
+    3. hot-domain cap — <= 15 docs per source by Knuth-hash order;
+    4. benchmark decontamination (shingle overlap vs the benchmark);
+    5. near-dup keep-one via connected components;
+    6. sequence packing over the survivors;
+    7. per-source rollup: n_docs, n_tokens, first/last chunk touched.
+
+    Every stage is the production operator, unmodified. The SQL oracle
+    chains the gopher CTE (same ``_gopher_filter_sql`` literals)
+    between the benchmark split and the cap, then reuses the v4 chain
+    verbatim."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages import components, packing, sampling
+    from ..stages.dedup import filter_out_ids, ref_shingle_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    corpus = ds.map_batches(_bench_split(False), batch_format="pyarrow")
+    bench = ds.map_batches(_bench_split(True), batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+
+    qual = corpus.map_batches(_gopher_keep_batch,
+                              batch_format="pyarrow")
+    capped = sampling.cap_per_group(qual, "source", "doc_id",
+                                    V4_CAP_K) \
+        .materialize()  # consumed by the overlap scan AND the filter
+    flagged = ref_shingle_overlap(capped, bench, "doc_id", "text", k=5)
+    clean = filter_out_ids(capped, flagged, "doc_id").materialize()
+    losers = components.neardup_components(clean, "doc_id", "text",
+                                           k=5) \
+        .filter(expr="keep == 0")
+    kept = filter_out_ids(clean, losers, "doc_id")
+
+    packed = packing.pack_chunks(
+        kept.map_batches(
+            lambda b: _token_count_batch(b, ("doc_id", "source")),
+            batch_format="pyarrow"),
+        "doc_id", "n_tokens", GATE_PACK_CHUNK_TOKENS, bucket_width=64,
+        carry_cols=["source"])
+    out = packed.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Min("chunk_first", alias_name="first_chunk"),
+        Max("chunk_last", alias_name="last_chunk"))
+    df = _with_schema(out, ["source", "n_docs", "n_tokens",
+                            "first_chunk", "last_chunk"],
+                      {"source": object} | {c: np.int64 for c in
+                       ("n_docs", "n_tokens", "first_chunk",
+                        "last_chunk")})
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def _curation_v5_sql(cap_k: int = V4_CAP_K,
+                     chunk: int = GATE_PACK_CHUNK_TOKENS) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return ("WITH base AS MATERIALIZED (\n"
+            "  SELECT doc_id, source, text FROM documents"
+            " WHERE doc_id % 97 <> 0\n"
+            "), refdocs AS MATERIALIZED (\n"
+            "  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0\n"
+            "), " + _shingle_cte_for("refdocs", "r")
+            + f""", qual AS MATERIALIZED (
+  SELECT b.doc_id, b.source, b.text
+  FROM base b JOIN ({_gopher_filter_sql("base")}) g USING (doc_id)
+), capped AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text, row_number() OVER (
+      PARTITION BY source
+      ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+               % 4294967296, doc_id) AS rn
+    FROM qual) WHERE rn <= {cap_k}
+), """ + _shingle_cte_for("capped", "c") + """, cont AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id
+  FROM cex e JOIN (SELECT DISTINCT s FROM rex) r USING (s)
+), clean AS MATERIALIZED (
+  SELECT * FROM capped
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+), """ + _shingle_cte_for("clean", "k") + ", "
+            + _cc_propagation_sql("kex") + f""", kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM clean
+  WHERE doc_id NOT IN (SELECT n FROM l8 WHERE n <> lbl)
+), w AS MATERIALIZED (
+  SELECT doc_id, source,
+         len(regexp_extract_all(coalesce(text, ''), '{tok}')) AS nt
+  FROM kept
+), o AS MATERIALIZED (
+  SELECT source, CAST(nt AS BIGINT) AS nt,
+         CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM w
+)
+SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       min(off // {chunk}) AS first_chunk,
+       max(CASE WHEN nt > 0 THEN (off + nt - 1) // {chunk}
+                ELSE off // {chunk} END) AS last_chunk
+FROM o GROUP BY source
+""")
+
+
+CORPUS_CURATION_V5_SQL = _curation_v5_sql()

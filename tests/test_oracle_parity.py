@@ -478,3 +478,67 @@ class TestCurationV4Oracle:
         by_src = mine.set_index("source")["n_docs"].to_dict()
         assert "bench" not in by_src
         assert by_src["hot"] <= 15
+
+
+class TestCurationV5Oracle:
+    """corpus_curation_v5 vs CORPUS_CURATION_V5_SQL — v4's stages plus
+    the Gopher quality gate, on a corpus where every stage visibly
+    bites AND the gate runs BEFORE the cap (docs failing the quality
+    rules must not consume cap slots; value parity proves the
+    ordering)."""
+
+    @pytest.fixture(scope="class")
+    def docs_path(self, tmp_path_factory):
+        P = "quick brown fox jumps over"   # contamination phrase
+        Q = "lazy dog sleeps all day"      # shared dup shingle
+
+        def filler(i, n=28):
+            # 2 stopwords + n distinct words: passes every Gopher rule
+            return "the a " + " ".join(f"w{i}x{j}" for j in range(n))
+
+        rows = [(0, "bench", f"{P} {filler(0)}")]   # benchmark doc
+        # hot source: 20 Gopher-passing docs (cap keeps 15) + 5 short
+        # docs the gate must drop WITHOUT consuming cap slots
+        for i in range(100, 120):
+            rows.append((i, "hot", f"{filler(i)} h{i}a h{i}b h{i}c"))
+        for i in range(120, 125):
+            rows.append((i, "hot", "tiny doc"))
+        # quiet1: one doc contaminated by the benchmark phrase
+        rows.append((201, "quiet1", f"{P} {filler(201)}"))
+        # quiet2: near-dup pair sharing the 5-token shingle Q
+        rows.append((300, "quiet2", f"{Q} {filler(300)}"))
+        rows.append((301, "quiet2", f"{Q} {filler(301)}"))
+        # quiet3: fails ONLY the stopword rule (35 distinct words)
+        rows.append((400, "quiet3",
+                     " ".join(f"s{j}q" for j in range(35))))
+        # quiet4: fails ONLY the distinct-fraction rule
+        rows.append((500, "quiet4", "the a " + "rep " * 38))
+        df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        df["doc_id"] = df["doc_id"].astype(np.int64)
+        d = tmp_path_factory.mktemp("v5docs")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    def test_value_parity_and_stage_effects(self, ray_session,
+                                            docs_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = q.corpus_curation_v5(docs_path)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{docs_path}/documents.parquet')")
+        oracle = (con.execute(q.CORPUS_CURATION_V5_SQL).df()
+                  .sort_values("source").reset_index(drop=True))
+        for c in ("n_docs", "n_tokens", "first_chunk", "last_chunk"):
+            oracle[c] = oracle[c].astype(np.int64)
+        pd.testing.assert_frame_equal(mine, oracle[mine.columns])
+        by_src = mine.set_index("source")["n_docs"].to_dict()
+        assert "bench" not in by_src     # benchmark split
+        assert by_src["hot"] == 15       # gate dropped shorts, cap 15
+        assert "quiet1" not in by_src    # decontamination
+        assert by_src["quiet2"] == 1     # CC keep-one
+        assert "quiet3" not in by_src    # stopword rule
+        assert "quiet4" not in by_src    # distinct-fraction rule
