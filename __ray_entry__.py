@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_v5": q.corpus_curation_v5,
         "gopher_filter_documents": q.gopher_filter_documents,
         "keyword_search_documents": q.keyword_search_documents,
+        "bm25_search_documents": q.bm25_search_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
     }
 
@@ -215,6 +216,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_documents": q.GOPHER_FILTER_DOCUMENTS_SQL,
         # integer tf ranking -> bit-exact ORDER BY/LIMIT parity
         "keyword_search_documents": q.KEYWORD_SEARCH_DOCUMENTS_SQL,
+        # float BM25 bit-exact: driver math.log (libm = DuckDB ln),
+        # per-doc score via IEEE-exact + * / in mirrored order
+        "bm25_search_documents": q.BM25_SEARCH_DOCUMENTS_SQL,
         # sink+source cycle vs the straight-from-parquet rollup
         "jsonl_roundtrip_documents": q.JSONL_ROUNDTRIP_DOCUMENTS_SQL,
     }

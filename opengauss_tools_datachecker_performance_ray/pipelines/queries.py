@@ -3337,3 +3337,134 @@ FROM o GROUP BY source
 
 
 CORPUS_CURATION_V5_SQL = _curation_v5_sql()
+
+
+GATE_BM25_K1 = 1.2
+GATE_BM25_B = 0.75
+
+
+def bm25_search_documents(sf_dir: str,
+                          terms: tuple[str, ...] = GATE_SEARCH_TERMS,
+                          k: int = GATE_SEARCH_TOPK,
+                          k1: float = GATE_BM25_K1,
+                          b: float = GATE_BM25_B) -> pd.DataFrame:
+    """Full BM25 retrieval, bit-exact to the SQL oracle — the float
+    companion to ``keyword_search_documents``. Two distributed passes,
+    each a column-pruned read (the 100-TB path: no materialization
+    between passes):
+
+    1. corpus-stats fold: per-block partials (doc count, total tokens,
+       per-term document frequency) -> a few ints on the driver;
+       idf_t = ln(1 + (N - df + 0.5)/(df + 0.5)) via ``math.log``
+       (libm — verified bit-identical to DuckDB ``ln``; numpy's log
+       is NOT and is deliberately avoided);
+    2. scoring: per-doc BM25 from tf/dl using ONLY IEEE-exact + * /
+       in a parenthesization mirrored literally by the oracle, then
+       per-block partial top-k by (score DESC, doc_id) — <= k rows
+       leave each block, the driver merges.
+
+    The same discipline as ``quality_documents``' bit-exact claim:
+    identical doubles, not "close"."""
+    import math
+
+    if not len(terms):
+        raise ValueError("bm25 needs at least one query term")
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        tf, dl = textfn.term_frequencies(batch.column("text"), terms)
+        row = {"n": [len(dl)], "sum_dl": [int(dl.sum())]}
+        for j in range(len(terms)):
+            row[f"df_{j}"] = [int((tf[:, j] > 0).sum())]
+        return pd.DataFrame(row)
+
+    p = _read(sf_dir, "documents", ["text"]).map_batches(
+        stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(p["n"].sum()) if "n" in p.columns else 0
+    cols = ["doc_id", "bm25", "dl", "total_tf"]
+    dtypes = {"doc_id": np.int64, "bm25": np.float64,
+              "dl": np.int64, "total_tf": np.int64}
+    if n_docs == 0:
+        return pd.DataFrame({c: pd.Series(dtype=dtypes[c])
+                             for c in cols})
+    avgdl = float(int(p["sum_dl"].sum())) / float(n_docs)
+    idf = [math.log(1.0 + (n_docs - int(p[f"df_{j}"].sum()) + 0.5)
+                    / (int(p[f"df_{j}"].sum()) + 0.5))
+           for j in range(len(terms))]
+    c1, c2, c3 = k1 + 1.0, k1 * (1.0 - b), k1 * b
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        tf, dl = textfn.term_frequencies(batch.column("text"), terms)
+        dlr = dl.astype(np.float64) / avgdl
+        s = np.zeros(len(dl), dtype=np.float64)
+        for j in range(len(terms)):
+            tfj = tf[:, j].astype(np.float64)
+            s = s + idf[j] * ((tfj * c1) / (tfj + (c2 + c3 * dlr)))
+        out = pd.DataFrame({
+            "doc_id": batch.column("doc_id").to_numpy(),
+            "bm25": s, "dl": dl, "total_tf": tf.sum(axis=1)})
+        out = out[out["total_tf"] > 0]
+        return out.sort_values(["bm25", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    df = _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            score, batch_format="pyarrow"), cols, dtypes)
+    df = df.sort_values(["bm25", "doc_id"],
+                        ascending=[False, True]).head(k)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bm25_search_sql(terms: tuple[str, ...] = GATE_SEARCH_TERMS,
+                     k: int = GATE_SEARCH_TOPK,
+                     k1: float = GATE_BM25_K1,
+                     b: float = GATE_BM25_B) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    c1, c2, c3 = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT)"
+        f" AS tf_{j}" for j, t in enumerate(terms))
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{j}" for j in range(len(terms)))
+    idf_cols = ",\n         ".join(
+        f"ln(1.0 + (n - df_{j} + 0.5) / (df_{j} + 0.5)) AS idf_{j}"
+        for j in range(len(terms)))
+    term_exprs = [
+        f"idf_{j} * ((CAST(tf_{j} AS DOUBLE) * CAST({c1!r} AS DOUBLE))"
+        f" / (CAST(tf_{j} AS DOUBLE) + (CAST({c2!r} AS DOUBLE)"
+        f" + CAST({c3!r} AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))"
+        for j in range(len(terms))]
+    scoresum = term_exprs[0]
+    for e in term_exprs[1:]:
+        scoresum = f"({scoresum} + {e})"
+    total = " + ".join(f"tf_{j}" for j in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{tok}') AS ws
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         {tf_cols},
+         CAST(len(ws) AS BIGINT) AS dl
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM f
+), idf AS (
+  SELECT avgdl,
+         {idf_cols}
+  FROM stats
+)
+SELECT doc_id, {scoresum} AS bm25, dl,
+       CAST({total} AS BIGINT) AS total_tf
+FROM f, idf
+WHERE {total} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
+BM25_SEARCH_DOCUMENTS_SQL = _bm25_search_sql()

@@ -173,3 +173,46 @@ class TestJsonlRoundtrip:
         assert list(mine["sum_chars"]) == list(oracle["sum_chars"])
         assert [int(x) for x in mine["text_hash_xor"]] == \
             [int(x) for x in oracle["text_hash_xor"]]
+
+
+class TestBM25:
+    TERMS = ("vector", "the", "w3")  # rare / common / singleton
+
+    def test_bit_exact_parity(self, ray_session, docs_path, con):
+        q = _q()
+        mine = q.bm25_search_documents(docs_path, terms=self.TERMS,
+                                       k=10)
+        sql = q._bm25_search_sql(self.TERMS, 10)
+        oracle = (con.execute(sql).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert len(mine) == len(oracle)
+        # the headline claim: identical IEEE doubles, not "close"
+        assert np.array_equal(mine["bm25"].to_numpy(np.float64),
+                              oracle["bm25"].to_numpy(np.float64))
+        assert list(mine["doc_id"]) == list(oracle["doc_id"])
+
+    def test_idf_orders_rarity(self, ray_session, docs_path):
+        """A singleton term must outscore an everywhere term at equal
+        tf: doc 6 holds the corpus' only 'w3' (tf=1) plus one 'the';
+        its score must exceed any doc whose only match is 'the'."""
+        q = _q()
+        out = q.bm25_search_documents(docs_path, terms=self.TERMS,
+                                      k=12).set_index("doc_id")
+        only_the = [d for d in out.index
+                    if d not in (4, 6) and out.loc[d, "total_tf"] >= 1]
+        assert out.loc[6, "bm25"] > max(
+            out.loc[d, "bm25"] for d in only_the)
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+        d = tmp_path / "empty"
+        d.mkdir()
+        pqw.write_table(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string())}),
+            str(d / "documents.parquet"))
+        q = _q()
+        out = q.bm25_search_documents(str(d))
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "bm25", "dl",
+                                     "total_tf"]
