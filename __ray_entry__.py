@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter_documents": q.gopher_filter_documents,
         "keyword_search_documents": q.keyword_search_documents,
         "bm25_search_documents": q.bm25_search_documents,
+        "winnowing_profile_documents": q.winnowing_profile_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
     }
 
@@ -219,6 +220,9 @@ def oracle_sql() -> dict[str, str]:
         # float BM25 bit-exact: driver math.log (libm = DuckDB ln),
         # per-doc score via IEEE-exact + * / in mirrored order
         "bm25_search_documents": q.BM25_SEARCH_DOCUMENTS_SQL,
+        # winnowing fingerprints: md5 char-k-gram hashes + window-min,
+        # recomputed in SQL via generate_series + window functions
+        "winnowing_profile_documents": q.WINNOWING_PROFILE_DOCUMENTS_SQL,
         # sink+source cycle vs the straight-from-parquet rollup
         "jsonl_roundtrip_documents": q.JSONL_ROUNDTRIP_DOCUMENTS_SQL,
     }

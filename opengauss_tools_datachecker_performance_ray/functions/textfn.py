@@ -201,18 +201,28 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         .sum(axis=1).astype(np.int64)
 
 
-def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+def winnowing_fingerprints(text: str, k: int = 5, window: int = 4,
+                           hash_fn=None, lower: bool = True
+                           ) -> np.ndarray:
     """Document fingerprint set via winnowing (Schleimer et al. 2003):
     rolling k-gram hashes, then the minimum hash of each sliding window
     — a position-robust fingerprint set whose overlap estimates local
     similarity (the 'rolling hash document fingerprinting' primitive).
-    """
-    t = (text or "").lower()
+
+    ``hash_fn`` defaults to the fast vectorized ``hash64``; the gate
+    query passes ``md5_hash64`` so a SQL oracle can recompute the
+    identical fingerprints. ``lower=False`` skips the internal Python
+    ``str.lower`` for callers that already lowercased via Arrow
+    ``utf8_lower`` (utf8proc), avoiding the rare Python-vs-utf8proc
+    case-fold divergence."""
+    t = (text or "")
+    if lower:
+        t = t.lower()
     if len(t) < k:
         return np.empty(0, dtype=np.uint64)
     grams = np.array([t[i:i + k] for i in range(len(t) - k + 1)],
                      dtype=object)
-    h = hash64(grams)
+    h = (hash_fn or hash64)(grams)
     if len(h) <= window:
         return np.unique(h.min(keepdims=True))
     # sliding-window minimum via stride trick

@@ -3468,3 +3468,82 @@ LIMIT {k}
 
 
 BM25_SEARCH_DOCUMENTS_SQL = _bm25_search_sql()
+
+
+GATE_WINNOW_K = 5       # char k-gram size
+GATE_WINNOW_WINDOW = 4  # rolling-min window (Schleimer et al. 2003)
+
+
+def winnowing_profile_documents(sf_dir: str,
+                                k: int = GATE_WINNOW_K,
+                                window: int = GATE_WINNOW_WINDOW
+                                ) -> pd.DataFrame:
+    """Per-document winnowing fingerprint profile
+    (``functions/textfn.winnowing_fingerprints``): distinct-fingerprint
+    count + order-independent XOR per doc, with md5 char-k-gram hashes
+    so the SQL oracle recomputes the identical fingerprint sets
+    (substr + generate_series explode, window-min, DISTINCT XOR).
+    Lowercasing happens ONCE via Arrow ``utf8_lower`` (utf8proc =
+    DuckDB ``lower``) before the per-doc gram explode — the explode
+    itself is the module's documented unavoidable per-row step, same
+    as ``shingle_hashes``. Map-only; no shuffle at any scale."""
+
+    def f(batch: pa.Table) -> pd.DataFrame:
+        txt = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        ids = batch.column("doc_id").to_numpy()
+        n = np.zeros(len(ids), dtype=np.int64)
+        x = np.zeros(len(ids), dtype=np.uint64)
+        for i, t in enumerate(txt.to_pylist()):
+            fp = textfn.winnowing_fingerprints(
+                t, k=k, window=window, hash_fn=textfn.md5_hash64,
+                lower=False)
+            if len(fp):
+                n[i] = len(fp)
+                x[i] = np.bitwise_xor.reduce(fp)
+        return pd.DataFrame({"doc_id": ids, "n_fps": n, "fp_xor": x})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = _with_schema(ds.map_batches(f, batch_format="pyarrow"),
+                      ["doc_id", "n_fps", "fp_xor"],
+                      {"doc_id": np.int64, "n_fps": np.int64,
+                       "fp_xor": np.uint64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _winnowing_sql(k: int = GATE_WINNOW_K,
+                   window: int = GATE_WINNOW_WINDOW) -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+), g AS (
+  SELECT doc_id, i,
+         CAST(md5_number_lower(substr(t, CAST(i AS INTEGER), {k}))
+              AS UBIGINT) AS h
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {k - 1})) AS i
+        FROM pos)
+), c AS (
+  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+), w AS (
+  SELECT g.doc_id,
+         min(h) OVER (PARTITION BY g.doc_id ORDER BY i
+                      ROWS BETWEEN {window - 1} PRECEDING
+                      AND CURRENT ROW) AS m,
+         i, c.ng
+  FROM g JOIN c USING (doc_id)
+), sel AS (
+  SELECT doc_id, m FROM w
+  WHERE (ng > {window} AND i >= {window})
+     OR (ng <= {window} AND i = ng)
+), agg AS (
+  SELECT doc_id, CAST(count(DISTINCT m) AS BIGINT) AS n_fps,
+         bit_xor(DISTINCT m) AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fps, 0) AS n_fps,
+       coalesce(a.fp_xor, CAST(0 AS UBIGINT)) AS fp_xor
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+WINNOWING_PROFILE_DOCUMENTS_SQL = _winnowing_sql()

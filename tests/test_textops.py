@@ -216,3 +216,32 @@ class TestBM25:
         assert len(out) == 0
         assert list(out.columns) == ["doc_id", "bm25", "dl",
                                      "total_tf"]
+
+
+class TestWinnowingProfile:
+    def test_window_boundary_branches(self):
+        from opengauss_tools_datachecker_performance_ray.functions import (
+            textfn,
+        )
+
+        # len < k: no grams at all
+        assert len(textfn.winnowing_fingerprints(
+            "abc", hash_fn=textfn.md5_hash64)) == 0
+        # exactly window grams (len 8 -> 4 grams): single global min
+        assert len(textfn.winnowing_fingerprints(
+            "abcdefgh", hash_fn=textfn.md5_hash64)) == 1
+        # one past the boundary: two sliding windows
+        assert len(textfn.winnowing_fingerprints(
+            "abcdefghi", hash_fn=textfn.md5_hash64)) <= 2
+
+    def test_oracle_parity(self, ray_session, docs_path, con):
+        """Covers empty text, texts shorter than k, the ng<=window
+        short branch ('one two' -> 3 grams), NBSP and non-BMP chars
+        (substr/len are code-point-based on both engines)."""
+        q = _q()
+        mine = q.winnowing_profile_documents(docs_path)
+        oracle = (con.execute(q.WINNOWING_PROFILE_DOCUMENTS_SQL).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert list(mine["n_fps"]) == list(oracle["n_fps"])
+        assert [int(x) for x in mine["fp_xor"]] == \
+            [int(x) for x in oracle["fp_xor"]]
