@@ -245,3 +245,67 @@ class TestWinnowingProfile:
         assert list(mine["n_fps"]) == list(oracle["n_fps"])
         assert [int(x) for x in mine["fp_xor"]] == \
             [int(x) for x in oracle["fp_xor"]]
+
+
+class TestFuzzUnicodeParity:
+    """Seeded random corpus over an adversarial alphabet (ASCII,
+    control whitespace, NBSP, combining marks, precomposed accents,
+    CJK, non-BMP emoji, quotes/backslashes): every text operator must
+    hash/value-match its SQL oracle on it, not just on the tame
+    testdata."""
+
+    @pytest.fixture(scope="class")
+    def fuzz_path(self, tmp_path_factory):
+        rng = np.random.RandomState(20260818)
+        alphabet = np.array(
+            list("abcd XYZ012_'\"\\\t\n\r") + [
+                "\u00a0", "\u0301", "\u0308", "\u00e9", "\u00c9",
+                "\u4e2d", "\u6587", "\U0001F600", "\u000b", "  "],
+            dtype=object)
+        texts = ["".join(rng.choice(alphabet, size=rng.randint(0, 80)))
+                 for _ in range(300)]
+        d = tmp_path_factory.mktemp("fuzzdocs")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([("en", "de", "fr")[i % 3]
+                              for i in range(len(texts))]),
+        }), str(d / "documents.parquet"))
+        return str(d)
+
+    @pytest.fixture(scope="class")
+    def fuzz_con(self, fuzz_path):
+        c = duckdb.connect()
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{fuzz_path}/documents.parquet')")
+        return c
+
+    @pytest.mark.parametrize("query,sql_attr,sort_col", [
+        ("normalize_text_documents", "NORMALIZE_TEXT_DOCUMENTS_SQL",
+         "doc_id"),
+        ("winnowing_profile_documents",
+         "WINNOWING_PROFILE_DOCUMENTS_SQL", "doc_id"),
+        ("gopher_filter_documents", "GOPHER_FILTER_DOCUMENTS_SQL",
+         "doc_id"),
+        ("bm25_search_documents", "BM25_SEARCH_DOCUMENTS_SQL",
+         "doc_id"),
+        ("jsonl_roundtrip_documents", "JSONL_ROUNDTRIP_DOCUMENTS_SQL",
+         "lang"),
+    ])
+    def test_parity(self, ray_session, fuzz_path, fuzz_con, query,
+                    sql_attr, sort_col):
+        q = _q()
+        mine = getattr(q, query)(fuzz_path)
+        oracle = (fuzz_con.execute(getattr(q, sql_attr)).df()
+                  .sort_values(sort_col).reset_index(drop=True))
+        assert len(mine) == len(oracle), (len(mine), len(oracle))
+        assert list(mine.columns) == list(oracle.columns)
+        for c in mine.columns:
+            a, b = mine[c], oracle[c]
+            if str(a.dtype).startswith("float"):
+                assert np.array_equal(a.to_numpy(np.float64),
+                                      b.to_numpy(np.float64)), c
+            elif str(a.dtype).startswith("uint"):
+                assert [int(x) for x in a] == [int(x) for x in b], c
+            else:
+                assert list(a) == list(b), c
