@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search_documents": q.keyword_search_documents,
         "bm25_search_documents": q.bm25_search_documents,
         "winnowing_profile_documents": q.winnowing_profile_documents,
+        "vocabulary_documents": q.vocabulary_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
     }
 
@@ -223,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         # winnowing fingerprints: md5 char-k-gram hashes + window-min,
         # recomputed in SQL via generate_series + window functions
         "winnowing_profile_documents": q.WINNOWING_PROFILE_DOCUMENTS_SQL,
+        # tokenizer vocab: per-block term partials -> one groupby ->
+        # distributed sort; dense rank ids, integer tie-break
+        "vocabulary_documents": q.VOCABULARY_DOCUMENTS_SQL,
         # sink+source cycle vs the straight-from-parquet rollup
         "jsonl_roundtrip_documents": q.JSONL_ROUNDTRIP_DOCUMENTS_SQL,
     }

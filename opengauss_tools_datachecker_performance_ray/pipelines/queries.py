@@ -3547,3 +3547,74 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 WINNOWING_PROFILE_DOCUMENTS_SQL = _winnowing_sql()
+
+
+GATE_VOCAB_TOP = 1000
+
+
+def vocabulary_documents(sf_dir: str,
+                         top_v: int = GATE_VOCAB_TOP) -> pd.DataFrame:
+    """Corpus vocabulary build — the tokenizer-vocab step of a
+    training pipeline: global occurrence count + document frequency
+    per token, dense ids assigned by (count DESC, term) rank, top-V
+    kept. Scale path: per-batch partials (one row per DISTINCT term
+    per block — a doc never spans blocks, so per-block distinct-doc
+    counts sum to exact global df) -> ONE groupby over the term key ->
+    distributed sort of the vocab-sized table -> ``limit(top_v)``;
+    the corpus text never shuffles and the driver sees only the final
+    V rows. Integer-exact, bit-deterministic tie-break."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        toks, parent, _ = textfn._explode_tokens(batch.column("text"))
+        if not len(toks):
+            return pd.DataFrame({
+                "term": pd.Series(dtype=object),
+                "n_occur": pd.Series(dtype=np.int64),
+                "df": pd.Series(dtype=np.int64)})
+        g = pd.DataFrame({"term": toks, "p": parent}) \
+            .groupby("term", sort=False)
+        out = g.size().rename("n_occur").astype(np.int64).to_frame()
+        out["df"] = g["p"].nunique().astype(np.int64)
+        return out.reset_index()
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n_occur", alias_name="n_occur"),
+                                   Sum("df", alias_name="df")) \
+        .sort(["n_occur", "term"], descending=[True, False]) \
+        .limit(top_v)
+    df = _with_schema(agg, ["term", "n_occur", "df"],
+                      {"term": object, "n_occur": np.int64,
+                       "df": np.int64})
+    df["n_occur"] = df["n_occur"].astype(np.int64)
+    df["df"] = df["df"].astype(np.int64)
+    df["term_id"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df = df[["term", "term_id", "n_occur", "df"]]
+    return df.sort_values("term_id").reset_index(drop=True)
+
+
+def _vocabulary_sql(top_v: int = GATE_VOCAB_TOP) -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '{tok}'))
+             AS term
+  FROM documents
+), agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_occur,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT term,
+       CAST(row_number() OVER (ORDER BY n_occur DESC, term)
+            AS BIGINT) AS term_id,
+       n_occur, df
+FROM agg
+ORDER BY term_id
+LIMIT {top_v}
+"""
+
+
+VOCABULARY_DOCUMENTS_SQL = _vocabulary_sql()

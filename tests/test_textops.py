@@ -309,3 +309,30 @@ class TestFuzzUnicodeParity:
                 assert [int(x) for x in a] == [int(x) for x in b], c
             else:
                 assert list(a) == list(b), c
+
+
+class TestVocabulary:
+    def test_oracle_parity_and_tie_break(self, ray_session, docs_path,
+                                         con):
+        q = _q()
+        mine = q.vocabulary_documents(docs_path)
+        oracle = (con.execute(q.VOCABULARY_DOCUMENTS_SQL).df()
+                  .sort_values("term_id").reset_index(drop=True))
+        assert list(mine["term"]) == list(oracle["term"])
+        for c in ("term_id", "n_occur", "df"):
+            assert list(mine[c]) == list(oracle[c]), c
+        # tie-break determinism: the 30 singleton 'w<i>' tokens of
+        # doc 6 all have n_occur == 1 and must rank lexicographically
+        v = mine.set_index("term")
+        singles = [t for t in v.index
+                   if t.startswith("w") and v.loc[t, "n_occur"] == 1]
+        ids = [int(v.loc[t, "term_id"]) for t in sorted(singles)]
+        assert ids == sorted(ids) and len(singles) >= 30
+        # df vs n_occur: 'the' occurs more times than docs containing it
+        assert v.loc["the", "n_occur"] >= v.loc["the", "df"]
+
+    def test_top_v_limit(self, ray_session, docs_path):
+        q = _q()
+        out = q.vocabulary_documents(docs_path, top_v=5)
+        assert len(out) == 5
+        assert list(out["term_id"]) == [1, 2, 3, 4, 5]
