@@ -3133,11 +3133,15 @@ def keyword_search_documents(sf_dir: str,
 
 def _keyword_search_sql(terms: tuple[str, ...] = GATE_SEARCH_TERMS,
                         k: int = GATE_SEARCH_TOPK) -> str:
+    # terms may contain apostrophes (TOKEN_RE tokens can: "don't"):
+    # escape the literal and double-quote the alias. Tokens cannot
+    # contain double quotes, so the quoted alias needs no escaping.
     tok = TOKEN_RE.replace("'", "''")
     tf_cols = ",\n         ".join(
-        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        f"CAST(len(list_filter(ws, x -> x = '{t.replace(chr(39), chr(39) * 2)}'))"
+        f" AS BIGINT) AS \"tf_{t}\""
         for t in terms)
-    total = " + ".join(f"tf_{t}" for t in terms)
+    total = " + ".join(f'"tf_{t}"' for t in terms)
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -3185,38 +3189,40 @@ def jsonl_roundtrip_documents(sf_dir: str) -> pd.DataFrame:
           ["doc_id", "text", "lang"]).write_json(out_dir)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        langs = batch.column("lang").to_numpy(zero_copy_only=False)
         txt = pc.fill_null(batch.column("text"), "")
-        h = textfn.md5_hash64(txt.to_numpy(zero_copy_only=False))
-        chars = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
-        ids = batch.column("doc_id").to_numpy()
-        rows = []
-        for lang in np.unique(langs):
-            m = langs == lang
-            rows.append((lang, int(m.sum()), int(ids[m].sum()),
-                         int(chars[m].sum()),
-                         np.bitwise_xor.reduce(h[m])))
-        return pd.DataFrame(rows, columns=[
-            "lang", "n_docs", "sum_doc_id", "sum_chars",
-            "text_hash_xor"])
+        b = pd.DataFrame({
+            "lang": batch.column("lang").to_numpy(
+                zero_copy_only=False),
+            "doc_id": batch.column("doc_id").to_numpy(),
+            "chars": pc.utf8_length(txt).cast(pa.int64()).to_numpy(),
+            "h": textfn.md5_hash64(
+                txt.to_numpy(zero_copy_only=False)),
+        })
+        # dropna=False: a NULL lang is a group (matches SQL GROUP BY)
+        return b.groupby("lang", dropna=False, as_index=False).agg(
+            n_docs=("doc_id", "size"), sum_doc_id=("doc_id", "sum"),
+            sum_chars=("chars", "sum"),
+            text_hash_xor=("h", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))))
 
-    parts = rd.read_json(out_dir).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pd.DataFrame({
-            "lang": pd.Series(dtype=object),
-            "n_docs": pd.Series(dtype=np.int64),
-            "sum_doc_id": pd.Series(dtype=np.int64),
-            "sum_chars": pd.Series(dtype=np.int64),
-            "text_hash_xor": pd.Series(dtype=np.uint64)})
-    out = parts.groupby("lang", as_index=False).agg(
-        n_docs=("n_docs", "sum"), sum_doc_id=("sum_doc_id", "sum"),
-        sum_chars=("sum_chars", "sum"),
-        text_hash_xor=("text_hash_xor",
-                       lambda s: np.bitwise_xor.reduce(
-                           s.to_numpy(dtype=np.uint64))))
+    xor_fold = ("text_hash_xor", lambda s: np.bitwise_xor.reduce(
+        s.to_numpy(dtype=np.uint64)))
+    try:
+        parts = rd.read_json(out_dir).map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            return pd.DataFrame({
+                "lang": pd.Series(dtype=object),
+                "n_docs": pd.Series(dtype=np.int64),
+                "sum_doc_id": pd.Series(dtype=np.int64),
+                "sum_chars": pd.Series(dtype=np.int64),
+                "text_hash_xor": pd.Series(dtype=np.uint64)})
+        out = parts.groupby("lang", dropna=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_doc_id=("sum_doc_id", "sum"),
+            sum_chars=("sum_chars", "sum"), text_hash_xor=xor_fold)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     out["text_hash_xor"] = out["text_hash_xor"].astype(np.uint64)
-    shutil.rmtree(out_dir, ignore_errors=True)
     return out.sort_values("lang").reset_index(drop=True)
 
 
@@ -3421,7 +3427,8 @@ def _bm25_search_sql(terms: tuple[str, ...] = GATE_SEARCH_TERMS,
     tok = TOKEN_RE.replace("'", "''")
     c1, c2, c3 = k1 + 1.0, k1 * (1.0 - b), k1 * b
     tf_cols = ",\n         ".join(
-        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT)"
+        f"CAST(len(list_filter(ws, x -> x ="
+        f" '{t.replace(chr(39), chr(39) * 2)}')) AS BIGINT)"
         f" AS tf_{j}" for j, t in enumerate(terms))
     df_cols = ",\n         ".join(
         f"CAST(sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS BIGINT)"

@@ -336,3 +336,44 @@ class TestVocabulary:
         out = q.vocabulary_documents(docs_path, top_v=5)
         assert len(out) == 5
         assert list(out["term_id"]) == [1, 2, 3, 4, 5]
+
+
+class TestReviewFixes:
+    """Pins the code-review findings: apostrophe terms must be
+    oracle-able (escaped literal + quoted alias), and a NULL lang must
+    form its own rollup group instead of crashing the partial."""
+
+    def test_apostrophe_term_oracles(self, ray_session, docs_path,
+                                     con):
+        q = _q()
+        terms = ("don't", "vector")
+        mine = q.keyword_search_documents(docs_path, terms=terms, k=5)
+        oracle = (con.execute(q._keyword_search_sql(terms, 5)).df()
+                  .sort_values("doc_id").reset_index(drop=True))
+        assert list(mine.columns) == list(oracle.columns)
+        assert mine.astype("int64").equals(oracle.astype("int64"))
+        assert mine.set_index("doc_id").loc[4, "tf_don't"] == 1
+        b_mine = q.bm25_search_documents(docs_path, terms=terms, k=5)
+        b_ora = (con.execute(q._bm25_search_sql(terms, 5)).df()
+                 .sort_values("doc_id").reset_index(drop=True))
+        assert np.array_equal(b_mine["bm25"].to_numpy(np.float64),
+                              b_ora["bm25"].to_numpy(np.float64))
+
+    def test_jsonl_null_lang_group(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+        d = tmp_path / "nulllang"
+        d.mkdir()
+        pqw.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["aa", "bb", "cc"]),
+            "lang": pa.array(["en", "en", None]),
+        }), str(d / "documents.parquet"))
+        q = _q()
+        out = q.jsonl_roundtrip_documents(str(d))
+        assert len(out) == 2
+        nulls = out[out["lang"].isna()]
+        assert len(nulls) == 1
+        assert int(nulls.iloc[0]["n_docs"]) == 1
+        assert int(nulls.iloc[0]["sum_doc_id"]) == 3
+        en = out[out["lang"] == "en"].iloc[0]
+        assert int(en["n_docs"]) == 2 and int(en["sum_doc_id"]) == 3
