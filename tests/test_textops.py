@@ -377,3 +377,38 @@ class TestReviewFixes:
         assert int(nulls.iloc[0]["sum_doc_id"]) == 3
         en = out[out["lang"] == "en"].iloc[0]
         assert int(en["n_docs"]) == 2 and int(en["sum_doc_id"]) == 3
+
+
+class TestVocabularyCardinality:
+    def test_50k_distinct_terms_parity(self, ray_session,
+                                       tmp_path_factory):
+        """High-cardinality vocab: 5k docs x 10 unique terms + a few
+        hot terms — exercises the real groupby + distributed-sort path
+        (not the tiny-vocab shortcut) and the top-V cut through a band
+        of equal-count terms where only the lexicographic tie-break
+        decides membership."""
+        rng = np.random.RandomState(7)
+        texts = []
+        for i in range(5000):
+            uniq = " ".join(f"t{i}_{j}" for j in range(10))
+            hot = " ".join(rng.choice(["alpha", "beta", "gamma"],
+                                      size=rng.randint(0, 4)))
+            texts.append(f"{uniq} {hot}")
+        d = tmp_path_factory.mktemp("bigvocab")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }), str(d / "documents.parquet"))
+        q = _q()
+        mine = q.vocabulary_documents(str(d), top_v=500)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        oracle = (con.execute(q._vocabulary_sql(500)).df()
+                  .sort_values("term_id").reset_index(drop=True))
+        assert len(mine) == 500
+        assert list(mine["term"]) == list(oracle["term"])
+        assert list(mine["term_id"]) == list(oracle["term_id"])
+        assert list(mine["n_occur"]) == list(oracle["n_occur"])
+        # the hot terms outrank every singleton
+        assert set(mine.head(3)["term"]) == {"alpha", "beta", "gamma"}
