@@ -109,6 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="fixed token-window lines (default: split on \\n)")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
+    c.add_argument("--gopher-filter", action="store_true",
+                   help="apply the integer-exact Gopher quality rules "
+                        "(word count, mean word length, distinct "
+                        "fraction, stopword floor) before dedup")
     c.add_argument("--max-span-dup-ratio", type=float, default=None,
                    help="drop docs whose duplicated-5-gram fraction "
                         "strictly exceeds this (e.g. 0.25) before "
@@ -260,6 +264,12 @@ def _run(args) -> int:
                              f"key first"}), file=sys.stderr)
                 return 2
             ds = stable_sample(ds, args.id_col, args.sample_rate)
+        if args.gopher_filter:
+            from .pipelines.queries import _gopher_keep_batch
+
+            ds = ds.map_batches(
+                lambda b, _c=args.text_col: _gopher_keep_batch(b, _c),
+                batch_format="pyarrow")
         if args.max_span_dup_ratio is not None:
             from .stages.dedup import span_contamination_filter
 

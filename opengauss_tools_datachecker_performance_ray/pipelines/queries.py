@@ -3019,10 +3019,12 @@ def _gopher_keep_mask(feats: pd.DataFrame) -> np.ndarray:
             & (ns >= GATE_GOPHER_MIN_STOP))
 
 
-def _gopher_keep_batch(batch: pa.Table) -> pa.Table:
+def _gopher_keep_batch(batch: pa.Table, text_col: str = "text"
+                       ) -> pa.Table:
     """Filter a batch to Gopher-rule survivors, keeping ALL columns —
-    the composable stage form used by ``corpus_curation_v5``."""
-    feats = textfn.gopher_features(batch.column("text"))
+    the composable stage form used by ``corpus_curation_v5`` and the
+    ``curate --gopher-filter`` CLI."""
+    feats = textfn.gopher_features(batch.column(text_col))
     return batch.filter(pa.array(_gopher_keep_mask(feats)))
 
 

@@ -213,3 +213,25 @@ class TestCurateCli:
                    "--out", str(tmp_path / "o2"), "--redact", "ssn"])
         err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
         assert rc == 2 and "unknown --redact preset" in err["error"]
+
+
+class TestCurateGopherFilter:
+    def test_quality_gate_drops_short_docs(self, ray_session, tmp_path,
+                                           capsys):
+        passing = "the a " + " ".join(f"w{j}" for j in range(30))
+        docs = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array([passing, "tiny doc",
+                              passing + " extra tok", "the a"]),
+            "lang": pa.array(["en", "en", "en", "en"]),
+        })
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(docs, src)
+        out = str(tmp_path / "out")
+        rc = main(["curate", "--input", src, "--out", out,
+                   "--gopher-filter"])
+        assert rc == 0
+        capsys.readouterr()
+        back = pq.read_table(out + "/part=en").to_pandas()
+        # docs 1 and 3 fail the word-count rule and never reach dedup
+        assert sorted(back["doc_id"]) == [0, 2]
