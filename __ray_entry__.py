@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_profile_documents": q.winnowing_profile_documents,
         "vocabulary_documents": q.vocabulary_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
+        "redact_events_props": q.redact_events_props,
     }
 
 
@@ -229,4 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "vocabulary_documents": q.VOCABULARY_DOCUMENTS_SQL,
         # sink+source cycle vs the straight-from-parquet rollup
         "jsonl_roundtrip_documents": q.JSONL_ROUNDTRIP_DOCUMENTS_SQL,
+        # sequential RE2 preset chain rebuilt as one CTE per preset,
+        # md5-XOR byte parity on the redacted text
+        "redact_events_props": q.REDACT_EVENTS_PROPS_SQL,
     }

@@ -427,3 +427,44 @@ def term_frequencies(texts, terms: tuple[str, ...]):
         if m.any():
             tf[:, j] = np.bincount(parent[m], minlength=n)
     return tf, dl
+
+
+# --------------------------------------------------------------------------
+# Regex redaction (PII scrubbing) — reference parity: the reference's
+# table black/white regex rules (config/.../TableRegexRule) filter WHICH
+# tables flow; a training-data engine additionally needs to scrub WHAT
+# flows. Presets are RE2-syntax (no backrefs/lookaround) so the exact
+# same pattern string runs on pyarrow (RE2) and DuckDB (RE2): parity is
+# by construction, pinned by md5 tests in tests/test_textops.py.
+# --------------------------------------------------------------------------
+
+REDACT_PRESETS: dict[str, tuple[str, str]] = {
+    # name -> (RE2 pattern, replacement)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d().-]{6,}\d", "<PHONE>"),
+    "number": (r"[0-9]+", "#"),
+}
+
+
+def redact_chain(strings, presets=("email", "ipv4", "phone")):
+    """Sequentially apply the named redaction presets to a pyarrow
+    string array; returns ``(redacted, n_matches)`` where n_matches is
+    the per-row int64 total of pattern hits counted on the text AS IT
+    LOOKED when that preset ran (identical to nesting regexp_replace
+    in SQL). Fully vectorized: one C++ RE2 pass per preset per batch,
+    no Python per row. (Distinct from :func:`redact` above, the
+    pandas-Series single-token variant used by the curate CLI — this
+    one carries per-preset replacement tokens and hit counts.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = pc.fill_null(strings, "")  # nulls scrub like '' (SQL coalesce)
+    n = np.zeros(len(strings), dtype=np.int64)
+    for name in presets:
+        pat, rep = REDACT_PRESETS[name]
+        n += pc.count_substring_regex(out, pat).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = pc.replace_substring_regex(out, pat, rep)
+    return out, n

@@ -3627,3 +3627,81 @@ LIMIT {top_v}
 
 
 VOCABULARY_DOCUMENTS_SQL = _vocabulary_sql()
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction / PII scrubbing (training-data extension; reference
+# parity: the regex rule machinery of config table rules — here applied
+# to the VALUES instead of the table names)
+# ---------------------------------------------------------------------------
+
+_REDACT_CHAIN = ("email", "ipv4", "phone", "number")
+
+
+def redact_events_props(sf_dir: str) -> pd.DataFrame:
+    """PII-style regex redaction over ``events.props`` (the JSON
+    sidecar): sequentially applies the email → ipv4 → phone → number
+    presets (``textfn.REDACT_PRESETS``, RE2 on both engines) and rolls
+    up per event_type: row count, total pattern hits (counted on the
+    text as it looked when each preset ran, = nested regexp_replace
+    semantics), and the order-independent XOR of per-row md5 hashes of
+    the redacted text — any divergence in replacement semantics breaks
+    the hash match. Map-only + per-batch partials (<= n_types rows per
+    block); nothing wide, scale-safe by construction."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(batch.column("props"), "")
+        red, n = textfn.redact_chain(txt, _REDACT_CHAIN)
+        b = pd.DataFrame({
+            "event_type": batch.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "m": n,
+            "h": textfn.md5_hash64(red.to_numpy(zero_copy_only=False)),
+        })
+        return b.groupby("event_type", dropna=False, as_index=False).agg(
+            n_rows=("m", "size"), n_matches=("m", "sum"),
+            redacted_hash_xor=("h", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(dtype=np.uint64))))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype=object),
+            "n_rows": pd.Series(dtype=np.int64),
+            "n_matches": pd.Series(dtype=np.int64),
+            "redacted_hash_xor": pd.Series(dtype=np.uint64)})
+    out = parts.groupby("event_type", dropna=False, as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_matches=("n_matches", "sum"),
+        redacted_hash_xor=("redacted_hash_xor",
+                           lambda s: np.bitwise_xor.reduce(
+                               s.to_numpy(dtype=np.uint64))))
+    out["redacted_hash_xor"] = out["redacted_hash_xor"].astype(np.uint64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _redact_sql() -> str:
+    """Build the oracle as one CTE per preset so the SQL applies the
+    IDENTICAL pattern literals in the identical order, counting hits on
+    each stage's input exactly like ``textfn.redact``."""
+    lines = ["WITH s0 AS (SELECT event_type, coalesce(props, '') AS t"
+             " FROM events)"]
+    for i, name in enumerate(_REDACT_CHAIN, start=1):
+        pat, rep = textfn.REDACT_PRESETS[name]
+        lines.append(
+            f", s{i} AS (SELECT event_type,"
+            f" len(regexp_extract_all(t, '{pat}')) AS m{i},"
+            + "".join(f" m{j}," for j in range(1, i))
+            + f" regexp_replace(t, '{pat}', '{rep}', 'g') AS t"
+            f" FROM s{i - 1})")
+    total = " + ".join(f"m{i}" for i in range(1, len(_REDACT_CHAIN) + 1))
+    lines.append(
+        f"SELECT event_type, count(*) AS n_rows,"
+        f" CAST(sum({total}) AS BIGINT) AS n_matches,"
+        f" bit_xor(CAST(md5_number_lower(t) AS UBIGINT))"
+        f" AS redacted_hash_xor FROM s{len(_REDACT_CHAIN)}"
+        f" GROUP BY event_type")
+    return "\n".join(lines)
+
+
+REDACT_EVENTS_PROPS_SQL = _redact_sql()

@@ -177,6 +177,103 @@ def test_pattern_parity_fuzz(texts):
             f"SELECT {expr}", params).fetchone()[0], t
 
 
+# --- sequential preset chain (redact_chain / redact_events_props) ----
+
+CHAIN_SAMPLES = [
+    "mail a9@b.co from 10.0.0.1 call +1 (555) 123-4567 now",
+    "just 12345 numbers 6789",
+    "overlap: 1.2.3.4@not-an-ip and 999.999.999.999",
+    "unicode façade naïve 42",
+    "",
+    None,
+]
+_CHAIN = ("email", "ipv4", "phone", "number")
+
+
+def _duckdb_chain(con, t, presets):
+    cur = con.execute("SELECT coalesce(?, '')", [t]).fetchone()[0]
+    total = 0
+    for name in presets:
+        pat, rep = textfn.REDACT_PRESETS[name]
+        total += con.execute("SELECT len(regexp_extract_all(?, ?))",
+                             [cur, pat]).fetchone()[0]
+        cur = con.execute("SELECT regexp_replace(?, ?, ?, 'g')",
+                          [cur, pat, rep]).fetchone()[0]
+    return cur, total
+
+
+def test_redact_chain_matches_duckdb():
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    red, n = textfn.redact_chain(
+        pa.array(CHAIN_SAMPLES, type=pa.string()), _CHAIN)
+    red = red.to_pylist()
+    for i, t in enumerate(CHAIN_SAMPLES):
+        want_text, want_n = _duckdb_chain(con, t, _CHAIN)
+        assert red[i] == want_text, t
+        assert n[i] == want_n, t
+
+
+def test_redact_chain_counts_stage_input():
+    """Hits are counted on the text as it looked when that preset ran:
+    digits inside an email are consumed by the email replacement and
+    must NOT be re-counted by the later number preset (= nested
+    regexp_replace semantics, the contract the SQL oracle encodes)."""
+    import pyarrow as pa
+
+    red, n = textfn.redact_chain(pa.array(["a12@b.co x3"]),
+                                 ("email", "number"))
+    assert red.to_pylist() == ["<EMAIL> x#"]
+    assert n.tolist() == [2]  # one email + one digit run, not three
+
+
+_chain_text = st.text(alphabet=st.sampled_from(list(
+    "ab9@.+-() 05#<>%_")), max_size=50)
+
+
+@settings(deadline=None, max_examples=40)
+@given(st.lists(st.one_of(st.none(), _chain_text),
+                min_size=1, max_size=6))
+def test_redact_chain_parity_fuzz(texts):
+    """Arrow RE2 and DuckDB RE2 must agree on the full preset chain
+    (text AND per-stage hit totals) for arbitrary strings over the
+    preset alphabet, including strings already containing the
+    replacement tokens."""
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    red, n = textfn.redact_chain(pa.array(texts, type=pa.string()),
+                                 _CHAIN)
+    red = red.to_pylist()
+    for i, t in enumerate(texts):
+        want_text, want_n = _duckdb_chain(con, t, _CHAIN)
+        assert red[i] == want_text, t
+        assert n[i] == want_n, t
+
+
+def test_redact_events_gate_parity(ray_session, sf_dir):
+    """Driver-gate simulation for redact_events_props at sf0.001."""
+    import __ray_entry__ as e
+
+    got = e.queries()["redact_events_props"](sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(e.oracle_sql()["redact_events_props"]).df()
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    got = got[cols].copy()
+    got["redacted_hash_xor"] = got["redacted_hash_xor"].astype("int64",
+                                                               errors="ignore")
+    want = want[cols]
+    want["redacted_hash_xor"] = want["redacted_hash_xor"].astype(
+        "uint64").astype("int64", errors="ignore")
+    got = got.sort_values(cols).reset_index(drop=True)
+    want = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def _brute_span_scores(texts, k: int = 5):
     per_doc = []
     for t in texts:
