@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_documents": q.vocabulary_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "redact_events_props": q.redact_events_props,
+        # round-4 continuation #5: declarative constraint-rule engine
+        # (per-partition verdicts + violation-row emission)
+        "rules_documents": q.rules_documents,
+        "rules_events": q.rules_events,
+        "rule_violations_events": q.rule_violations_events,
     }
 
 
@@ -233,4 +238,9 @@ def oracle_sql() -> dict[str, str]:
         # sequential RE2 preset chain rebuilt as one CTE per preset,
         # md5-XOR byte parity on the redacted text
         "redact_events_props": q.REDACT_EVENTS_PROPS_SQL,
+        # rule set declared once, SQL generated from the same Rule
+        # objects (identical predicates / RE2 literals by construction)
+        "rules_documents": q.RULES_DOCUMENTS_SQL,
+        "rules_events": q.RULES_EVENTS_SQL,
+        "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
     }

@@ -1,0 +1,148 @@
+"""Declarative constraint-rule engine (pipelines/rules.py).
+
+Unit semantics on adversarial in-memory tables (nulls everywhere,
+duplicate keys, dangling FKs, null partition keys) plus a DuckDB
+parity check where the SQL oracle is generated from the SAME Rule
+objects that drive the Ray pass."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opengauss_tools_datachecker_performance_ray.pipelines import rules as R
+
+
+def _adversarial_df() -> pd.DataFrame:
+    return pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 5, 6, 7],
+        "grp": ["a", "a", None, "b", "b", "b", "a", "b"],
+        "val": [10.0, None, 5.0, -1.0, 99.0, 100.0, 101.0, 50.0],
+        "tag": ["x1", "x2", "zz", None, "x9", "yy", "x0", "x5"],
+        "fk": [100, 100, None, 200, 999, 100, 200, 998],
+    })
+
+
+RULESET = [
+    R.Rule("not_null", "grp"),
+    R.Rule("range", "val", {"lo": 0.0, "hi": 100.0}),
+    R.Rule("regex", "tag", {"pattern": "^x[0-9]$"}),
+    R.Rule("in_set", "tag", {"values": ["x0", "x1", "x2", "x5", "x9"]}),
+    R.Rule("unique", "id"),
+]
+
+
+def test_rule_ids_and_unknown_kind():
+    assert RULESET[1].rule_id == "range(val)"
+    assert R.Rule("unique", ("a", "b")).rule_id == "unique(a,b)"
+    with pytest.raises(ValueError):
+        R.Rule("nope", "x")
+
+
+def test_row_local_masks_null_semantics():
+    t = pa.table(_adversarial_df())
+    # not_null flags exactly the null grp row
+    m = RULESET[0].violation_mask(t.column("grp"))
+    assert m.to_pylist() == [False, False, True, False, False, False,
+                             False, False]
+    # range: null val is NOT a range violation; -1 and 101 are
+    m = RULESET[1].violation_mask(t.column("val"))
+    assert m.to_pylist() == [False, False, False, True, False, False,
+                             True, False]
+    # regex: null tag skipped, zz/yy flagged
+    m = RULESET[2].violation_mask(t.column("tag"))
+    assert m.to_pylist() == [False, False, True, False, False, True,
+                             False, False]
+
+
+def test_evaluate_rules_table_level(ray_session):
+    ds = rd.from_pandas(_adversarial_df())
+    rep = R.evaluate_rules(ds, RULESET, partition_col=None)
+    assert list(rep.columns) == R.REPORT_COLUMNS
+    by_id = rep.set_index("rule_id")
+    assert (rep["scope"] == "").all()
+    assert (rep["n_rows"] == 8).all()
+    assert by_id.loc["not_null(grp)", "n_violations"] == 1
+    assert by_id.loc["range(val)", "n_violations"] == 2
+    assert by_id.loc["regex(tag)", "n_violations"] == 2
+    assert by_id.loc["in_set(tag)", "n_violations"] == 2  # zz, yy
+    # id=2 twice -> 2 rows in violating groups
+    assert by_id.loc["unique(id)", "n_violations"] == 2
+    assert by_id.loc["unique(id)", "passed"] == 0
+    assert (rep["passed"] == (rep["n_violations"] == 0)
+            .astype(np.int64)).all()
+
+
+def test_evaluate_rules_partitioned_and_null_scope(ray_session):
+    ds = rd.from_pandas(_adversarial_df())
+    rep = R.evaluate_rules(ds, RULESET, partition_col="grp")
+    # 3 scopes (a, b, <null>) x 4 row-local + 1 table-level unique
+    assert len(rep) == 13
+    assert set(rep["scope"]) == {"a", "b", R.NULL_SCOPE, ""}
+    null_rows = rep[rep["scope"] == R.NULL_SCOPE].set_index("rule_id")
+    assert null_rows.loc["not_null(grp)", "n_violations"] == 1
+    b = rep[rep["scope"] == "b"].set_index("rule_id")
+    assert b.loc["range(val)", "n_violations"] == 1  # -1.0
+    assert b.loc["range(val)", "n_rows"] == 4
+    # cross-row rule stays table-level even when partitioned
+    uniq = rep[rep["rule_id"] == "unique(id)"]
+    assert list(uniq["scope"]) == [""] and int(uniq["n_rows"].iloc[0]) == 8
+
+
+def test_foreign_key_rule(ray_session):
+    ds = rd.from_pandas(_adversarial_df())
+    parent = rd.from_pandas(pd.DataFrame({"pid": [100, 200]}))
+    rep = R.evaluate_rules(
+        ds, [R.Rule("foreign_key", "fk",
+                    {"parent": parent, "parent_key": "pid"})])
+    assert int(rep["n_violations"].iloc[0]) == 2  # 999, 998; null skipped
+    assert int(rep["passed"].iloc[0]) == 0
+
+
+def test_violation_rows_stream_and_reject_cross_row(ray_session):
+    ds = rd.from_pandas(_adversarial_df())
+    out = R.rule_violation_rows(ds, RULESET[1], ["id", "val"]).to_pandas()
+    assert sorted(out["id"]) == [3, 6]
+    with pytest.raises(ValueError):
+        R.rule_violation_rows(ds, RULESET[4], ["id"])
+
+
+def test_sql_oracle_parity_from_same_rules(ray_session):
+    """The generated SQL, run over the identical rows, must reproduce
+    the Ray report bit-for-bit — including the FK rule via
+    fk_tables."""
+    df = _adversarial_df()
+    parent = pd.DataFrame({"pid": [100, 200]})
+    con = duckdb.connect()
+    con.register("t", df)
+    con.register("par", parent)
+    fk = R.Rule("foreign_key", "fk", {"parent": rd.from_pandas(parent),
+                                      "parent_key": "pid"})
+    ruleset = RULESET + [fk]
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        sql = R.rules_report_sql("t", ruleset, partition_col=part,
+                                 fk_tables={"foreign_key(fk)":
+                                            ("par", "pid")})
+        oracle = con.execute(sql).df().astype(
+            {c: np.int64 for c in ("n_rows", "n_violations", "passed")})
+        oracle = oracle.sort_values(["scope", "rule_id"]).reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_empty_input(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "grp": pa.array([], pa.large_string()),
+        "val": pa.array([], pa.float64()),
+        "tag": pa.array([], pa.large_string())}))
+    rep = R.evaluate_rules(empty, RULESET, partition_col="grp")
+    # no partitions seen -> no row-local rows; unique still reports
+    uniq = rep[rep["rule_id"] == "unique(id)"]
+    assert len(uniq) == 1
+    assert int(uniq["n_rows"].iloc[0]) == 0
+    assert int(uniq["passed"].iloc[0]) == 1
