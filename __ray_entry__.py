@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_documents": q.rules_documents,
         "rules_events": q.rules_events,
         "rule_violations_events": q.rule_violations_events,
+        "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
     }
 
 
@@ -243,4 +244,8 @@ def oracle_sql() -> dict[str, str]:
         "rules_documents": q.RULES_DOCUMENTS_SQL,
         "rules_events": q.RULES_EVENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
+        # list<float> constraint verdict: null/dim/non-finite/zero-norm
+        # /label-domain/dup-id counts, DuckDB list kernels as oracle
+        "embedding_integrity_embeddings":
+            q.EMBEDDING_INTEGRITY_EMBEDDINGS_SQL,
     }

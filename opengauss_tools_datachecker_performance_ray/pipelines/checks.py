@@ -1035,3 +1035,81 @@ def exact_quantiles_by_group(ds, group_col: str, value_col: str,
         for q in qs:
             rows.append({group_col: grp, "q": q, "value": got.get(q)})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column integrity (north-star extension: the multimodal
+# analog of the reference's per-column structure check —
+# `check/modules/check/TableCheckService` style verdicts applied to a
+# list<float> column that no SQL-typed reference column covers)
+# ---------------------------------------------------------------------------
+
+
+def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
+                               id_col: str | None = None,
+                               label_col: str | None = None,
+                               label_lo=None, label_hi=None,
+                               batch_size: int | None = None) -> pd.DataFrame:
+    """One-row integrity report over an embedding table: null vectors,
+    dimension mismatches, non-finite elements, all-zero vectors,
+    out-of-domain labels, duplicate ids — the constraint set a vector
+    index ingest must hold.
+
+    Scale path: one streaming pass; each block emits ONE row of seven
+    integer partial counts (the flattened float values are scanned
+    vectorized and never leave the task). The optional duplicate-id
+    leg reuses the bucketed ``uniqueness_violations`` machinery.
+
+    Element semantics shared with the SQL oracle: "non-finite" is
+    ``NOT isfinite(x)`` (NaN or ±inf) and "zero vector" is a non-empty
+    vector with no element ``x != 0.0`` — NaN compares unequal to 0 on
+    both engines, so a NaN-bearing vector counts non-finite but never
+    zero-norm."""
+    cols = [vec_col] + ([label_col] if label_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = batch.column(vec_col).combine_chunks()
+        n = len(la)
+        valid = pc.is_valid(la)
+        n_null = n - pc.sum(pc.cast(valid, pa.int64())).as_py() if n else 0
+        lens = pc.list_value_length(la)  # null where la is null
+        mism = pc.sum(pc.cast(pc.and_(valid, pc.not_equal(
+            lens, expected_dim)), pa.int64())).as_py() or 0
+        vals = np.asarray(pc.list_flatten(la), dtype=np.float64)
+        lens_np = np.asarray(pc.fill_null(lens, 0), dtype=np.int64)
+        rowidx = np.repeat(np.arange(n, dtype=np.int64), lens_np)
+        nonfinite_rows = np.unique(rowidx[~np.isfinite(vals)])
+        nonzero_rows = np.unique(rowidx[vals != 0.0])
+        n_len_pos = int(np.count_nonzero(lens_np > 0))
+        n_zero_norm = n_len_pos - len(nonzero_rows)
+        n_label_oob = 0
+        if label_col is not None:
+            lab = batch.column(label_col)
+            bad = pa.array(np.zeros(len(lab), dtype=bool))
+            if label_lo is not None:
+                bad = pc.or_(bad, pc.less(lab, label_lo))
+            if label_hi is not None:
+                bad = pc.or_(bad, pc.greater(lab, label_hi))
+            n_label_oob = pc.sum(pc.cast(pc.and_(
+                pc.is_valid(lab), pc.fill_null(bad, False)),
+                pa.int64())).as_py() or 0
+        return pa.table({
+            "n_rows": pa.array([n], pa.int64()),
+            "n_null_vec": pa.array([int(n_null)], pa.int64()),
+            "n_dim_mismatch": pa.array([int(mism)], pa.int64()),
+            "n_nonfinite": pa.array([len(nonfinite_rows)], pa.int64()),
+            "n_zero_norm": pa.array([int(n_zero_norm)], pa.int64()),
+            "n_label_oob": pa.array([int(n_label_oob)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    out = (parts.sum().to_frame().T if len(parts) else pd.DataFrame(
+        [[0] * 6], columns=["n_rows", "n_null_vec", "n_dim_mismatch",
+                            "n_nonfinite", "n_zero_norm", "n_label_oob"]))
+    if id_col is not None:
+        vdf = uniqueness_violations(ds, [id_col]).to_pandas()
+        out["n_dup_ids"] = int(vdf["n"].sum()) if len(vdf) else 0
+    bad_cols = [c for c in out.columns if c not in ("n_rows",)]
+    out["passed"] = int(sum(int(out[c].iloc[0]) for c in bad_cols) == 0)
+    return out.astype(np.int64).reset_index(drop=True)

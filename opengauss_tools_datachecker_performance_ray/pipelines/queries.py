@@ -3794,3 +3794,52 @@ SELECT event_id, value FROM events
 WHERE {GATE_EVENT_RULES_LOCAL[1].violation_sql()}
 ORDER BY event_id
 """
+
+
+GATE_EMB_DIM = 64
+GATE_EMB_LABEL_LO, GATE_EMB_LABEL_HI = 0, 9
+
+
+def embedding_integrity_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Vector-column constraint verdict over the embeddings table
+    (``checks.embedding_integrity_counts``): null vectors, dim != 64,
+    non-finite elements, all-zero vectors, labels outside [0, 9],
+    duplicate vec_ids — one streaming pass emitting one integer
+    partial row per block, plus the bucketed uniqueness leg."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return checks.embedding_integrity_counts(
+        ds, "embedding", GATE_EMB_DIM, id_col="vec_id",
+        label_col="label", label_lo=GATE_EMB_LABEL_LO,
+        label_hi=GATE_EMB_LABEL_HI)
+
+
+EMBEDDING_INTEGRITY_EMBEDDINGS_SQL = f"""
+WITH flags AS (
+  SELECT
+    CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS f_null,
+    CASE WHEN embedding IS NOT NULL
+          AND len(embedding) <> {GATE_EMB_DIM} THEN 1 ELSE 0 END AS f_dim,
+    CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+          x -> NOT isfinite(x))) > 0 THEN 1 ELSE 0 END AS f_nonfin,
+    CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+          AND len(list_filter(embedding, x -> x <> 0.0)) = 0
+         THEN 1 ELSE 0 END AS f_zero,
+    CASE WHEN label IS NOT NULL AND (label < {GATE_EMB_LABEL_LO}
+          OR label > {GATE_EMB_LABEL_HI}) THEN 1 ELSE 0 END AS f_lab
+  FROM embeddings
+), dup AS (
+  SELECT count(*) AS n FROM (SELECT count(*) OVER
+    (PARTITION BY vec_id) AS c FROM embeddings) WHERE c > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(f_null), 0) AS BIGINT) AS n_null_vec,
+       CAST(coalesce(sum(f_dim), 0) AS BIGINT) AS n_dim_mismatch,
+       CAST(coalesce(sum(f_nonfin), 0) AS BIGINT) AS n_nonfinite,
+       CAST(coalesce(sum(f_zero), 0) AS BIGINT) AS n_zero_norm,
+       CAST(coalesce(sum(f_lab), 0) AS BIGINT) AS n_label_oob,
+       CAST((SELECT n FROM dup) AS BIGINT) AS n_dup_ids,
+       CAST(CASE WHEN coalesce(sum(f_null + f_dim + f_nonfin + f_zero
+            + f_lab), 0) + (SELECT n FROM dup) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS passed
+FROM flags
+"""
