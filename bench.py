@@ -111,6 +111,7 @@ def run_bench() -> dict:
     # not per-execution fixed costs (round-2 finding)
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "256"))
     text_repeat = int(os.environ.get("GRAFT_BENCH_TEXT_REPEAT", "192"))
+    rules_repeat = int(os.environ.get("GRAFT_BENCH_RULES_REPEAT", "1024"))
     headlines_only = os.environ.get("GRAFT_BENCH_HEADLINES_ONLY") == "1"
 
     benches = {
@@ -147,6 +148,11 @@ def run_bench() -> dict:
                 lambda sf: q.compare_dirty10(sf, materialize_digests=False),
             "compare_dirty10_materialized":
                 lambda sf: q.compare_dirty10(sf, materialize_digests=True),
+            # north-metric microbench: fused row-local constraint-eval
+            # pass (4 rules incl. regex) over `rules_repeat` copies of
+            # documents — pure "validated docs/sec"
+            "rules_documents_scaled":
+                lambda sf: q.rules_documents_scaled(sf, repeat=rules_repeat),
         })
     for name, fn in benches.items():
         t0 = time.time()
@@ -226,6 +232,10 @@ def run_bench() -> dict:
         # both sides digested + compared
         "rows_per_sec": round(2 * n_orders * repeat / headline, 1),
         "validated_docs_per_sec": docs_per_sec,
+        "rule_eval_docs_per_sec": round(
+            rules_repeat
+            * pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+            / timings["rules_documents_scaled"], 1),
         "total_sec": round(sum(timings.values()), 3),
         "queries_rerun": rerun,
         "rows_per_sec_best": round(

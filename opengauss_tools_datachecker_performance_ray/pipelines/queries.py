@@ -3843,3 +3843,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
             AS BIGINT) AS passed
 FROM flags
 """
+
+
+def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
+    """Bench: constraint-eval throughput — the north metric's
+    "validated docs/sec" in its purest form. The four row-local
+    GATE_DOC_RULES (null / domain / range / regex) are evaluated over
+    ``repeat`` copies of the documents table: one task per copy reads
+    the parquet shard, computes every rule's mask vectorized in one
+    fused pass (``rules.row_local_partials``) and emits per-lang
+    integer partial rows; the driver folds partials into the verdict
+    report (counts = ``repeat`` × the single-copy verdict, pinned by
+    test). The cross-row uniqueness leg is benched separately
+    (``uniqueness_lineitem``) — this measures the fused scan."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    local = [r for r in GATE_DOC_RULES if r.kind not in ("unique",
+                                                         "foreign_key")]
+
+    def shard_eval(batch) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from ..functions.runtime import pin_worker_threads
+
+        pin_worker_threads()
+        t = pq.read_table(
+            path, columns=["doc_id", "text", "lang", "n_chars", "source"],
+            use_threads=False)
+        return rulesmod.row_local_partials(t, local, "lang")
+
+    parts = rd.range(repeat, override_num_blocks=repeat) \
+        .map_batches(shard_eval, batch_format="numpy", batch_size=None) \
+        .to_pandas()
+    merged = rulesmod.merge_partials(parts, len(local))
+    rows = rulesmod.partials_to_report(merged, local)
+    df = pd.DataFrame(rows, columns=rulesmod.REPORT_COLUMNS)
+    return (df.astype({"n_rows": np.int64, "n_violations": np.int64,
+                       "passed": np.int64})
+              .sort_values(["scope", "rule_id"]).reset_index(drop=True))

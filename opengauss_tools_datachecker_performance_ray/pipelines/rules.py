@@ -147,6 +147,52 @@ def _sql_lit(v) -> str:
 REPORT_COLUMNS = ["scope", "rule_id", "n_rows", "n_violations", "passed"]
 
 
+def row_local_partials(batch: pa.Table, local: list[Rule],
+                       partition_col: str | None) -> pa.Table:
+    """One block's contribution to the verdict report: every row-local
+    rule's violation mask computed vectorized on the same batch, summed
+    per partition value — wide integer partial rows (scope, n_rows,
+    v0..vN), never the data itself."""
+    vcols = [f"v{i}" for i in range(len(local))]
+    cols = {}
+    if partition_col is not None:
+        scope = batch.column(partition_col).cast(pa.large_string())
+        cols["scope"] = pc.fill_null(scope, NULL_SCOPE)
+    else:
+        cols["scope"] = pa.array([""] * len(batch),
+                                 type=pa.large_string())
+    cols["n_rows"] = pa.array(np.ones(len(batch), dtype=np.int64))
+    for name, rule in zip(vcols, local):
+        mask = rule.violation_mask(batch.column(rule.column))
+        cols[name] = pc.cast(mask, pa.int64())
+    t = pa.table(cols)
+    aggs = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
+    g = t.group_by(["scope"]).aggregate(aggs)
+    return g.rename_columns(["scope", "n_rows"] + vcols)
+
+
+def merge_partials(part: pd.DataFrame, n_local: int) -> pd.DataFrame:
+    """Driver-side fold of the per-block partial rows."""
+    if part.empty:  # empty Dataset loses its schema on to_pandas
+        part = pd.DataFrame(columns=["scope", "n_rows"]
+                            + [f"v{i}" for i in range(n_local)])
+    return part.groupby("scope", sort=True).sum().reset_index()
+
+
+def partials_to_report(merged: pd.DataFrame,
+                       local: list[Rule]) -> list[dict]:
+    """Melt the merged wide partials into per-(scope, rule) verdict
+    rows."""
+    rows = []
+    for _, row in merged.iterrows():
+        for i, rule in enumerate(local):
+            nv = int(row[f"v{i}"])
+            rows.append({"scope": row["scope"], "rule_id": rule.rule_id,
+                         "n_rows": int(row["n_rows"]),
+                         "n_violations": nv, "passed": int(nv == 0)})
+    return rows
+
+
 def evaluate_rules(ds, rules: list[Rule],
                    partition_col: str | None = None,
                    batch_size: int | None = None) -> pd.DataFrame:
@@ -170,39 +216,14 @@ def evaluate_rules(ds, rules: list[Rule],
     total_rows = None
 
     if local:
-        vcols = [f"v{i}" for i in range(len(local))]
-
         def partials(batch: pa.Table) -> pa.Table:
-            cols = {}
-            if partition_col is not None:
-                scope = batch.column(partition_col).cast(pa.large_string())
-                cols["scope"] = pc.fill_null(scope, NULL_SCOPE)
-            else:
-                cols["scope"] = pa.array([""] * len(batch),
-                                         type=pa.large_string())
-            cols["n_rows"] = pa.array(np.ones(len(batch), dtype=np.int64))
-            for name, rule in zip(vcols, local):
-                mask = rule.violation_mask(batch.column(rule.column))
-                cols[name] = pc.cast(mask, pa.int64())
-            t = pa.table(cols)
-            aggs = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
-            g = t.group_by(["scope"]).aggregate(aggs)
-            return g.rename_columns(["scope", "n_rows"] + list(vcols))
+            return row_local_partials(batch, local, partition_col)
 
         part = ds.map_batches(partials, batch_format="pyarrow",
                               batch_size=batch_size).to_pandas()
-        if part.empty:  # empty Dataset loses its schema on to_pandas
-            part = pd.DataFrame(columns=["scope", "n_rows"] + vcols)
-        merged = part.groupby("scope", sort=True).sum().reset_index()
+        merged = merge_partials(part, len(local))
         total_rows = int(merged["n_rows"].sum())
-        for _, row in merged.iterrows():
-            for name, rule in zip(vcols, local):
-                nv = int(row[name])
-                out_rows.append({"scope": row["scope"],
-                                 "rule_id": rule.rule_id,
-                                 "n_rows": int(row["n_rows"]),
-                                 "n_violations": nv,
-                                 "passed": int(nv == 0)})
+        out_rows.extend(partials_to_report(merged, local))
 
     if cross:
         if total_rows is None:

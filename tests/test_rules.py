@@ -146,3 +146,19 @@ def test_empty_input(ray_session):
     assert len(uniq) == 1
     assert int(uniq["n_rows"].iloc[0]) == 0
     assert int(uniq["passed"].iloc[0]) == 1
+
+
+def test_rules_documents_scaled_matches_single_copy(ray_session, sf_dir):
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    one = q.rules_documents(sf_dir)
+    one = one[~one["rule_id"].str.startswith("unique")].reset_index(
+        drop=True)
+    three = q.rules_documents_scaled(sf_dir, repeat=3)
+    assert list(three["rule_id"]) == list(one["rule_id"])
+    assert (three["n_rows"].to_numpy()
+            == 3 * one["n_rows"].to_numpy()).all()
+    assert (three["n_violations"].to_numpy()
+            == 3 * one["n_violations"].to_numpy()).all()
+    assert (three["passed"].to_numpy() == one["passed"].to_numpy()).all()
