@@ -124,6 +124,31 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--partition-col", default="lang")
     c.add_argument("--num-cpus", type=int, default=None)
 
+    r = sub.add_parser(
+        "rules",
+        help="declarative constraint-rule validation of one table "
+             "(not_null/in_set/range/regex/unique/foreign_key from a "
+             "JSON spec; per-partition verdicts + violation rows)")
+    r.add_argument("--input", required=True,
+                   help="parquet file or directory")
+    r.add_argument("--spec", required=True,
+                   help='JSON file: {"partition_col": ..., "rules": '
+                        '[{"kind": "range", "column": "x", "lo": 0}, '
+                        "...]}")
+    r.add_argument("--partition-col", default=None,
+                   help="override the spec's partition_col")
+    r.add_argument("--report-out", default=None,
+                   help="write the verdict report as parquet here")
+    r.add_argument("--violations-out", default=None,
+                   help="write violation rows per failing row-local "
+                        "rule under this directory")
+    r.add_argument("--violation-columns", default=None,
+                   help="comma list of evidence columns (default: the "
+                        "rule's own column)")
+    r.add_argument("--violations-cap", type=int, default=10000,
+                   help="max violation rows written per rule")
+    r.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
     s.add_argument("--sink", required=True)
@@ -204,8 +229,6 @@ def _run(args) -> int:
                                max_diff_count=args.max_diff_count,
                                secondary_recheck=not args.no_secondary)
         if args.stream:
-            import os
-
             from .sources.debezium import ChangeLogTailer
 
             if not os.path.isdir(args.change_log):
@@ -316,6 +339,54 @@ def _run(args) -> int:
             res = {"written": ["*"], "skipped": []}
         print(json.dumps({"result": "success", **res}, default=str))
         return 0
+    if args.cmd == "rules":
+        import re
+
+        import ray.data as rd
+
+        from .pipelines import rules as R
+
+        with open(args.spec) as f:
+            spec = json.load(f)
+        part_col = args.partition_col or spec.get("partition_col")
+        try:
+            ruleset = R.rules_from_spec(spec["rules"], rd.read_parquet)
+        except (KeyError, ValueError, TypeError) as ex:
+            print(json.dumps({"result": "error",
+                              "error": f"bad rule spec: {ex!r}"}),
+                  file=sys.stderr)
+            return 2
+        cols = R.columns_needed(ruleset, part_col)
+        ds = rd.read_parquet(args.input, columns=cols)
+        rep = R.evaluate_rules(ds, ruleset, partition_col=part_col)
+        if args.report_out:
+            os.makedirs(os.path.dirname(args.report_out) or ".",
+                        exist_ok=True)
+            rep.to_parquet(args.report_out, index=False)
+        failing = sorted(set(rep.loc[rep["passed"] == 0, "rule_id"]))
+        if args.violations_out:
+            ev_cols = (args.violation_columns.split(",")
+                       if args.violation_columns else None)
+            for rule in ruleset:
+                if rule.kind not in ("not_null", "in_set", "range",
+                                     "regex") or rule.rule_id not in failing:
+                    continue
+                want = ev_cols or [rule.column]
+                out_dir = os.path.join(
+                    args.violations_out,
+                    re.sub(r"[^A-Za-z0-9_.,-]", "_", rule.rule_id))
+                os.makedirs(out_dir, exist_ok=True)
+                R.rule_violation_rows(ds, rule, want) \
+                    .limit(args.violations_cap).write_parquet(out_dir)
+        ok = bool((rep["passed"] == 1).all())
+        print(json.dumps({
+            "result": "success" if ok else "failed",
+            "rules": len(ruleset),
+            "verdicts": len(rep),
+            "failed_rules": failing,
+            "total_violations": int(rep["n_violations"].sum()),
+        }))
+        return 0 if ok else 1
     keys = _parse_keys(args.keys)
     rules = None
     if args.table_white or args.table_black:

@@ -323,3 +323,47 @@ SELECT '' AS scope, '{r.rule_id}' AS rule_id,
            AS passed""")
     union = "\nUNION ALL\n".join(selects)
     return f"SELECT * FROM (\n{union}\n) ORDER BY scope, rule_id"
+
+
+def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
+    """Build a rule set from a JSON-friendly spec (the CLI contract).
+
+    Each entry: ``{"kind": ..., "column": ...}`` plus the kind's
+    params (``values`` / ``lo`` / ``hi`` / ``pattern``); ``unique``
+    accepts a list column for composite keys; ``foreign_key`` takes
+    ``parent`` as a parquet path/dir loaded via ``read_parquet``
+    (pruned to the parent key column) and ``parent_key``."""
+    out = []
+    for e in spec:
+        kind = e["kind"]
+        col = e["column"]
+        if kind == "unique" and isinstance(col, list):
+            col = tuple(col)
+        if kind == "in_set":
+            params = {"values": e["values"]}
+        elif kind == "range":
+            params = {"lo": e.get("lo"), "hi": e.get("hi")}
+        elif kind == "regex":
+            params = {"pattern": e["pattern"]}
+        elif kind == "foreign_key":
+            if read_parquet is None:
+                raise ValueError("foreign_key spec needs a reader")
+            params = {"parent": read_parquet(e["parent"],
+                                             columns=[e["parent_key"]]),
+                      "parent_key": e["parent_key"]}
+        else:
+            params = {}
+        out.append(Rule(kind, col, params))
+    return out
+
+
+def columns_needed(rules: list[Rule],
+                   partition_col: str | None) -> list[str]:
+    """The projection a rule set actually reads — pass to
+    ``read_parquet(columns=...)`` so unchecked (wide) columns never
+    leave storage."""
+    need = set() if partition_col is None else {partition_col}
+    for r in rules:
+        need |= set(r.column) if isinstance(r.column, tuple) \
+            else {r.column}
+    return sorted(need)

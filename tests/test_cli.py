@@ -235,3 +235,69 @@ class TestCurateGopherFilter:
         back = pq.read_table(out + "/part=en").to_pandas()
         # docs 1 and 3 fail the word-count rule and never reach dedup
         assert sorted(back["doc_id"]) == [0, 2]
+
+
+class TestRulesCli:
+    def _write(self, tmp_path):
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 3], pa.int64()),
+            "grp": ["a", "a", "b", "b"],
+            "v": pa.array([5, 500, 7, None], pa.int64()),
+        })
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        spec = {"partition_col": "grp", "rules": [
+            {"kind": "not_null", "column": "v"},
+            {"kind": "range", "column": "v", "lo": 0, "hi": 100},
+            {"kind": "unique", "column": "id"},
+        ]}
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps(spec))
+        return str(inp), str(sp)
+
+    def test_rules_failing_table(self, ray_session, tmp_path, capsys):
+        inp, sp = self._write(tmp_path)
+        rep_out = tmp_path / "rep.parquet"
+        viol_out = tmp_path / "viol"
+        rc = main(["rules", "--input", inp, "--spec", sp,
+                   "--report-out", str(rep_out),
+                   "--violations-out", str(viol_out),
+                   "--violation-columns", "id,v"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert sorted(out["failed_rules"]) == [
+            "not_null(v)", "range(v)", "unique(id)"]
+        assert out["total_violations"] == 4  # 1 null + 1 range + 2 dup
+
+        import pandas as pd
+
+        rep = pd.read_parquet(str(rep_out))
+        # 2 scopes x 2 row-local + 1 table-level unique
+        assert len(rep) == 5
+        viol = pd.read_parquet(str(viol_out / "range_v_"))
+        assert list(viol.columns) == ["id", "v"]
+        assert viol["id"].tolist() == [2]
+
+    def test_rules_clean_table_exit_zero(self, ray_session, tmp_path,
+                                         capsys):
+        t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([5, 6], pa.int64())})
+        inp = tmp_path / "clean.parquet"
+        pq.write_table(t, str(inp))
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "range", "column": "v", "lo": 0, "hi": 100},
+            {"kind": "unique", "column": "id"}]}))
+        rc = main(["rules", "--input", str(inp), "--spec", str(sp)])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+
+    def test_rules_bad_spec_exit_two(self, ray_session, tmp_path,
+                                     capsys):
+        inp, _ = self._write(tmp_path)
+        sp = tmp_path / "bad.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "nope", "column": "v"}]}))
+        rc = main(["rules", "--input", inp, "--spec", str(sp)])
+        err = capsys.readouterr().err
+        assert rc == 2 and "bad rule spec" in err
