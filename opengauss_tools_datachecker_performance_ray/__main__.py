@@ -351,12 +351,17 @@ def _run(args) -> int:
         part_col = args.partition_col or spec.get("partition_col")
         try:
             ruleset = R.rules_from_spec(spec["rules"], rd.read_parquet)
-        except (KeyError, ValueError, TypeError) as ex:
+        except (KeyError, ValueError, TypeError, OSError) as ex:
             print(json.dumps({"result": "error",
                               "error": f"bad rule spec: {ex!r}"}),
                   file=sys.stderr)
             return 2
-        cols = R.columns_needed(ruleset, part_col)
+        ev_cols = (args.violation_columns.split(",")
+                   if args.violation_columns else None)
+        # the read projection must also carry the evidence columns the
+        # violation pass will select later
+        cols = sorted(set(R.columns_needed(ruleset, part_col))
+                      | set(ev_cols or []))
         ds = rd.read_parquet(args.input, columns=cols)
         rep = R.evaluate_rules(ds, ruleset, partition_col=part_col)
         if args.report_out:
@@ -365,8 +370,6 @@ def _run(args) -> int:
             rep.to_parquet(args.report_out, index=False)
         failing = sorted(set(rep.loc[rep["passed"] == 0, "rule_id"]))
         if args.violations_out:
-            ev_cols = (args.violation_columns.split(",")
-                       if args.violation_columns else None)
             for rule in ruleset:
                 if rule.kind not in ("not_null", "in_set", "range",
                                      "regex") or rule.rule_id not in failing:

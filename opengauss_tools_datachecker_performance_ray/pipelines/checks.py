@@ -1064,8 +1064,12 @@ def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
     ``NOT isfinite(x)`` (NaN or ±inf) and "zero vector" is a non-empty
     vector with no element ``x != 0.0`` — NaN compares unequal to 0 on
     both engines, so a NaN-bearing vector counts non-finite but never
-    zero-norm."""
+    zero-norm. NULL *elements* inside a list are skipped by both
+    predicates (DuckDB's ``list_filter`` drops NULL lambda results),
+    so an all-NULL non-empty vector counts zero-norm and nothing
+    else."""
     cols = [vec_col] + ([label_col] if label_col else [])
+    scan = ds.select_columns(cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         la = batch.column(vec_col).combine_chunks()
@@ -1075,11 +1079,16 @@ def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
         lens = pc.list_value_length(la)  # null where la is null
         mism = pc.sum(pc.cast(pc.and_(valid, pc.not_equal(
             lens, expected_dim)), pa.int64())).as_py() or 0
-        vals = np.asarray(pc.list_flatten(la), dtype=np.float64)
+        flat = pc.list_flatten(la)
+        # NULL elements -> NaN in the numpy view; elem_valid excludes
+        # them from both predicates (matching list_filter's NULL drop)
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        elem_valid = ~pc.is_null(flat).to_numpy(zero_copy_only=False)
         lens_np = np.asarray(pc.fill_null(lens, 0), dtype=np.int64)
         rowidx = np.repeat(np.arange(n, dtype=np.int64), lens_np)
-        nonfinite_rows = np.unique(rowidx[~np.isfinite(vals)])
-        nonzero_rows = np.unique(rowidx[vals != 0.0])
+        nonfinite_rows = np.unique(
+            rowidx[elem_valid & ~np.isfinite(vals)])
+        nonzero_rows = np.unique(rowidx[elem_valid & (vals != 0.0)])
         n_len_pos = int(np.count_nonzero(lens_np > 0))
         n_zero_norm = n_len_pos - len(nonzero_rows)
         n_label_oob = 0
@@ -1102,8 +1111,8 @@ def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
             "n_label_oob": pa.array([int(n_label_oob)], pa.int64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=batch_size).to_pandas()
+    parts = scan.map_batches(partial, batch_format="pyarrow",
+                             batch_size=batch_size).to_pandas()
     out = (parts.sum().to_frame().T if len(parts) else pd.DataFrame(
         [[0] * 6], columns=["n_rows", "n_null_vec", "n_dim_mismatch",
                             "n_nonfinite", "n_zero_norm", "n_label_oob"]))

@@ -73,6 +73,16 @@ class Rule:
     def __post_init__(self):
         if self.kind not in _ROW_LOCAL + _CROSS_ROW:
             raise ValueError(f"unknown rule kind {self.kind!r}")
+        # reject silently-vacuous rules at construction (a bounds-less
+        # range passes everything on the Ray side and generates
+        # unparseable SQL)
+        if self.kind == "range" and self.params.get("lo") is None \
+                and self.params.get("hi") is None:
+            raise ValueError("range rule needs lo and/or hi")
+        if self.kind == "in_set" and not self.params.get("values"):
+            raise ValueError("in_set rule needs a non-empty values list")
+        if self.kind == "regex" and not self.params.get("pattern"):
+            raise ValueError("regex rule needs a pattern")
 
     @property
     def rule_id(self) -> str:
@@ -88,7 +98,7 @@ class Rule:
             return pc.invert(valid)
         if self.kind == "in_set":
             hit = pc.is_in(col, value_set=pa.array(
-                self.params["values"], type=_value_set_type(col)))
+                self.params["values"], type=col.type))
             return pc.and_(valid, pc.invert(hit))
         if self.kind == "range":
             lo, hi = self.params.get("lo"), self.params.get("hi")
@@ -125,11 +135,6 @@ class Rule:
             return (f"({c} IS NOT NULL AND NOT "
                     f"regexp_matches({c}, '{pat}'))")
         raise ValueError(f"{self.kind} has no row-local SQL predicate")
-
-
-def _value_set_type(col) -> pa.DataType:
-    t = col.type
-    return t
 
 
 def _sql_lit(v) -> str:

@@ -97,3 +97,29 @@ def test_empty_table(ray_session):
         label_col="label", label_lo=0, label_hi=9)
     assert int(rep["n_rows"].iloc[0]) == 0
     assert int(rep["passed"].iloc[0]) == 1
+
+
+def test_null_elements_match_sql(ray_session):
+    """NULL elements inside vectors: skipped by both predicates on
+    both engines (list_filter drops NULL lambda results), so an
+    all-NULL vector is zero-norm and a partially-NULL finite vector is
+    clean."""
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, None, 1.0, 1.0],
+                               [None, None, None, None],
+                               [float("nan"), None, 1.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 2], pa.int32()),
+    })
+    rep = checks.embedding_integrity_counts(
+        rd.from_arrow(t), "embedding", DIM, id_col="vec_id",
+        label_col="label", label_lo=0, label_hi=9)
+    row = rep.iloc[0]
+    assert row["n_nonfinite"] == 1   # only the NaN row
+    assert row["n_zero_norm"] == 1   # only the all-NULL row
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    sql = EMBEDDING_INTEGRITY_EMBEDDINGS_SQL.replace("<> 64", f"<> {DIM}")
+    oracle = con.execute(sql).df().astype(np.int64)
+    pd.testing.assert_frame_equal(rep, oracle)

@@ -162,3 +162,15 @@ def test_rules_documents_scaled_matches_single_copy(ray_session, sf_dir):
     assert (three["n_violations"].to_numpy()
             == 3 * one["n_violations"].to_numpy()).all()
     assert (three["passed"].to_numpy() == one["passed"].to_numpy()).all()
+
+
+def test_vacuous_rule_params_rejected():
+    with pytest.raises(ValueError):
+        R.Rule("range", "x")  # no bounds
+    with pytest.raises(ValueError):
+        R.Rule("in_set", "x", {"values": []})
+    with pytest.raises(ValueError):
+        R.Rule("regex", "x", {"pattern": ""})
+    # one-sided ranges stay legal
+    assert R.Rule("range", "x", {"lo": 0}).violation_sql()
+    assert R.Rule("range", "x", {"hi": 5}).violation_sql()
