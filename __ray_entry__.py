@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_events": q.rules_events,
         "rule_violations_events": q.rule_violations_events,
         "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
+        "stratified_sample_documents": q.stratified_sample_documents,
     }
 
 
@@ -248,4 +249,6 @@ def oracle_sql() -> dict[str, str]:
         # /label-domain/dup-id counts, DuckDB list kernels as oracle
         "embedding_integrity_embeddings":
             q.EMBEDDING_INTEGRITY_EMBEDDINGS_SQL,
+        # per-lang keep thresholds from the same rates dict (data mix)
+        "stratified_sample_documents": q.STRATIFIED_SAMPLE_DOCUMENTS_SQL,
     }

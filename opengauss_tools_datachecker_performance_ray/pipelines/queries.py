@@ -3882,3 +3882,40 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     return (df.astype({"n_rows": np.int64, "n_violations": np.int64,
                        "passed": np.int64})
               .sort_values(["scope", "rule_id"]).reset_index(drop=True))
+
+
+# data-mixing gate: downsample the dominant lang, upsample the rare
+# one, default in between — rates chosen so every branch is exercised
+GATE_MIX_RATES = {"en": 0.05, "zh": 0.5}
+GATE_MIX_DEFAULT = 0.2
+
+
+def stratified_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language stratified sample of documents
+    (``stages/sampling.stratified_sample``): the training-mix step —
+    deterministic Knuth-hash keep with per-group thresholds, nested
+    strata (raising a rate only adds rows), zero shuffle."""
+    from ..stages import sampling
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sampling.stratified_sample(ds, "doc_id", "lang",
+                                     GATE_MIX_RATES, GATE_MIX_DEFAULT)
+    df = _with_schema(out, ["doc_id", "lang"],
+                      {"doc_id": np.int64, "lang": object})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _stratified_sample_sql() -> str:
+    from ..stages.sampling import stratified_threshold_case_sql
+
+    case = stratified_threshold_case_sql("lang", GATE_MIX_RATES,
+                                         GATE_MIX_DEFAULT)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+      % 4294967296 < {case}
+ORDER BY doc_id
+"""
+
+
+STRATIFIED_SAMPLE_DOCUMENTS_SQL = _stratified_sample_sql()

@@ -106,3 +106,43 @@ def split_train_holdout(ds, key_col: str, holdout_frac: float):
 
     return (ds.map_batches(side(False), batch_format="pyarrow"),
             ds.map_batches(side(True), batch_format="pyarrow"))
+
+
+def stratified_sample(ds, key_col: str, group_col: str,
+                      rates: dict, default_rate: float = 1.0):
+    """Per-group sampling rates over one stream — the data-MIXING
+    primitive (upsample rare languages / downsample hot sources to a
+    target distribution, the Common-Crawl -> training-mix step every
+    LLM corpus recipe applies). ``rates`` maps group value -> keep
+    rate; unlisted (and null) groups use ``default_rate``.
+
+    Same Knuth-hash kernel as ``stable_sample``, so strata are NESTED:
+    raising a group's rate only ADDS rows, never reshuffles the ones
+    already kept — reproducible curriculum growth. Stateless
+    map_batches filter; no shuffle at any corpus size; integer-exact
+    in SQL (one CASE over the same thresholds)."""
+    import pandas as pd
+
+    thr_map = {g: sample_threshold(r) for g, r in rates.items()}
+    dthr = sample_threshold(default_rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        u = knuth_u32(keys)
+        grp = batch.column(group_col).to_pandas()
+        # float64 holds every threshold (< 2^32) exactly
+        thr = grp.map(thr_map).fillna(float(dthr)) \
+            .to_numpy(dtype=np.float64).astype(np.uint64)
+        return batch.filter(pa.array(u < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_threshold_case_sql(group_col: str, rates: dict,
+                                  default_rate: float) -> str:
+    """The SQL threshold expression built from the SAME rates dict
+    the Ray filter uses (single source of truth for the oracle)."""
+    whens = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {sample_threshold(r)}"
+        for g, r in rates.items())
+    return f"CASE {whens} ELSE {sample_threshold(default_rate)} END"

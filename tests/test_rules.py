@@ -174,3 +174,41 @@ def test_vacuous_rule_params_rejected():
     # one-sided ranges stay legal
     assert R.Rule("range", "x", {"lo": 0}).violation_sql()
     assert R.Rule("range", "x", {"hi": 5}).violation_sql()
+
+
+class TestStratifiedSample:
+    def test_nested_strata_and_rates(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            sampling)
+
+        t = pa.table({
+            "k": pa.array(list(range(2000)), pa.int64()),
+            "g": (["a"] * 1000) + (["b"] * 600) + ([None] * 400),
+        })
+        lo = sampling.stratified_sample(
+            rd.from_arrow(t), "k", "g", {"a": 0.1, "b": 1.0}, 0.0) \
+            .to_pandas()
+        hi = sampling.stratified_sample(
+            rd.from_arrow(t), "k", "g", {"a": 0.5, "b": 1.0}, 0.2) \
+            .to_pandas()
+        # rate 1.0 keeps every b; rate 0.0 keeps no default(null) row
+        assert (lo["g"] == "b").sum() == 600
+        assert lo["g"].isna().sum() == 0
+        assert hi["g"].isna().sum() > 0
+        # nested: every row kept at the lower rates survives the higher
+        assert set(lo["k"]) <= set(hi["k"])
+        # per-group keep fraction lands near the declared rate
+        a_frac = (lo["g"] == "a").sum() / 1000
+        assert 0.05 < a_frac < 0.15
+
+    def test_matches_stable_sample_when_uniform(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            sampling)
+
+        t = pa.table({"k": pa.array(list(range(500)), pa.int64()),
+                      "g": ["x", "y"] * 250})
+        uni = sampling.stratified_sample(
+            rd.from_arrow(t), "k", "g", {}, 0.3).to_pandas()
+        ref = sampling.stable_sample(
+            rd.from_arrow(t), "k", 0.3).to_pandas()
+        assert sorted(uni["k"]) == sorted(ref["k"])
