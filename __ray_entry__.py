@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_violations_events": q.rule_violations_events,
         "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
         "stratified_sample_documents": q.stratified_sample_documents,
+        "chunk_windows_documents": q.chunk_windows_documents,
     }
 
 
@@ -251,4 +252,6 @@ def oracle_sql() -> dict[str, str]:
             q.EMBEDDING_INTEGRITY_EMBEDDINGS_SQL,
         # per-lang keep thresholds from the same rates dict (data mix)
         "stratified_sample_documents": q.STRATIFIED_SAMPLE_DOCUMENTS_SQL,
+        # sliding-window chunk text byte-exact vs list-slice replica
+        "chunk_windows_documents": q.CHUNK_WINDOWS_DOCUMENTS_SQL,
     }

@@ -3919,3 +3919,49 @@ ORDER BY doc_id
 
 
 STRATIFIED_SAMPLE_DOCUMENTS_SQL = _stratified_sample_sql()
+
+
+GATE_CHUNK_WINDOW = 40
+GATE_CHUNK_STRIDE = 30
+
+
+def chunk_windows_documents(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window token chunking of documents
+    (``stages/chunking.window_chunks``): 40-token windows every 30
+    tokens (10-token overlap), window text reassembled byte-exact —
+    the long-context training-prep step, proven against a
+    generate_series + list-slice SQL replica."""
+    from ..stages.chunking import window_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = window_chunks(ds, "doc_id", "text",
+                        GATE_CHUNK_WINDOW, GATE_CHUNK_STRIDE)
+    df = _with_schema(out, ["doc_id", "win_no", "n_tok", "win_text"],
+                      {"doc_id": np.int64, "win_no": np.int64,
+                       "n_tok": np.int64, "win_text": object})
+    return df.sort_values(["doc_id", "win_no"]).reset_index(drop=True)
+
+
+CHUNK_WINDOWS_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts, len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+), wins AS (
+  SELECT doc_id, ts, n,
+         CASE WHEN n <= {GATE_CHUNK_WINDOW} THEN 1
+              ELSE (n - {GATE_CHUNK_WINDOW} + {GATE_CHUNK_STRIDE} - 1)
+                   // {GATE_CHUNK_STRIDE} + 1 END AS c
+  FROM toks
+), expl AS (
+  SELECT doc_id, ts, n, unnest(range(0, c)) AS win_no FROM wins
+)
+SELECT doc_id, win_no,
+       least({GATE_CHUNK_WINDOW},
+             n - win_no * {GATE_CHUNK_STRIDE}) AS n_tok,
+       array_to_string(
+         ts[win_no * {GATE_CHUNK_STRIDE} + 1 :
+            least(win_no * {GATE_CHUNK_STRIDE}
+                  + {GATE_CHUNK_WINDOW}, n)], ' ') AS win_text
+FROM expl
+ORDER BY doc_id, win_no
+"""
