@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
         "stratified_sample_documents": q.stratified_sample_documents,
         "chunk_windows_documents": q.chunk_windows_documents,
+        "corpus_curation_v6": q.corpus_curation_v6,
     }
 
 
@@ -254,4 +255,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": q.STRATIFIED_SAMPLE_DOCUMENTS_SQL,
         # sliding-window chunk text byte-exact vs list-slice replica
         "chunk_windows_documents": q.CHUNK_WINDOWS_DOCUMENTS_SQL,
+        # v5 recipe + stratified mix + window chunking, one chained CTE
+        "corpus_curation_v6": q.CORPUS_CURATION_V6_SQL,
     }

@@ -3965,3 +3965,127 @@ SELECT doc_id, win_no,
 FROM expl
 ORDER BY doc_id, win_no
 """
+
+
+def corpus_curation_v6(sf_dir: str) -> pd.DataFrame:
+    """Capstone curation v6 = the v5 recipe with the two newest
+    operators composed in — the full mix-and-chunk pipeline under ONE
+    end-to-end oracle:
+
+    1. deterministic pseudo-benchmark split (doc_id % 97 == 0);
+    2. Gopher-rule quality gate;
+    3. **stratified per-language mix** (GATE_MIX_RATES — the data-mix
+       step, nested-strata Knuth kernel);
+    4. hot-domain cap (<= 15 docs per source, hash order);
+    5. benchmark n-gram decontamination;
+    6. near-dup keep-one via connected components;
+    7. **sliding-window chunking** (40/30 tokens, overlap) of the
+       survivors, carrying source onto every window row;
+    8. per-source rollup: chunked docs, windows, window tokens,
+       deepest window index.
+
+    Every stage is the production operator, unmodified."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages import components, sampling
+    from ..stages.chunking import window_chunks
+    from ..stages.dedup import filter_out_ids, ref_shingle_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+    corpus = ds.map_batches(_bench_split(False), batch_format="pyarrow")
+    bench = ds.map_batches(_bench_split(True), batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+
+    qual = corpus.map_batches(_gopher_keep_batch, batch_format="pyarrow")
+    mixed = sampling.stratified_sample(qual, "doc_id", "lang",
+                                       GATE_MIX_RATES, GATE_MIX_DEFAULT)
+    capped = sampling.cap_per_group(mixed, "source", "doc_id",
+                                    V4_CAP_K).materialize()
+    flagged = ref_shingle_overlap(capped, bench, "doc_id", "text", k=5)
+    clean = filter_out_ids(capped, flagged, "doc_id").materialize()
+    losers = components.neardup_components(clean, "doc_id", "text",
+                                           k=5).filter(expr="keep == 0")
+    kept = filter_out_ids(clean, losers, "doc_id")
+
+    chunks = window_chunks(kept, "doc_id", "text", GATE_CHUNK_WINDOW,
+                           GATE_CHUNK_STRIDE, carry_cols=["source"])
+
+    def tag_first(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_first", pc.cast(pc.equal(batch.column("win_no"), 0),
+                                pa.int64()))
+
+    out = chunks.map_batches(tag_first, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("is_first", alias_name="n_docs"),
+            Count(alias_name="n_windows"),
+            Sum("n_tok", alias_name="n_window_tokens"),
+            Max("win_no", alias_name="max_win_no"))
+    df = _with_schema(out, ["source", "n_docs", "n_windows",
+                            "n_window_tokens", "max_win_no"],
+                      {"source": object} | {c: np.int64 for c in
+                       ("n_docs", "n_windows", "n_window_tokens",
+                        "max_win_no")})
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def _curation_v6_sql(cap_k: int = V4_CAP_K) -> str:
+    from ..stages.sampling import stratified_threshold_case_sql
+
+    case = stratified_threshold_case_sql("lang", GATE_MIX_RATES,
+                                         GATE_MIX_DEFAULT)
+    w, s = GATE_CHUNK_WINDOW, GATE_CHUNK_STRIDE
+    return ("WITH base AS MATERIALIZED (\n"
+            "  SELECT doc_id, source, lang, text FROM documents"
+            " WHERE doc_id % 97 <> 0\n"
+            "), refdocs AS MATERIALIZED (\n"
+            "  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0\n"
+            "), " + _shingle_cte_for("refdocs", "r")
+            + f""", qual AS MATERIALIZED (
+  SELECT b.doc_id, b.source, b.lang, b.text
+  FROM base b JOIN ({_gopher_filter_sql("base")}) g USING (doc_id)
+), mixed AS MATERIALIZED (
+  SELECT doc_id, source, text FROM qual
+  WHERE ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+        % 4294967296 < {case}
+), capped AS MATERIALIZED (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text, row_number() OVER (
+      PARTITION BY source
+      ORDER BY ((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+               % 4294967296, doc_id) AS rn
+    FROM mixed) WHERE rn <= {cap_k}
+), """ + _shingle_cte_for("capped", "c") + """, cont AS MATERIALIZED (
+  SELECT DISTINCT e.doc_id
+  FROM cex e JOIN (SELECT DISTINCT s FROM rex) r USING (s)
+), clean AS MATERIALIZED (
+  SELECT * FROM capped
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+), """ + _shingle_cte_for("clean", "k") + ", "
+            + _cc_propagation_sql("kex") + f""", kept AS MATERIALIZED (
+  SELECT doc_id, source, text FROM clean
+  WHERE doc_id NOT IN (SELECT n FROM l8 WHERE n <> lbl)
+), toks AS MATERIALIZED (
+  SELECT doc_id, source, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n
+  FROM kept WHERE text IS NOT NULL AND text <> ''
+), wins AS (
+  SELECT doc_id, source, n,
+         CASE WHEN n <= {w} THEN 1
+              ELSE (n - {w} + {s} - 1) // {s} + 1 END AS c
+  FROM toks
+), expl AS (
+  SELECT doc_id, source, n, unnest(range(0, c)) AS win_no FROM wins
+)
+SELECT source,
+       CAST(sum(CASE WHEN win_no = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(least({w}, n - win_no * {s})) AS BIGINT)
+           AS n_window_tokens,
+       CAST(max(win_no) AS BIGINT) AS max_win_no
+FROM expl GROUP BY source
+""")
+
+
+CORPUS_CURATION_V6_SQL = _curation_v6_sql()

@@ -30,10 +30,13 @@ from .dedup import _grouped_arange
 
 def window_chunks(ds, id_col: str, text_col: str,
                   window: int, stride: int | None = None,
+                  carry_cols: list[str] | None = None,
                   batch_size: int | None = None):
-    """Dataset of (id, win_no, n_tok, win_text) rows — one row per
-    sliding window of ``window`` space-separated tokens advancing by
-    ``stride`` (default: no overlap)."""
+    """Dataset of (id[, carry...], win_no, n_tok, win_text) rows — one
+    row per sliding window of ``window`` space-separated tokens
+    advancing by ``stride`` (default: no overlap). ``carry_cols``
+    replicate per-document metadata (source, lang) onto every window
+    row."""
     if window <= 0:
         raise ValueError("window must be positive")
     s = window if stride is None else int(stride)
@@ -69,12 +72,14 @@ def window_chunks(ds, id_col: str, text_col: str,
         win_text = pc.binary_join(
             pa.LargeListArray.from_arrays(
                 pa.array(win_offsets, pa.int64()), win_vals), sep)
-        return pa.table({
-            id_col: pa.array(ids[doc_idx]),
-            "win_no": pa.array(win_no, pa.int64()),
-            "n_tok": pa.array(length, pa.int64()),
-            "win_text": win_text,
-        })
+        cols = {id_col: pa.array(ids[doc_idx])}
+        take_idx = pa.array(doc_idx, pa.int64())
+        for c in carry_cols or []:
+            cols[c] = batch.column(c).take(take_idx)
+        cols["win_no"] = pa.array(win_no, pa.int64())
+        cols["n_tok"] = pa.array(length, pa.int64())
+        cols["win_text"] = win_text
+        return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow",
                           batch_size=batch_size)

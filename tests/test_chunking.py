@@ -78,3 +78,13 @@ def test_bad_params(ray_session):
         window_chunks(ds, "id", "text", 0)
     with pytest.raises(ValueError):
         window_chunks(ds, "id", "text", 4, 0)
+
+
+def test_carry_cols_replicated(ray_session):
+    t = pa.table({"id": pa.array([7, 8], pa.int64()),
+                  "src": ["a", "b"],
+                  "text": ["x y z w v", "p q"]})
+    out = window_chunks(rd.from_arrow(t), "id", "text", 2,
+                        carry_cols=["src"]).to_pandas()
+    assert set(zip(out["id"], out["src"])) == {(7, "a"), (8, "b")}
+    assert (out[out["id"] == 7]["src"] == "a").all()

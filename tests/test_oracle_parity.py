@@ -542,3 +542,51 @@ class TestCurationV5Oracle:
         assert by_src["quiet2"] == 1     # CC keep-one
         assert "quiet3" not in by_src    # stopword rule
         assert "quiet4" not in by_src    # distinct-fraction rule
+
+
+def test_curation_v6_mix_before_cap(ray_session, tmp_path, monkeypatch):
+    """Adversarial pin for the v6 composition order: the stratified
+    mix runs BEFORE the per-source cap, so docs the mix drops must not
+    consume cap slots (the same hole class the v5 gate-order test
+    pins for the quality gate)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    rng = np.random.default_rng(11)
+    # one hot source, two langs; enough sane docs that the Gopher gate
+    # keeps them (40+ distinct-ish words incl. stopwords)
+    words = [f"word{i}" for i in range(200)]
+    texts = []
+    for i in range(120):
+        w = list(rng.choice(words, size=45, replace=False))
+        w[0], w[1] = "the", "and"
+        texts.append(" ".join(w))
+    df = pd.DataFrame({
+        "doc_id": np.arange(1, 121, dtype=np.int64) * 3 + 1,  # skip %97
+        "source": ["hot"] * 100 + ["cold"] * 20,
+        "lang": (["en", "zh"] * 60),
+        "text": texts,
+    })
+    d = tmp_path / "v6"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    mine = q.corpus_curation_v6(str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(q.CORPUS_CURATION_V6_SQL).df()
+    oracle = oracle.astype({c: np.int64 for c in oracle.columns
+                            if c != "source"})
+    oracle = oracle.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, oracle)
+    # the mix dropped some hot-source docs (en@0.05/zh@0.5), so the
+    # survivors must be fewer than the cap would alone allow
+    hot = mine[mine["source"] == "hot"]
+    assert len(hot) == 0 or int(hot["n_docs"].iloc[0]) <= 15
