@@ -121,6 +121,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma list of PII presets (email,ipv4,phone) "
                         "or 'all', applied to the text column after "
                         "dedup")
+    c.add_argument("--mix", default=None,
+                   help="stratified per-group keep rates applied "
+                        "before dedup, e.g. 'en=0.05,zh=0.5' over "
+                        "--mix-col (Knuth-stable, nested strata; "
+                        "requires an integer --id-col)")
+    c.add_argument("--mix-col", default="lang")
+    c.add_argument("--mix-default", type=float, default=1.0,
+                   help="keep rate for groups not listed in --mix")
+    c.add_argument("--chunk-window", type=int, default=None,
+                   help="emit sliding token windows of this size as "
+                        "the final rows (long-context prep)")
+    c.add_argument("--chunk-stride", type=int, default=None,
+                   help="window advance (default: no overlap)")
     c.add_argument("--partition-col", default="lang")
     c.add_argument("--num-cpus", type=int, default=None)
 
@@ -274,19 +287,37 @@ def _run(args) -> int:
         import pyarrow as pa
 
         ds = rd.read_parquet(args.input)
-        if args.sample_rate < 1.0:
+        if args.sample_rate < 1.0 or args.mix:
+            which = "--sample-rate" if args.sample_rate < 1.0 else "--mix"
             sch = ds.schema()
             id_type = dict(zip(sch.names, sch.types)).get(args.id_col)
             if not (isinstance(id_type, pa.DataType)
                     and pa.types.is_integer(id_type)):
                 print(json.dumps({
                     "result": "error",
-                    "error": f"--sample-rate requires an integer "
+                    "error": f"{which} requires an integer "
                              f"--id-col; {args.id_col!r} is "
                              f"{id_type} — add an integer surrogate "
                              f"key first"}), file=sys.stderr)
                 return 2
+        if args.sample_rate < 1.0:
             ds = stable_sample(ds, args.id_col, args.sample_rate)
+        if args.mix:
+            from .stages.sampling import stratified_sample
+
+            try:
+                rates = {g: float(r) for g, r in
+                         (part.split("=", 1)
+                          for part in args.mix.split(",") if part)}
+            except ValueError:
+                print(json.dumps({
+                    "result": "error",
+                    "error": f"bad --mix {args.mix!r}; expected "
+                             f"'group=rate,group=rate'"}),
+                    file=sys.stderr)
+                return 2
+            ds = stratified_sample(ds, args.id_col, args.mix_col,
+                                   rates, args.mix_default)
         if args.gopher_filter:
             from .pipelines.queries import _gopher_keep_batch
 
@@ -330,6 +361,13 @@ def _run(args) -> int:
 
             rebuilt = rebuilt.map_batches(apply_redact,
                                           batch_format="pyarrow")
+        if args.chunk_window:
+            from .stages.chunking import window_chunks
+
+            rebuilt = window_chunks(rebuilt, args.id_col,
+                                    args.text_col, args.chunk_window,
+                                    args.chunk_stride,
+                                    carry_cols=carry or None)
         if carry:
             res = write_partitioned(rebuilt.materialize(), args.out,
                                     args.partition_col)

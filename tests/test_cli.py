@@ -301,3 +301,51 @@ class TestRulesCli:
         rc = main(["rules", "--input", inp, "--spec", str(sp)])
         err = capsys.readouterr().err
         assert rc == 2 and "bad rule spec" in err
+
+
+class TestCurateMixChunk:
+    def test_curate_mix_and_chunk(self, ray_session, tmp_path, capsys):
+        import numpy as np
+
+        n = 400
+        t = pa.table({
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "lang": pa.array((["en", "zh"] * (n // 2))),
+            "text": pa.array([" ".join(f"t{i}_{j}" for j in range(12))
+                              for i in range(n)]),
+        })
+        inp = tmp_path / "docs.parquet"
+        pq.write_table(t, str(inp))
+        out = tmp_path / "out"
+        rc = main(["curate", "--input", str(inp), "--out", str(out),
+                   "--mix", "en=0.1,zh=0.9",
+                   "--chunk-window", "5", "--chunk-stride", "4",
+                   "--partition-col", "lang"])
+        res = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and res["result"] == "success"
+
+        import pandas as pd
+
+        df = pd.concat(pd.read_parquet(f"{out}/part={v}")
+                       .assign(lang=v) for v in ("en", "zh"))
+        # chunk rows, not docs: window/stride decomposition applied
+        assert {"win_no", "n_tok", "win_text"} <= set(df.columns)
+        # the mix kept far fewer en than zh docs
+        n_en = df[(df.lang == "en") & (df.win_no == 0)].shape[0]
+        n_zh = df[(df.lang == "zh") & (df.win_no == 0)].shape[0]
+        assert n_en < n_zh
+        # 12 tokens @ window 5 stride 4 -> 3 windows of 5,5,4 tokens
+        one = df.sort_values(["doc_id", "win_no"]) \
+            .groupby("doc_id")["n_tok"].agg(list)
+        assert all(v == [5, 5, 4] for v in one)
+
+    def test_curate_bad_mix_exit_two(self, ray_session, tmp_path,
+                                     capsys):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "lang": ["en"], "text": ["a b"]})
+        inp = tmp_path / "d.parquet"
+        pq.write_table(t, str(inp))
+        rc = main(["curate", "--input", str(inp),
+                   "--out", str(tmp_path / "o"), "--mix", "en:0.5"])
+        assert rc == 2
+        assert "bad --mix" in capsys.readouterr().err
