@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q.stratified_sample_documents,
         "chunk_windows_documents": q.chunk_windows_documents,
         "corpus_curation_v6": q.corpus_curation_v6,
+        "bijection_documents_embeddings": q.bijection_documents_embeddings,
     }
 
 
@@ -257,4 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows_documents": q.CHUNK_WINDOWS_DOCUMENTS_SQL,
         # v5 recipe + stratified mix + window chunking, one chained CTE
         "corpus_curation_v6": q.CORPUS_CURATION_V6_SQL,
+        # cross-table 1:1 integrity via NOT EXISTS anti-joins
+        "bijection_documents_embeddings":
+            q.BIJECTION_DOCUMENTS_EMBEDDINGS_SQL,
     }

@@ -4089,3 +4089,50 @@ FROM expl GROUP BY source
 
 
 CORPUS_CURATION_V6_SQL = _curation_v6_sql()
+
+
+def bijection_documents_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Cross-table 1:1 integrity (every document has exactly one
+    embedding row and vice versa) — the index-ingest invariant a
+    vector store must hold against its corpus. Both directions reuse
+    the byte-aware broadcast anti-join (``checks.referential_
+    violations``); output is one row of integer counts."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    vecs = _read(sf_dir, "embeddings", ["vec_id"])
+    n_docs, n_vecs = docs.count(), vecs.count()
+    docs_wo = checks.referential_violations(
+        docs, "doc_id", vecs, "vec_id").count()
+    vecs_wo = checks.referential_violations(
+        vecs, "vec_id", docs, "doc_id").count()
+    bij = int(docs_wo == 0 and vecs_wo == 0 and n_docs == n_vecs)
+    return pd.DataFrame([{
+        "n_docs": n_docs, "n_vecs": n_vecs,
+        "n_docs_without_vec": docs_wo,
+        "n_vecs_without_doc": vecs_wo,
+        "bijective": bij,
+    }]).astype(np.int64)
+
+
+BIJECTION_DOCUMENTS_EMBEDDINGS_SQL = """
+SELECT
+  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+  CAST((SELECT count(*) FROM documents d WHERE d.doc_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM embeddings e
+                        WHERE e.vec_id = d.doc_id)) AS BIGINT)
+      AS n_docs_without_vec,
+  CAST((SELECT count(*) FROM embeddings e WHERE e.vec_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM documents d
+                        WHERE d.doc_id = e.vec_id)) AS BIGINT)
+      AS n_vecs_without_doc,
+  CAST(CASE WHEN
+    (SELECT count(*) FROM documents d WHERE d.doc_id IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM embeddings e
+                     WHERE e.vec_id = d.doc_id)) = 0
+    AND (SELECT count(*) FROM embeddings e WHERE e.vec_id IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM documents d
+                     WHERE d.doc_id = e.vec_id)) = 0
+    AND (SELECT count(*) FROM documents)
+        = (SELECT count(*) FROM embeddings)
+    THEN 1 ELSE 0 END AS BIGINT) AS bijective
+"""

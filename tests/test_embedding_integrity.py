@@ -123,3 +123,27 @@ def test_null_elements_match_sql(ray_session):
     sql = EMBEDDING_INTEGRITY_EMBEDDINGS_SQL.replace("<> 64", f"<> {DIM}")
     oracle = con.execute(sql).df().astype(np.int64)
     pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_bijection_detects_both_directions(ray_session, tmp_path):
+    """Injected orphans on both sides + a count mismatch all surface
+    in the bijection report."""
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines.queries import (
+        bijection_documents_embeddings)
+
+    d = tmp_path / "bij"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a"] * 4}), str(d / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 9], pa.int64()),
+        "embedding": pa.array([[1.0]] * 3, pa.list_(pa.float32()))}),
+        str(d / "embeddings.parquet"))
+    rep = bijection_documents_embeddings(str(d)).iloc[0]
+    assert rep["n_docs"] == 4 and rep["n_vecs"] == 3
+    assert rep["n_docs_without_vec"] == 2   # 3, 4
+    assert rep["n_vecs_without_doc"] == 1   # 9
+    assert rep["bijective"] == 0
