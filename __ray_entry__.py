@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows_documents": q.chunk_windows_documents,
         "corpus_curation_v6": q.corpus_curation_v6,
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
+        "length_decile_profile_documents":
+            q.length_decile_profile_documents,
     }
 
 
@@ -261,4 +263,7 @@ def oracle_sql() -> dict[str, str]:
         # cross-table 1:1 integrity via NOT EXISTS anti-joins
         "bijection_documents_embeddings":
             q.BIJECTION_DOCUMENTS_EMBEDDINGS_SQL,
+        # exact decile boundaries (quantile_disc) + shared bin rule
+        "length_decile_profile_documents":
+            q.LENGTH_DECILE_PROFILE_DOCUMENTS_SQL,
     }

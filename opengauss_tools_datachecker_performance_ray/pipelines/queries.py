@@ -3845,10 +3845,34 @@ FROM flags
 """
 
 
+# scaled-bench rule set: the four GATE_DOC_RULES row-locals PLUS two
+# content-scanning regex rules over the full text — a representative
+# constraint mix (pure metadata rules are so cheap per byte that a
+# metadata-only leg measures parquet decode bandwidth, not the engine;
+# content rules are what real validation sets run)
+BENCH_DOC_RULES = None  # built lazily below (rulesmod import order)
+
+
+def _bench_doc_rules():
+    global BENCH_DOC_RULES
+    if BENCH_DOC_RULES is None:
+        BENCH_DOC_RULES = [
+            r for r in GATE_DOC_RULES
+            if r.kind not in ("unique", "foreign_key")] + [
+            rulesmod.Rule("regex", "text",
+                          {"pattern": "[0-9][0-9][0-9]|vector|window"}),
+            rulesmod.Rule("regex", "text",
+                          {"pattern": r"[A-Za-z0-9._%+-]+@"
+                                      r"[A-Za-z0-9.-]+\.[A-Za-z]+"}),
+        ]
+    return BENCH_DOC_RULES
+
+
 def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     """Bench: constraint-eval throughput — the north metric's
-    "validated docs/sec" in its purest form. The four row-local
-    GATE_DOC_RULES (null / domain / range / regex) are evaluated over
+    "validated docs/sec" in its purest form. Six row-local rules
+    (null / domain / range / metadata regex + two content regexes
+    over the full text, ``_bench_doc_rules``) are evaluated over
     ``repeat`` copies of the documents table: one task per copy reads
     the parquet shard, computes every rule's mask vectorized in one
     fused pass (``rules.row_local_partials``) and emits per-lang
@@ -3859,8 +3883,14 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     import ray.data as rd
 
     path = f"{sf_dir}/documents.parquet"
-    local = [r for r in GATE_DOC_RULES if r.kind not in ("unique",
-                                                         "foreign_key")]
+    local = _bench_doc_rules()
+    # several copies per task: the parquet decode amortizes and the
+    # task count stays low enough that driver-side submission never
+    # becomes the serial bottleneck (1024 one-row tasks hit a ~6 s
+    # scheduling/decode floor at 16 cpus); every copy's rule masks are
+    # still evaluated individually — only the read is shared
+    copies_per_task = 8
+    n_tasks = max(1, -(-repeat // copies_per_task))  # ceil
 
     def shard_eval(batch) -> pa.Table:
         import pyarrow.parquet as pq
@@ -3871,9 +3901,11 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
         t = pq.read_table(
             path, columns=["doc_id", "text", "lang", "n_chars", "source"],
             use_threads=False)
-        return rulesmod.row_local_partials(t, local, "lang")
+        outs = [rulesmod.row_local_partials(t, local, "lang")
+                for _ in range(len(batch["id"]))]
+        return pa.concat_tables(outs)
 
-    parts = rd.range(repeat, override_num_blocks=repeat) \
+    parts = rd.range(repeat, override_num_blocks=n_tasks) \
         .map_batches(shard_eval, batch_format="numpy", batch_size=None) \
         .to_pandas()
     merged = rulesmod.merge_partials(parts, len(local))
@@ -4136,3 +4168,58 @@ SELECT
         = (SELECT count(*) FROM embeddings)
     THEN 1 ELSE 0 END AS BIGINT) AS bijective
 """
+
+
+DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def length_decile_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """Length-distribution profile: global EXACT deciles of n_chars
+    (``checks.exact_quantiles``, quantile_disc semantics), then every
+    doc binned by how many decile boundaries it exceeds and counted
+    per (lang, bin) — the curriculum/length-balance view of a corpus.
+    Two streaming passes: the quantile kernel reads only the value
+    column; the binning pass is a fused per-batch partial count
+    (boundaries are nine driver scalars closed over the batch fn, not
+    a shuffle). Bin rule shared with SQL: bin = #(boundary < value),
+    integer-exact."""
+    ds_q = _read(sf_dir, "documents", ["n_chars"])
+    got = checks.exact_quantiles(ds_q, "n_chars", DECILE_QS)
+    bounds = np.array([got[q] for q in DECILE_QS], dtype=np.int64)
+
+    def binify(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, x, side="left")  # #(bound < x)
+        t = pa.table({"lang": batch.column("lang"),
+                      "bin": pa.array(b.astype(np.int64)),
+                      "n_part": pa.array(np.ones(len(x), np.int64))})
+        g = t.group_by(["lang", "bin"]).aggregate([("n_part", "sum")])
+        return g.rename_columns(["lang", "bin", "n_part"])
+
+    parts = _read(sf_dir, "documents", ["lang", "n_chars"]) \
+        .map_batches(binify, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "bin"], sort=True)["n_part"] \
+        .sum().reset_index(name="n")
+    return out.astype({"bin": np.int64, "n": np.int64}) \
+        .sort_values(["lang", "bin"]).reset_index(drop=True)
+
+
+def _length_decile_sql() -> str:
+    qcols = ", ".join(
+        f"quantile_disc(n_chars, {q}) AS b{i}"
+        for i, q in enumerate(DECILE_QS, 1))
+    case = " + ".join(
+        f"CASE WHEN d.n_chars > b.b{i} THEN 1 ELSE 0 END"
+        for i in range(1, 10))
+    return f"""
+WITH b AS (SELECT {qcols} FROM documents
+           WHERE n_chars IS NOT NULL)
+SELECT lang, CAST({case} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d, b
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+
+LENGTH_DECILE_PROFILE_DOCUMENTS_SQL = _length_decile_sql()

@@ -149,12 +149,16 @@ def test_empty_input(ray_session):
 
 
 def test_rules_documents_scaled_matches_single_copy(ray_session, sf_dir):
+    import ray.data as rd
+
     from opengauss_tools_datachecker_performance_ray.pipelines import (
         queries as q)
 
-    one = q.rules_documents(sf_dir)
-    one = one[~one["rule_id"].str.startswith("unique")].reset_index(
-        drop=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars", "source"])
+    one = R.evaluate_rules(ds, q._bench_doc_rules(),
+                           partition_col="lang")
     three = q.rules_documents_scaled(sf_dir, repeat=3)
     assert list(three["rule_id"]) == list(one["rule_id"])
     assert (three["n_rows"].to_numpy()
@@ -212,3 +216,16 @@ class TestStratifiedSample:
         ref = sampling.stable_sample(
             rd.from_arrow(t), "k", 0.3).to_pandas()
         assert sorted(uni["k"]) == sorted(ref["k"])
+
+
+def test_length_decile_profile_properties(ray_session, sf_dir):
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    out = q.length_decile_profile_documents(sf_dir)
+    # bins span 0..9, counts sum to the corpus size
+    assert out["bin"].between(0, 9).all()
+    assert int(out["n"].sum()) == 500
+    # decile binning: each global bin holds ~10% of docs
+    per_bin = out.groupby("bin")["n"].sum()
+    assert (per_bin >= 20).all() and (per_bin <= 80).all()
