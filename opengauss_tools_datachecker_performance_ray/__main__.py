@@ -316,6 +316,19 @@ def _run(args) -> int:
                              f"'group=rate,group=rate'"}),
                     file=sys.stderr)
                 return 2
+            sch = ds.schema()
+            mix_type = dict(zip(sch.names, sch.types)).get(args.mix_col)
+            if isinstance(mix_type, pa.DataType) \
+                    and pa.types.is_integer(mix_type):
+                try:
+                    rates = {int(g): r for g, r in rates.items()}
+                except ValueError:
+                    print(json.dumps({
+                        "result": "error",
+                        "error": f"--mix-col {args.mix_col!r} is "
+                                 f"{mix_type}; --mix groups must be "
+                                 f"integers"}), file=sys.stderr)
+                    return 2
             ds = stratified_sample(ds, args.id_col, args.mix_col,
                                    rates, args.mix_default)
         if args.gopher_filter:
@@ -361,12 +374,21 @@ def _run(args) -> int:
 
             rebuilt = rebuilt.map_batches(apply_redact,
                                           batch_format="pyarrow")
-        if args.chunk_window:
+        if args.chunk_window is not None or args.chunk_stride is not None:
             from .stages.chunking import window_chunks
 
+            w, st = args.chunk_window, args.chunk_stride
+            if w is None or w <= 0 or (st is not None
+                                       and not 0 < st <= w):
+                print(json.dumps({
+                    "result": "error",
+                    "error": f"--chunk-window must be positive and "
+                             f"--chunk-stride in [1, window]; got "
+                             f"window={w} stride={st}"}),
+                    file=sys.stderr)
+                return 2
             rebuilt = window_chunks(rebuilt, args.id_col,
-                                    args.text_col, args.chunk_window,
-                                    args.chunk_stride,
+                                    args.text_col, w, st,
                                     carry_cols=carry or None)
         if carry:
             res = write_partitioned(rebuilt.materialize(), args.out,
@@ -408,14 +430,14 @@ def _run(args) -> int:
             rep.to_parquet(args.report_out, index=False)
         failing = sorted(set(rep.loc[rep["passed"] == 0, "rule_id"]))
         if args.violations_out:
-            for rule in ruleset:
+            for rule, rid in zip(ruleset, R.rule_ids(ruleset)):
                 if rule.kind not in ("not_null", "in_set", "range",
-                                     "regex") or rule.rule_id not in failing:
+                                     "regex") or rid not in failing:
                     continue
                 want = ev_cols or [rule.column]
                 out_dir = os.path.join(
                     args.violations_out,
-                    re.sub(r"[^A-Za-z0-9_.,-]", "_", rule.rule_id))
+                    re.sub(r"[^A-Za-z0-9_.,-]", "_", rid))
                 os.makedirs(out_dir, exist_ok=True)
                 R.rule_violation_rows(ds, rule, want) \
                     .limit(args.violations_cap).write_parquet(out_dir)

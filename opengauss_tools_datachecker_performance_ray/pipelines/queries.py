@@ -3873,12 +3873,13 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     "validated docs/sec" in its purest form. Six row-local rules
     (null / domain / range / metadata regex + two content regexes
     over the full text, ``_bench_doc_rules``) are evaluated over
-    ``repeat`` copies of the documents table: one task per copy reads
-    the parquet shard, computes every rule's mask vectorized in one
-    fused pass (``rules.row_local_partials``) and emits per-lang
-    integer partial rows; the driver folds partials into the verdict
-    report (counts = ``repeat`` × the single-copy verdict, pinned by
-    test). The cross-row uniqueness leg is benched separately
+    ``repeat`` copies of the documents table: each task reads the
+    parquet shard ONCE and evaluates every copy in its block
+    individually (8 copies/task — decode amortizes, task count stays
+    far from the driver-submission floor), emitting per-lang integer
+    partial rows; the driver folds partials into the verdict report
+    (counts = ``repeat`` × the single-copy verdict, pinned by test).
+    The cross-row uniqueness leg is benched separately
     (``uniqueness_lineitem``) — this measures the fused scan."""
     import ray.data as rd
 
@@ -4182,15 +4183,28 @@ def length_decile_profile_documents(sf_dir: str) -> pd.DataFrame:
     column; the binning pass is a fused per-batch partial count
     (boundaries are nine driver scalars closed over the batch fn, not
     a shuffle). Bin rule shared with SQL: bin = #(boundary < value),
-    integer-exact."""
+    integer-exact. Null lengths are excluded on BOTH sides (they have
+    no place on the length axis); null langs report under the rule
+    engine's ``<null>`` scope."""
+    from .rules import NULL_SCOPE
+
     ds_q = _read(sf_dir, "documents", ["n_chars"])
     got = checks.exact_quantiles(ds_q, "n_chars", DECILE_QS)
+    if any(got.get(q) is None for q in DECILE_QS):
+        # no non-null lengths at all -> no length axis (SQL: the
+        # boundary CTE is NULL and the outer WHERE drops every row)
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "bin": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
     bounds = np.array([got[q] for q in DECILE_QS], dtype=np.int64)
 
     def binify(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("n_chars")))
         x = batch.column("n_chars").to_numpy(zero_copy_only=False)
         b = np.searchsorted(bounds, x, side="left")  # #(bound < x)
-        t = pa.table({"lang": batch.column("lang"),
+        lang = pc.fill_null(
+            batch.column("lang").cast(pa.large_string()), NULL_SCOPE)
+        t = pa.table({"lang": lang,
                       "bin": pa.array(b.astype(np.int64)),
                       "n_part": pa.array(np.ones(len(x), np.int64))})
         g = t.group_by(["lang", "bin"]).aggregate([("n_part", "sum")])
@@ -4214,10 +4228,12 @@ def _length_decile_sql() -> str:
     return f"""
 WITH b AS (SELECT {qcols} FROM documents
            WHERE n_chars IS NOT NULL)
-SELECT lang, CAST({case} AS BIGINT) AS bin,
+SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS lang,
+       CAST({case} AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM documents d, b
-GROUP BY lang, bin
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1, bin
 ORDER BY lang, bin
 """
 

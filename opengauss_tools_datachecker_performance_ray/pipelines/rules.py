@@ -152,6 +152,21 @@ def _sql_lit(v) -> str:
 REPORT_COLUMNS = ["scope", "rule_id", "n_rows", "n_violations", "passed"]
 
 
+def rule_ids(rules: list[Rule]) -> list[str]:
+    """Report ids for a rule list — the base ``kind(column)`` id, with
+    a positional ``#2``/``#3``... suffix whenever two rules share one
+    (e.g. two regex rules on the same column). Every generation site
+    (evaluate, SQL oracle, CLI violation dirs) derives ids through
+    this helper over the SAME list, so the suffixes always agree."""
+    seen: dict[str, int] = {}
+    out = []
+    for r in rules:
+        base = r.rule_id
+        seen[base] = seen.get(base, 0) + 1
+        out.append(base if seen[base] == 1 else f"{base}#{seen[base]}")
+    return out
+
+
 def row_local_partials(batch: pa.Table, local: list[Rule],
                        partition_col: str | None) -> pa.Table:
     """One block's contribution to the verdict report: every row-local
@@ -184,15 +199,17 @@ def merge_partials(part: pd.DataFrame, n_local: int) -> pd.DataFrame:
     return part.groupby("scope", sort=True).sum().reset_index()
 
 
-def partials_to_report(merged: pd.DataFrame,
-                       local: list[Rule]) -> list[dict]:
+def partials_to_report(merged: pd.DataFrame, local: list[Rule],
+                       ids: list[str] | None = None) -> list[dict]:
     """Melt the merged wide partials into per-(scope, rule) verdict
-    rows."""
+    rows. ``ids`` overrides the display ids (pass the slice of
+    ``rule_ids`` over the full rule list so suffixes line up)."""
+    ids = ids if ids is not None else rule_ids(local)
     rows = []
     for _, row in merged.iterrows():
-        for i, rule in enumerate(local):
+        for i, rid in enumerate(ids):
             nv = int(row[f"v{i}"])
-            rows.append({"scope": row["scope"], "rule_id": rule.rule_id,
+            rows.append({"scope": row["scope"], "rule_id": rid,
                          "n_rows": int(row["n_rows"]),
                          "n_violations": nv, "passed": int(nv == 0)})
     return rows
@@ -215,8 +232,12 @@ def evaluate_rules(ds, rules: list[Rule],
     """
     from . import checks
 
+    ids_all = rule_ids(rules)
     local = [r for r in rules if r.kind in _ROW_LOCAL]
-    cross = [r for r in rules if r.kind in _CROSS_ROW]
+    local_ids = [i for r, i in zip(rules, ids_all)
+                 if r.kind in _ROW_LOCAL]
+    cross = [(r, i) for r, i in zip(rules, ids_all)
+             if r.kind in _CROSS_ROW]
     out_rows: list[dict] = []
     total_rows = None
 
@@ -228,12 +249,12 @@ def evaluate_rules(ds, rules: list[Rule],
                               batch_size=batch_size).to_pandas()
         merged = merge_partials(part, len(local))
         total_rows = int(merged["n_rows"].sum())
-        out_rows.extend(partials_to_report(merged, local))
+        out_rows.extend(partials_to_report(merged, local, local_ids))
 
     if cross:
         if total_rows is None:
             total_rows = ds.count()
-        for rule in cross:
+        for rule, rid in cross:
             if rule.kind == "unique":
                 key_cols = (list(rule.column)
                             if isinstance(rule.column, tuple)
@@ -245,7 +266,7 @@ def evaluate_rules(ds, rules: list[Rule],
                 nv = checks.referential_violations(
                     ds, rule.column, rule.params["parent"],
                     rule.params["parent_key"]).count()
-            out_rows.append({"scope": "", "rule_id": rule.rule_id,
+            out_rows.append({"scope": "", "rule_id": rid,
                              "n_rows": total_rows, "n_violations": nv,
                              "passed": int(nv == 0)})
 
@@ -292,10 +313,10 @@ def rules_report_sql(table: str, rules: list[Rule],
     scope_expr = (f"coalesce(CAST({partition_col} AS VARCHAR), "
                   f"'{NULL_SCOPE}')" if partition_col else "''")
     selects = []
-    for r in rules:
+    for r, rid in zip(rules, rule_ids(rules)):
         if r.kind in _ROW_LOCAL:
             selects.append(f"""
-SELECT {scope_expr} AS scope, '{r.rule_id}' AS rule_id,
+SELECT {scope_expr} AS scope, '{rid}' AS rule_id,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN {r.violation_sql()} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_violations,
@@ -306,7 +327,7 @@ FROM {table} GROUP BY 1""")
             key_cols = (", ".join(r.column) if isinstance(r.column, tuple)
                         else r.column)
             selects.append(f"""
-SELECT '' AS scope, '{r.rule_id}' AS rule_id,
+SELECT '' AS scope, '{rid}' AS rule_id,
        CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
        CAST((SELECT count(*) FROM (SELECT count(*) OVER
              (PARTITION BY {key_cols}) AS c FROM {table}) WHERE c > 1)
@@ -315,13 +336,13 @@ SELECT '' AS scope, '{r.rule_id}' AS rule_id,
              (PARTITION BY {key_cols}) AS c FROM {table}) WHERE c > 1)
             = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed""")
         else:  # foreign_key
-            ptab, pkey = (fk_tables or {})[r.rule_id]
+            ptab, pkey = (fk_tables or {})[rid]
             dangling = (f"(SELECT count(*) FROM {table} ch WHERE "
                         f"ch.{r.column} IS NOT NULL AND NOT EXISTS "
                         f"(SELECT 1 FROM {ptab} p WHERE p.{pkey} = "
                         f"ch.{r.column}))")
             selects.append(f"""
-SELECT '' AS scope, '{r.rule_id}' AS rule_id,
+SELECT '' AS scope, '{rid}' AS rule_id,
        CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
        CAST({dangling} AS BIGINT) AS n_violations,
        CAST(CASE WHEN {dangling} = 0 THEN 1 ELSE 0 END AS BIGINT)

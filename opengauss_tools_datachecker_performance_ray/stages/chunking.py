@@ -42,6 +42,11 @@ def window_chunks(ds, id_col: str, text_col: str,
     s = window if stride is None else int(stride)
     if s <= 0:
         raise ValueError("stride must be positive")
+    if s > window:
+        # the window-count rule guarantees full coverage; a stride
+        # past the window would skip tokens (and drives the start
+        # index past short docs — negative window lengths)
+        raise ValueError("stride must be <= window")
 
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
@@ -74,8 +79,8 @@ def window_chunks(ds, id_col: str, text_col: str,
                 pa.array(win_offsets, pa.int64()), win_vals), sep)
         cols = {id_col: pa.array(ids[doc_idx])}
         take_idx = pa.array(doc_idx, pa.int64())
-        for c in carry_cols or []:
-            cols[c] = batch.column(c).take(take_idx)
+        for cc in carry_cols or []:
+            cols[cc] = batch.column(cc).take(take_idx)
         cols["win_no"] = pa.array(win_no, pa.int64())
         cols["n_tok"] = pa.array(length, pa.int64())
         cols["win_text"] = win_text

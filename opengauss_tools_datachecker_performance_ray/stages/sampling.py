@@ -121,10 +121,18 @@ def stratified_sample(ds, key_col: str, group_col: str,
     already kept — reproducible curriculum growth. Stateless
     map_batches filter; no shuffle at any corpus size; integer-exact
     in SQL (one CASE over the same thresholds)."""
-    import pandas as pd
-
     thr_map = {g: sample_threshold(r) for g, r in rates.items()}
     dthr = sample_threshold(default_rate)
+    gtype = dict(zip(ds.schema().names, ds.schema().types)) \
+        .get(group_col)
+    if thr_map and isinstance(gtype, pa.DataType) \
+            and pa.types.is_integer(gtype) \
+            and all(isinstance(g, str) for g in thr_map):
+        # a silent type mismatch would apply default_rate to every
+        # row — the declared per-group rates become a no-op
+        raise ValueError(
+            f"rates keys are strings but {group_col!r} is {gtype}; "
+            f"pass keys of the column's type")
 
     def keep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
@@ -141,8 +149,15 @@ def stratified_sample(ds, key_col: str, group_col: str,
 def stratified_threshold_case_sql(group_col: str, rates: dict,
                                   default_rate: float) -> str:
     """The SQL threshold expression built from the SAME rates dict
-    the Ray filter uses (single source of truth for the oracle)."""
+    the Ray filter uses (single source of truth for the oracle).
+    Values are escaped via the rule engine's literal quoting; an
+    empty rates dict degenerates to the plain default threshold
+    (matching the Ray filter's all-default behavior)."""
+    from ..pipelines.rules import _sql_lit
+
+    if not rates:
+        return str(sample_threshold(default_rate))
     whens = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {sample_threshold(r)}"
+        f"WHEN {group_col} = {_sql_lit(g)} THEN {sample_threshold(r)}"
         for g, r in rates.items())
     return f"CASE {whens} ELSE {sample_threshold(default_rate)} END"

@@ -88,3 +88,10 @@ def test_carry_cols_replicated(ray_session):
                         carry_cols=["src"]).to_pandas()
     assert set(zip(out["id"], out["src"])) == {(7, "a"), (8, "b")}
     assert (out[out["id"] == 7]["src"] == "a").all()
+
+
+def test_stride_beyond_window_rejected(ray_session):
+    ds = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64()),
+                                 "text": ["a b c"]}))
+    with pytest.raises(ValueError, match="stride must be <= window"):
+        window_chunks(ds, "id", "text", 2, 5)

@@ -586,7 +586,20 @@ def test_curation_v6_mix_before_cap(ray_session, tmp_path, monkeypatch):
                             if c != "source"})
     oracle = oracle.sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(mine, oracle)
-    # the mix dropped some hot-source docs (en@0.05/zh@0.5), so the
-    # survivors must be fewer than the cap would alone allow
+    # order pin: mix runs BEFORE the cap. Compute the deterministic
+    # mix survivors with the same Knuth kernel; with ~27 hot-source
+    # survivors the cap still binds (n_docs == 15 given enough
+    # chunkable docs), whereas cap-then-mix would keep only
+    # ~15 * mix_rate (far below 15).
+    from opengauss_tools_datachecker_performance_ray.stages.sampling import (
+        knuth_u32, sample_threshold)
+
+    hot_df = df[df["source"] == "hot"]
+    u = knuth_u32(hot_df["doc_id"].to_numpy())
+    thr = np.where(hot_df["lang"].to_numpy() == "en",
+                   sample_threshold(q.GATE_MIX_RATES["en"]),
+                   sample_threshold(q.GATE_MIX_RATES["zh"]))
+    mix_survivors = int((u < thr.astype(np.uint64)).sum())
+    assert mix_survivors > 15  # corpus constructed so the cap binds
     hot = mine[mine["source"] == "hot"]
-    assert len(hot) == 0 or int(hot["n_docs"].iloc[0]) <= 15
+    assert len(hot) == 1 and int(hot["n_docs"].iloc[0]) == 15

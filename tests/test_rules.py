@@ -229,3 +229,73 @@ def test_length_decile_profile_properties(ray_session, sf_dir):
     # decile binning: each global bin holds ~10% of docs
     per_bin = out.groupby("bin")["n"].sum()
     assert (per_bin >= 20).all() and (per_bin <= 80).all()
+
+
+def test_duplicate_rule_ids_suffixed(ray_session):
+    two = [R.Rule("regex", "tag", {"pattern": "^x"}),
+           R.Rule("regex", "tag", {"pattern": "[0-9]$"})]
+    assert R.rule_ids(two) == ["regex(tag)", "regex(tag)#2"]
+    ds = rd.from_pandas(_adversarial_df())
+    rep = R.evaluate_rules(ds, two)
+    assert sorted(rep["rule_id"]) == ["regex(tag)", "regex(tag)#2"]
+    # SQL generated over the same list carries the same suffixes
+    import duckdb as dk
+
+    con = dk.connect()
+    con.register("t", _adversarial_df())
+    oracle = con.execute(R.rules_report_sql("t", two)).df()
+    assert sorted(oracle["rule_id"]) == ["regex(tag)", "regex(tag)#2"]
+
+
+def test_stratified_sample_type_mismatch_raises(ray_session):
+    from opengauss_tools_datachecker_performance_ray.stages import sampling
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "year": pa.array([2020, 2021], pa.int32())})
+    with pytest.raises(ValueError, match="keys are strings"):
+        sampling.stratified_sample(rd.from_arrow(t), "k", "year",
+                                   {"2020": 0.5})
+    # properly-typed keys work
+    out = sampling.stratified_sample(rd.from_arrow(t), "k", "year",
+                                     {2020: 1.0}, 0.0).to_pandas()
+    assert out["year"].tolist() == [2020]
+
+
+def test_stratified_sql_escaping_and_empty():
+    from opengauss_tools_datachecker_performance_ray.stages.sampling import (
+        sample_threshold, stratified_threshold_case_sql)
+
+    sql = stratified_threshold_case_sql("src", {"o'reilly": 0.5}, 0.1)
+    assert "'o''reilly'" in sql
+    assert stratified_threshold_case_sql("src", {}, 0.25) == \
+        str(sample_threshold(0.25))
+
+
+def test_length_decile_null_semantics(ray_session, tmp_path):
+    """Null n_chars excluded, null lang -> '<null>' scope, both in
+    exact agreement with the SQL oracle."""
+    import duckdb as dk
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    d = tmp_path / "dec"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array(range(1, 41), pa.int64()),
+        "lang": pa.array((["en"] * 20) + ([None] * 10) + (["fr"] * 10)),
+        "n_chars": pa.array(list(range(100, 130)) + [None] * 10,
+                            pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    mine = q.length_decile_profile_documents(str(d))
+    assert int(mine["n"].sum()) == 30   # nulls excluded
+    assert "<null>" in set(mine["lang"])
+    con = dk.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(q.LENGTH_DECILE_PROFILE_DOCUMENTS_SQL).df() \
+        .astype({"bin": np.int64, "n": np.int64})
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), oracle.reset_index(drop=True))
