@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
         "length_decile_profile_documents":
             q.length_decile_profile_documents,
+        "top_bigrams_by_lang": q.top_bigrams_by_lang,
     }
 
 
@@ -266,4 +267,6 @@ def oracle_sql() -> dict[str, str]:
         # exact decile boundaries (quantile_disc) + shared bin rule
         "length_decile_profile_documents":
             q.LENGTH_DECILE_PROFILE_DOCUMENTS_SQL,
+        # adjacent-token bigram top-k, doc-boundary pairs masked
+        "top_bigrams_by_lang": q.TOP_BIGRAMS_BY_LANG_SQL,
     }

@@ -4239,3 +4239,101 @@ ORDER BY lang, bin
 
 
 LENGTH_DECILE_PROFILE_DOCUMENTS_SQL = _length_decile_sql()
+
+
+def top_bigrams_by_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k adjacent-token bigrams per language by exact corpus
+    frequency — the n-gram language-model statistic one step up from
+    ``top_terms_by_lang``, same two-stage exact plan (per-batch
+    partials with a bucket column, one bucketed groupby, per-bucket
+    top-k partials merged on the driver). Bigrams are built fully
+    vectorized: pair i = (token[i], token[i+1]) within one doc —
+    doc-boundary pairs are masked off the flattened token values, no
+    per-doc loop."""
+    from ..functions import hashing
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        ok = pc.and_(pc.and_(pc.is_valid(txt), pc.not_equal(txt, "")),
+                     pc.is_valid(batch.column("lang")))
+        batch = batch.filter(ok)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = np.asarray(lists.offsets, dtype=np.int64)
+        values = lists.values
+        n_tok = len(values)
+        if n_tok < 2:
+            return pa.table({"lang": pa.array([], pa.large_string()),
+                             "bigram": pa.array([], pa.large_string()),
+                             "n_part": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        # candidate pair i pairs values[i], values[i+1]; drop pairs
+        # spanning a doc boundary (i+1 == some offset)
+        mask = np.ones(n_tok - 1, dtype=bool)
+        inner = offsets[1:-1]
+        mask[inner[inner > 0] - 1] = False
+        lefts = values.slice(0, n_tok - 1)
+        rights = values.slice(1)
+        big = pc.binary_join_element_wise(
+            lefts.cast(pa.large_string()),
+            rights.cast(pa.large_string()),
+            pa.scalar(" ", pa.large_string()))
+        n_per = np.diff(offsets)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        lang_per_pair = np.repeat(langs, np.maximum(n_per - 1, 0))
+        flat = pa.table({
+            "lang": pa.array(lang_per_pair),
+            "bigram": big.filter(pa.array(mask)),
+        })
+        gb = flat.group_by(["lang", "bigram"]).aggregate(
+            [([], "count_all")])
+        bg = gb.column("bigram")
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        h = hashing.hash64(bg.cast(pa.large_string()))
+        return pa.table({
+            "lang": gb.column("lang"), "bigram": gb.column("bigram"),
+            "n_part": gb.column("count_all"),
+            "bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["lang", "bigram"], sort=False)["n_part"] \
+            .sum().reset_index(name="n")
+        tot = tot.sort_values(["lang", "n", "bigram"],
+                              ascending=[True, False, True])
+        return tot.groupby("lang", sort=False).head(k)
+
+    cand = partials.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["lang", "n", "bigram"],
+                            ascending=[True, False, True])
+    out = cand.groupby("lang", sort=True).head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "bigram", "n"]]
+
+
+TOP_BIGRAMS_BY_LANG_SQL = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS ts FROM documents
+  WHERE text IS NOT NULL AND text <> '' AND lang IS NOT NULL
+), idx AS (
+  SELECT lang, ts, unnest(range(1, len(ts))) AS i FROM toks
+), big AS (
+  SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram FROM idx
+), c AS (
+  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+  FROM big GROUP BY 1, 2
+)
+SELECT lang, bigram, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY n DESC, bigram) <= 5
+"""

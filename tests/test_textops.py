@@ -412,3 +412,33 @@ class TestVocabularyCardinality:
         assert list(mine["n_occur"]) == list(oracle["n_occur"])
         # the hot terms outrank every singleton
         assert set(mine.head(3)["term"]) == {"alpha", "beta", "gamma"}
+
+
+def test_top_bigrams_boundary_masking(ray_session, tmp_path):
+    """Bigrams never span documents: the pair (last token of doc A,
+    first token of doc B) must not appear."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    d = tmp_path / "big"
+    d.mkdir()
+    # 'b a' would be the top bigram if doc boundaries leaked
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": ["en"] * 4,
+        "text": ["a b", "a b", "a b", "a b"],
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = q.top_bigrams_by_lang(str(d))
+    assert out["bigram"].tolist() == ["a b"]
+    assert int(out["n"].iloc[0]) == 4
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(q.TOP_BIGRAMS_BY_LANG_SQL).df()
+    pd.testing.assert_frame_equal(out, oracle.astype({"n": "int64"}))
