@@ -58,6 +58,13 @@ def uniqueness_violations(ds, key_columns: list[str],
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         sub = batch.select(cols)
+        # SQL UNIQUE-constraint semantics: null key parts never
+        # violate (previously happened accidentally in the pandas
+        # reduce's dropna; made explicit here so every route agrees)
+        m = pc.is_valid(sub.column(cols[0]))
+        for c in cols[1:]:
+            m = pc.and_(m, pc.is_valid(sub.column(c)))
+        sub = sub.filter(m)
         gb = sub.group_by(cols).aggregate([([], "count_all")])
         gb = gb.rename_columns(cols + ["n_part"])
         key0 = gb.column(cols[0])

@@ -96,6 +96,11 @@ class Rule:
         valid = pc.is_valid(col)
         if self.kind == "not_null":
             return pc.invert(valid)
+        if pa.types.is_null(col.type):
+            # an all-null block arrives as the NULL type (no value
+            # kernel exists); domain rules skip nulls, so nothing
+            # violates (found by the hypothesis fuzz)
+            return pa.array(np.zeros(len(col), dtype=bool))
         if self.kind == "in_set":
             hit = pc.is_in(col, value_set=pa.array(
                 self.params["values"], type=col.type))
@@ -324,17 +329,22 @@ SELECT {scope_expr} AS scope, '{rid}' AS rule_id,
             END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
 FROM {table} GROUP BY 1""")
         elif r.kind == "unique":
-            key_cols = (", ".join(r.column) if isinstance(r.column, tuple)
-                        else r.column)
+            cols = (list(r.column) if isinstance(r.column, tuple)
+                    else [r.column])
+            key_cols = ", ".join(cols)
+            # SQL UNIQUE-constraint semantics: rows with a null key
+            # part never violate (mirrors the engine's bucketed
+            # uniqueness fold, which drops null-keyed groups)
+            notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+            dup = (f"(SELECT count(*) FROM (SELECT count(*) OVER "
+                   f"(PARTITION BY {key_cols}) AS c FROM {table} "
+                   f"WHERE {notnull}) WHERE c > 1)")
             selects.append(f"""
 SELECT '' AS scope, '{rid}' AS rule_id,
        CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
-       CAST((SELECT count(*) FROM (SELECT count(*) OVER
-             (PARTITION BY {key_cols}) AS c FROM {table}) WHERE c > 1)
-            AS BIGINT) AS n_violations,
-       CAST(CASE WHEN (SELECT count(*) FROM (SELECT count(*) OVER
-             (PARTITION BY {key_cols}) AS c FROM {table}) WHERE c > 1)
-            = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed""")
+       CAST({dup} AS BIGINT) AS n_violations,
+       CAST(CASE WHEN {dup} = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS passed""")
         else:  # foreign_key
             ptab, pkey = (fk_tables or {})[rid]
             dangling = (f"(SELECT count(*) FROM {table} ch WHERE "

@@ -299,3 +299,52 @@ def test_length_decile_null_semantics(ray_session, tmp_path):
         .astype({"bin": np.int64, "n": np.int64})
     pd.testing.assert_frame_equal(
         mine.reset_index(drop=True), oracle.reset_index(drop=True))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(st.none(), st.integers(-50, 50))
+_tag = st.one_of(st.none(), st.sampled_from(["aa", "ab", "b1", "zz'q"]))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       tags=st.data(),
+       lo=st.integers(-40, 0), hi=st.integers(1, 40),
+       grp_null=st.booleans())
+def test_rule_engine_fuzz_parity(ray_session_holder, vals, tags, lo,
+                                 hi, grp_null):
+    """Random tables (nulls everywhere, quote-bearing strings) through
+    a fixed adversarial rule set must agree with the generated SQL
+    bit-for-bit, partitioned and unpartitioned."""
+    n = len(vals)
+    tag_list = tags.draw(st.lists(_tag, min_size=n, max_size=n))
+    grp = ["g1" if i % 3 else ("g2" if not grp_null else None)
+           for i in range(n)]
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "grp": grp,
+        "val": pd.array(vals, dtype="Int64"),
+        "tag": tag_list,
+    })
+    ruleset = [
+        R.Rule("not_null", "val"),
+        R.Rule("range", "val", {"lo": lo, "hi": hi}),
+        R.Rule("in_set", "tag", {"values": ["aa", "zz'q"]}),
+        R.Rule("regex", "tag", {"pattern": "^a"}),
+        R.Rule("regex", "tag", {"pattern": "[0-9]$"}),  # dup-id case
+        R.Rule("unique", "tag"),
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        oracle = con.execute(
+            R.rules_report_sql("t", ruleset, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
