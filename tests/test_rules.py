@@ -348,3 +348,39 @@ def test_rule_engine_fuzz_parity(ray_session_holder, vals, tags, lo,
                      for c in ("n_rows", "n_violations", "passed")}) \
             .sort_values(["scope", "rule_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_rules_on_north_pages_shape(ray_session, tmp_path):
+    """The rule engine over the north-rule input table shape
+    (url:string, warc_ts:timestamp, html:binary, text:string,
+    lang:string — BASELINE.json input_hint): url regex + html/text
+    nullability + lang domain + url uniqueness, per-lang verdicts.
+    The sink side of the pages fixture carries injected duplicate
+    urls, which the unique rule must surface."""
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.sources import (
+        fixtures)
+
+    d = str(tmp_path / "pages")
+    fixtures.generate(d, fixtures.PagesSpec(
+        n_rows=2000, n_files=4, html_mean=4.0, html_max=4096))
+    snk = rd.read_parquet(f"{d}/pages_sink")
+    rules = [
+        R.Rule("regex", "url", {"pattern": "^https?://"}),
+        R.Rule("not_null", "html"),
+        R.Rule("not_null", "text"),
+        R.Rule("in_set", "lang",
+               {"values": ["en", "de", "fr", "es", "zh"]}),
+        R.Rule("unique", "url"),
+    ]
+    rep = R.evaluate_rules(snk, rules, partition_col="lang")
+    # per-lang scopes for the row-local rules + one table-level row
+    assert set(rep.loc[rep["rule_id"] == "unique(url)", "scope"]) == {""}
+    uniq = rep[rep["rule_id"] == "unique(url)"].iloc[0]
+    assert uniq["n_violations"] >= 2  # k_dup=10 injected url dups
+    assert uniq["passed"] == 0
+    urls_ok = rep[rep["rule_id"] == "regex(url)"]
+    assert (urls_ok["passed"] == 1).all()
+    assert int(rep[rep["rule_id"] == "not_null(html)"]["n_rows"].sum()) \
+        == snk.count()
