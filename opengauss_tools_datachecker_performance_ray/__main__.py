@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--repair-batch-delete", action="store_true",
                    help="batch delete-kind repairs into "
                         "DELETE ... WHERE pk IN (...) lists")
+    v.add_argument("--rules-spec", default=None,
+                   help="JSON rule-spec file (same format as the "
+                        "`rules` subcommand) evaluated against the "
+                        "SOURCE side as part of the validation run")
     v.add_argument("--num-cpus", type=int, default=None)
 
     i = sub.add_parser(
@@ -211,6 +215,23 @@ def _run(args) -> int:
     )
 
     if args.cmd == "validate":
+        vrules = vrules_part = None
+        if args.rules_spec:
+            import ray.data as rd
+
+            from .pipelines import rules as R
+
+            with open(args.rules_spec) as f:
+                spec = json.load(f)
+            try:
+                vrules = R.rules_from_spec(spec["rules"],
+                                           rd.read_parquet)
+            except (KeyError, ValueError, TypeError, OSError) as ex:
+                print(json.dumps({"result": "error",
+                                  "error": f"bad rule spec: {ex!r}"}),
+                      file=sys.stderr)
+                return 2
+            vrules_part = spec.get("partition_col")
         cfg = ValidationConfig(
             key_columns=tuple(args.keys.split("+")),
             check_uniqueness=not args.no_uniqueness,
@@ -219,7 +240,8 @@ def _run(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             emit_repair=args.emit_repair,
             repair_update_style=args.repair_update_style,
-            repair_batch_delete=args.repair_batch_delete)
+            repair_batch_delete=args.repair_batch_delete,
+            rules=vrules, rules_partition_col=vrules_part)
         if args.format == "csv":
             from .pipelines.validate import validate_csv_pair
 

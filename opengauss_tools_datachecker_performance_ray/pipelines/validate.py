@@ -116,6 +116,11 @@ class ValidationConfig:
     # VALUES ("replace"); batched DELETE ... WHERE pk IN (...) lists
     repair_update_style: str = "replace"
     repair_batch_delete: bool = False
+    # declarative constraint rules (pipelines/rules.Rule list) run
+    # against the SOURCE side's raw rows as a third overlapped phase;
+    # any failing rule fails the run like a compare diff would
+    rules: list | None = None
+    rules_partition_col: str | None = None
 
 
 @dataclass
@@ -125,6 +130,7 @@ class ValidationResult:
     compare: cmp.CompareResult | None = None
     uniqueness: pd.DataFrame | None = None
     drift: pd.DataFrame | None = None
+    rules: pd.DataFrame | None = None
     summary: dict[str, Any] = field(default_factory=dict)
 
 
@@ -251,10 +257,23 @@ def validate_table_pair(src_path: str, snk_path: str,
             pqsrc.read_table(snk_path, columns=cols), cols)
         return checks.drift_report(sp, kp)
 
-    bg = ThreadPoolExecutor(max_workers=2)
+    def _rules_phase() -> pd.DataFrame:
+        # constraint verdicts over the source side's raw rows — reads
+        # only the columns the rule set touches, overlapped with the
+        # signature chain like the other phases
+        from . import rules as rulesmod
+
+        need = rulesmod.columns_needed(cfg.rules,
+                                       cfg.rules_partition_col)
+        return rulesmod.evaluate_rules(
+            pqsrc.read_table(src_path, columns=need), cfg.rules,
+            partition_col=cfg.rules_partition_col)
+
+    bg = ThreadPoolExecutor(max_workers=3)
     uniq_fut = (bg.submit(_uniqueness_phase) if cfg.check_uniqueness
                 else None)
     drift_fut = bg.submit(_drift_phase) if cfg.check_drift else None
+    rules_fut = bg.submit(_rules_phase) if cfg.rules else None
 
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None
@@ -346,12 +365,19 @@ def validate_table_pair(src_path: str, snk_path: str,
         result.uniqueness = uniq_fut.result()
     if drift_fut is not None:
         result.drift = drift_fut.result()
+    if rules_fut is not None:
+        result.rules = rules_fut.result()
     bg.shutdown()
 
     n_unique_viol = int(len(result.uniqueness)) if result.uniqueness is not None else 0
     n_drift = (int((result.drift["result"] == "failed").sum())
                if result.drift is not None and len(result.drift) else 0)
-    ok = (result.compare.ok and n_unique_viol == 0 and n_drift == 0)
+    n_rule_viol = (int(result.rules["n_violations"].sum())
+                   if result.rules is not None else 0)
+    n_rules_failed = (int((result.rules["passed"] == 0).sum())
+                      if result.rules is not None else 0)
+    ok = (result.compare.ok and n_unique_viol == 0 and n_drift == 0
+          and n_rules_failed == 0)
     result.summary = {
         **result.compare.summary,
         "uniquenessViolations": n_unique_viol,
@@ -359,6 +385,9 @@ def validate_table_pair(src_path: str, snk_path: str,
         "result": "success" if ok else "failed",
         "cost": round(time.time() - t0, 3),
     }
+    if result.rules is not None:
+        result.summary["ruleViolations"] = n_rule_viol
+        result.summary["rulesFailed"] = n_rules_failed
     if store:
         store.save_verdicts(result.compare.partitions)
     if writer:

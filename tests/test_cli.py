@@ -349,3 +349,20 @@ class TestCurateMixChunk:
                    "--out", str(tmp_path / "o"), "--mix", "en:0.5"])
         assert rc == 2
         assert "bad --mix" in capsys.readouterr().err
+
+
+class TestValidateRulesSpec:
+    def test_validate_with_rules_spec(self, ray_session, tmp_path,
+                                      capsys):
+        t = pa.table({"k": ["a", "b"], "v": pa.array([1, 500],
+                                                     pa.int64())})
+        src, snk = _pair(tmp_path, t, t)
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "range", "column": "v", "lo": 0, "hi": 100}]}))
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift",
+                   "--rules-spec", str(sp)])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["rulesFailed"] == 1 and out["ruleViolations"] == 1

@@ -384,3 +384,42 @@ def test_rules_on_north_pages_shape(ray_session, tmp_path):
     assert (urls_ok["passed"] == 1).all()
     assert int(rep[rep["rule_id"] == "not_null(html)"]["n_rows"].sum()) \
         == snk.count()
+
+
+def test_validate_pair_with_rules(ray_session, tmp_path):
+    """Constraint rules ride the flagship validation run: an
+    identical pair that would compare clean still FAILS when a
+    declared rule is violated, and the summary carries the rule
+    tallies."""
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines.validate import (
+        ValidationConfig, validate_table_pair)
+
+    t = pa.table({
+        "url": [f"https://ex.com/{i}" for i in range(20)],
+        "text": ["ok"] * 19 + [None],
+        "lang": ["en"] * 20,
+    })
+    src, snk = tmp_path / "s", tmp_path / "k"
+    src.mkdir(); snk.mkdir()
+    pq.write_table(t, str(src / "p.parquet"))
+    pq.write_table(t, str(snk / "p.parquet"))
+
+    bad = [R.Rule("not_null", "text")]
+    res = validate_table_pair(
+        str(src), str(snk),
+        ValidationConfig(key_columns=("url",), check_drift=False,
+                         rules=bad, rules_partition_col="lang"))
+    assert res.summary["result"] == "failed"
+    assert res.summary["ruleViolations"] == 1
+    assert res.summary["rulesFailed"] == 1
+    assert res.compare.ok  # the pair itself compares clean
+
+    ok_rules = [R.Rule("regex", "url", {"pattern": "^https://"})]
+    res2 = validate_table_pair(
+        str(src), str(snk),
+        ValidationConfig(key_columns=("url",), check_drift=False,
+                         rules=ok_rules))
+    assert res2.summary["result"] == "success"
+    assert res2.summary["rulesFailed"] == 0
