@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_decile_profile_documents":
             q.length_decile_profile_documents,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
+        "freshness_events": q.freshness_events,
     }
 
 
@@ -269,4 +270,6 @@ def oracle_sql() -> dict[str, str]:
             q.LENGTH_DECILE_PROFILE_DOCUMENTS_SQL,
         # adjacent-token bigram top-k, doc-boundary pairs masked
         "top_bigrams_by_lang": q.TOP_BIGRAMS_BY_LANG_SQL,
+        # staleness vs a fixed cutoff; element-exact min/max ts
+        "freshness_events": q.FRESHNESS_EVENTS_SQL,
     }

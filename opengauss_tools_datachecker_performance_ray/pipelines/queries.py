@@ -4337,3 +4337,59 @@ SELECT lang, bigram, n FROM c
 QUALIFY row_number() OVER (PARTITION BY lang
                            ORDER BY n DESC, bigram) <= 5
 """
+
+
+# freshness cutoff: rows older than this are "stale" (fixed literal —
+# the engine takes the reference instant as a parameter, never the
+# wall clock, so runs are reproducible and oracle-checkable)
+GATE_FRESHNESS_CUTOFF = "2024-01-20 00:00:00"
+
+
+def freshness_events(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type freshness/staleness profile — the data-quality
+    check every ingestion pipeline runs (is each stream still
+    arriving? how much of it predates the cutoff?): n_rows, exact
+    min/max timestamps (element-exact, no float arithmetic), null-ts
+    count and the count of rows strictly older than the declared
+    cutoff. One fused map_batches pass of per-type integer/timestamp
+    partials; min/max fold on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    cutoff = np.datetime64(GATE_FRESHNESS_CUTOFF.replace(" ", "T"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"]
+        g = df.assign(
+            n_part=1,
+            null_part=ts.isna().astype(np.int64),
+            stale_part=(ts < pd.Timestamp(cutoff)).astype(np.int64),
+        ).groupby("event_type", sort=False).agg(
+            n_part=("n_part", "sum"),
+            null_part=("null_part", "sum"),
+            stale_part=("stale_part", "sum"),
+            min_ts=("ts", "min"), max_ts=("ts", "max"))
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", sort=True).agg(
+        n_rows=("n_part", "sum"), n_null_ts=("null_part", "sum"),
+        n_stale=("stale_part", "sum"),
+        min_ts=("min_ts", "min"), max_ts=("max_ts", "max")) \
+        .reset_index()
+    for c in ("n_rows", "n_null_ts", "n_stale"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "n_rows", "n_null_ts", "n_stale",
+                "min_ts", "max_ts"]]
+
+
+FRESHNESS_EVENTS_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_ts,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '{GATE_FRESHNESS_CUTOFF}'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events GROUP BY event_type ORDER BY event_type
+"""

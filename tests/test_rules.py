@@ -423,3 +423,35 @@ def test_validate_pair_with_rules(ray_session, tmp_path):
                          rules=ok_rules))
     assert res2.summary["result"] == "success"
     assert res2.summary["rulesFailed"] == 0
+
+
+def test_freshness_null_ts_and_cutoff(ray_session, tmp_path):
+    import duckdb as dk
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    d = tmp_path / "fresh"
+    d.mkdir()
+    t = pa.table({
+        "event_type": ["a", "a", "a", "b"],
+        "ts": pa.array([pd.Timestamp("2024-01-10"),
+                        pd.Timestamp("2024-01-25"), None,
+                        pd.Timestamp("2023-12-31")],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(d / "events.parquet"))
+    mine = q.freshness_events(str(d))
+    a = mine[mine["event_type"] == "a"].iloc[0]
+    assert a["n_rows"] == 3 and a["n_null_ts"] == 1 and a["n_stale"] == 1
+    b = mine[mine["event_type"] == "b"].iloc[0]
+    assert b["n_stale"] == 1
+    con = dk.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    oracle = con.execute(q.FRESHNESS_EVENTS_SQL).df()
+    for c in ("n_rows", "n_null_ts", "n_stale"):
+        oracle[c] = oracle[c].astype(np.int64)
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True),
+                                  oracle.reset_index(drop=True))
