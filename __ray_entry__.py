@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.length_decile_profile_documents,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
+        "consistency_documents": q.consistency_documents,
     }
 
 
@@ -272,4 +273,6 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams_by_lang": q.TOP_BIGRAMS_BY_LANG_SQL,
         # staleness vs a fixed cutoff; element-exact min/max ts
         "freshness_events": q.FRESHNESS_EVENTS_SQL,
+        # cross-field compare_cols rule, closed fn registry
+        "consistency_documents": q.CONSISTENCY_DOCUMENTS_SQL,
     }

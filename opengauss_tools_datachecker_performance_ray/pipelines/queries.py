@@ -4393,3 +4393,23 @@ SELECT event_type,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+GATE_CONSISTENCY_RULES = [
+    rulesmod.Rule("compare_cols", "n_chars",
+                  {"right": "text", "op": "==", "right_fn": "length"}),
+]
+
+
+def consistency_documents(sf_dir: str) -> pd.DataFrame:
+    """Cross-field consistency verdicts: the declared invariant
+    n_chars == length(text) per language — the rule engine's
+    ``compare_cols`` kind (closed transform registry so the Arrow and
+    SQL evaluations agree by construction)."""
+    ds = _read(sf_dir, "documents", ["n_chars", "text", "lang"])
+    return rulesmod.evaluate_rules(ds, GATE_CONSISTENCY_RULES,
+                                   partition_col="lang")
+
+
+CONSISTENCY_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_CONSISTENCY_RULES, partition_col="lang")

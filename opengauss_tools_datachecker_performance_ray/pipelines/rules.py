@@ -47,8 +47,22 @@ import pyarrow.compute as pc
 
 NULL_SCOPE = "<null>"  # partition-key nulls; '' is the table-level scope
 
-_ROW_LOCAL = ("not_null", "in_set", "range", "regex")
+_ROW_LOCAL = ("not_null", "in_set", "range", "regex", "compare_cols")
 _CROSS_ROW = ("unique", "foreign_key")
+
+# cross-field transform registry: every entry must behave identically
+# in Arrow compute and DuckDB SQL (that's why it's a closed registry,
+# not arbitrary expressions)
+_COL_FNS = {
+    None: (lambda a: a, lambda c: c),
+    "length": (lambda a: pc.utf8_length(a), lambda c: f"length({c})"),
+    "lower": (lambda a: pc.utf8_lower(a), lambda c: f"lower({c})"),
+}
+_OPS = {
+    "==": (pc.equal, "="), "!=": (pc.not_equal, "<>"),
+    "<": (pc.less, "<"), "<=": (pc.less_equal, "<="),
+    ">": (pc.greater, ">"), ">=": (pc.greater_equal, ">="),
+}
 
 
 @dataclass(frozen=True)
@@ -83,12 +97,55 @@ class Rule:
             raise ValueError("in_set rule needs a non-empty values list")
         if self.kind == "regex" and not self.params.get("pattern"):
             raise ValueError("regex rule needs a pattern")
+        if self.kind == "compare_cols":
+            if not self.params.get("right"):
+                raise ValueError("compare_cols needs a right column")
+            if self.params.get("op", "==") not in _OPS:
+                raise ValueError(f"unknown op {self.params.get('op')!r}")
+            for side in ("left_fn", "right_fn"):
+                if self.params.get(side) not in _COL_FNS:
+                    raise ValueError(
+                        f"{side} must be one of {sorted(k for k in _COL_FNS if k)}"
+                        f" or None")
 
     @property
     def rule_id(self) -> str:
+        if self.kind == "compare_cols":
+            op = self.params.get("op", "==")
+            lf, rf = self.params.get("left_fn"), self.params.get("right_fn")
+            lhs = f"{lf}({self.column})" if lf else self.column
+            r = self.params["right"]
+            rhs = f"{rf}({r})" if rf else r
+            return f"compare({lhs}{op}{rhs})"
         col = (",".join(self.column) if isinstance(self.column, tuple)
                else self.column)
         return f"{self.kind}({col})"
+
+    @property
+    def input_columns(self) -> set:
+        """Every column this rule reads (projection pruning)."""
+        cols = set(self.column) if isinstance(self.column, tuple) \
+            else {self.column}
+        if self.kind == "compare_cols":
+            cols.add(self.params["right"])
+        return cols
+
+    def violation_mask_batch(self, batch: pa.Table) -> pa.Array:
+        """Row-local violation mask computed over the whole batch —
+        the general entry point (cross-field rules need two columns)."""
+        if self.kind == "compare_cols":
+            left = batch.column(self.column)
+            right = batch.column(self.params["right"])
+            valid = pc.and_(pc.is_valid(left), pc.is_valid(right))
+            if pa.types.is_null(left.type) or \
+                    pa.types.is_null(right.type):
+                return pa.array(np.zeros(len(batch), dtype=bool))
+            lf = _COL_FNS[self.params.get("left_fn")][0]
+            rf = _COL_FNS[self.params.get("right_fn")][0]
+            op = _OPS[self.params.get("op", "==")][0]
+            holds = pc.fill_null(op(lf(left), rf(right)), True)
+            return pc.and_(valid, pc.invert(holds))
+        return self.violation_mask(batch.column(self.column))
 
     # ---- Ray-side violation mask (row-local kinds only) ----
 
@@ -139,6 +196,13 @@ class Rule:
             pat = self.params["pattern"].replace("'", "''")
             return (f"({c} IS NOT NULL AND NOT "
                     f"regexp_matches({c}, '{pat}'))")
+        if self.kind == "compare_cols":
+            r = self.params["right"]
+            lhs = _COL_FNS[self.params.get("left_fn")][1](c)
+            rhs = _COL_FNS[self.params.get("right_fn")][1](r)
+            sql_op = _OPS[self.params.get("op", "==")][1]
+            return (f"({c} IS NOT NULL AND {r} IS NOT NULL AND NOT "
+                    f"({lhs} {sql_op} {rhs}))")
         raise ValueError(f"{self.kind} has no row-local SQL predicate")
 
 
@@ -188,7 +252,7 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
                                  type=pa.large_string())
     cols["n_rows"] = pa.array(np.ones(len(batch), dtype=np.int64))
     for name, rule in zip(vcols, local):
-        mask = rule.violation_mask(batch.column(rule.column))
+        mask = rule.violation_mask_batch(batch)
         cols[name] = pc.cast(mask, pa.int64())
     t = pa.table(cols)
     aggs = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
@@ -291,10 +355,10 @@ def rule_violation_rows(ds, rule: Rule, columns: list[str],
     if rule.kind not in _ROW_LOCAL:
         raise ValueError("violation rows stream only for row-local "
                          "rules; unique/foreign_key emit via checks.*")
-    need = sorted(set(columns) | {rule.column})
+    need = sorted(set(columns) | rule.input_columns)
 
     def f(batch: pa.Table) -> pa.Table:
-        mask = rule.violation_mask(batch.column(rule.column))
+        mask = rule.violation_mask_batch(batch)
         return batch.select(need).filter(mask).select(columns)
 
     return ds.select_columns(need).map_batches(
@@ -381,6 +445,10 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
             params = {"lo": e.get("lo"), "hi": e.get("hi")}
         elif kind == "regex":
             params = {"pattern": e["pattern"]}
+        elif kind == "compare_cols":
+            params = {"right": e["right"], "op": e.get("op", "=="),
+                      "left_fn": e.get("left_fn"),
+                      "right_fn": e.get("right_fn")}
         elif kind == "foreign_key":
             if read_parquet is None:
                 raise ValueError("foreign_key spec needs a reader")
@@ -400,6 +468,5 @@ def columns_needed(rules: list[Rule],
     leave storage."""
     need = set() if partition_col is None else {partition_col}
     for r in rules:
-        need |= set(r.column) if isinstance(r.column, tuple) \
-            else {r.column}
+        need |= r.input_columns
     return sorted(need)

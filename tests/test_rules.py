@@ -455,3 +455,56 @@ def test_freshness_null_ts_and_cutoff(ray_session, tmp_path):
         oracle[c] = oracle[c].astype(np.int64)
     pd.testing.assert_frame_equal(mine.reset_index(drop=True),
                                   oracle.reset_index(drop=True))
+
+
+class TestCompareColsRule:
+    def test_mask_and_sql_parity(self, ray_session):
+        df = pd.DataFrame({
+            "n": pd.array([2, 5, None, 3], dtype="Int64"),
+            "s": ["ab", "abc", "x", None],
+            "g": ["a", "a", "b", "b"],
+        })
+        rule = R.Rule("compare_cols", "n",
+                      {"right": "s", "op": "==", "right_fn": "length"})
+        assert rule.rule_id == "compare(n==length(s))"
+        rep = R.evaluate_rules(rd.from_pandas(df), [rule],
+                               partition_col="g")
+        by = rep.set_index("scope")
+        # row1: 5 != len('abc')=3 -> violation; null sides skipped
+        assert int(by.loc["a", "n_violations"]) == 1
+        assert int(by.loc["b", "n_violations"]) == 0
+        con = duckdb.connect()
+        con.register("t", df)
+        oracle = con.execute(
+            R.rules_report_sql("t", [rule], partition_col="g")).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
+
+    def test_lower_fn_and_ops(self, ray_session):
+        df = pd.DataFrame({"a": ["AB", "cd", "Ef"],
+                           "b": ["ab", "cd", "zz"]})
+        rule = R.Rule("compare_cols", "a",
+                      {"right": "b", "op": "==", "left_fn": "lower"})
+        rows = R.rule_violation_rows(
+            rd.from_pandas(df), rule, ["a", "b"]).to_pandas()
+        assert rows["a"].tolist() == ["Ef"]
+        # ordering ops on strings: don't hand-count collation — assert
+        # exact agreement with the oracle instead
+        lt = R.Rule("compare_cols", "a", {"right": "b", "op": "<="})
+        rep = R.evaluate_rules(rd.from_pandas(df), [lt])
+        con = duckdb.connect()
+        con.register("t", df)
+        oracle = con.execute(R.rules_report_sql("t", [lt])).df()
+        assert int(rep["n_violations"].iloc[0]) == \
+            int(oracle["n_violations"].iloc[0])
+
+    def test_bad_params_rejected(self):
+        with pytest.raises(ValueError):
+            R.Rule("compare_cols", "a", {})
+        with pytest.raises(ValueError):
+            R.Rule("compare_cols", "a", {"right": "b", "op": "~"})
+        with pytest.raises(ValueError):
+            R.Rule("compare_cols", "a", {"right": "b",
+                                         "left_fn": "upper"})
