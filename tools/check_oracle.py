@@ -2,7 +2,7 @@
 ``queries()`` entry and its ``oracle_sql()`` side-by-side at a given
 sf, compare row-count + sorted-column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def normalize(df):
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import duckdb
     import ray
 
@@ -59,6 +59,12 @@ def main(sf_dir: str) -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -113,5 +119,11 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf, only))
