@@ -221,9 +221,18 @@ def _run(args) -> int:
 
             from .pipelines import rules as R
 
-            with open(args.rules_spec) as f:
-                spec = json.load(f)
+            if args.format == "csv":
+                # the rules phase reads the source parquet; wiring it
+                # through the CSV shard reader is future work — fail
+                # loudly instead of silently skipping declared rules
+                print(json.dumps({
+                    "result": "error",
+                    "error": "--rules-spec is not supported with "
+                             "--format csv"}), file=sys.stderr)
+                return 2
             try:
+                with open(args.rules_spec) as f:
+                    spec = json.load(f)
                 vrules = R.rules_from_spec(spec["rules"],
                                            rd.read_parquet)
             except (KeyError, ValueError, TypeError, OSError) as ex:
@@ -428,16 +437,16 @@ def _run(args) -> int:
 
         from .pipelines import rules as R
 
-        with open(args.spec) as f:
-            spec = json.load(f)
-        part_col = args.partition_col or spec.get("partition_col")
         try:
+            with open(args.spec) as f:
+                spec = json.load(f)
             ruleset = R.rules_from_spec(spec["rules"], rd.read_parquet)
         except (KeyError, ValueError, TypeError, OSError) as ex:
             print(json.dumps({"result": "error",
                               "error": f"bad rule spec: {ex!r}"}),
                   file=sys.stderr)
             return 2
+        part_col = args.partition_col or spec.get("partition_col")
         ev_cols = (args.violation_columns.split(",")
                    if args.violation_columns else None)
         # the read projection must also carry the evidence columns the
@@ -453,8 +462,9 @@ def _run(args) -> int:
         failing = sorted(set(rep.loc[rep["passed"] == 0, "rule_id"]))
         if args.violations_out:
             for rule, rid in zip(ruleset, R.rule_ids(ruleset)):
-                if rule.kind not in ("not_null", "in_set", "range",
-                                     "regex") or rid not in failing:
+                # shared source of truth so new row-local kinds
+                # (compare_cols) keep exporting violation rows
+                if rule.kind not in R._ROW_LOCAL or rid not in failing:
                     continue
                 want = ev_cols or [rule.column]
                 out_dir = os.path.join(

@@ -1211,21 +1211,32 @@ def top_terms_by_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
             "bucket": pa.array((h % np.uint64(32)).astype(np.int32)),
         })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _bucketed_topk_by_lang(
+        ds.map_batches(partial, batch_format="pyarrow"), "token", k)
+
+
+def _bucketed_topk_by_lang(partials, term_col: str,
+                           k: int) -> pd.DataFrame:
+    """Second stage shared by the term and bigram top-k operators:
+    per-bucket exact (lang, term) totals -> per-bucket top-k partials
+    (any global top-k member is necessarily in its bucket's top-k) ->
+    driver merge. Ties break by term ascending (deterministic)."""
+    import pandas as pd  # noqa: F811 (local for map_groups pickling)
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby(["lang", "token"], sort=False)["n_part"].sum()             .reset_index(name="n")
-        tot = tot.sort_values(["lang", "n", "token"],
+        tot = g.groupby(["lang", term_col], sort=False)["n_part"] \
+            .sum().reset_index(name="n")
+        tot = tot.sort_values(["lang", "n", term_col],
                               ascending=[True, False, True])
         return tot.groupby("lang", sort=False).head(k)
 
     cand = partials.groupby("bucket").map_groups(
         bucket_topk, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(["lang", "n", "token"],
+    cand = cand.sort_values(["lang", "n", term_col],
                             ascending=[True, False, True])
     out = cand.groupby("lang", sort=True).head(k).reset_index(drop=True)
     out["n"] = out["n"].astype(np.int64)
-    return out[["lang", "token", "n"]]
+    return out[["lang", term_col, "n"]]
 
 
 TOP_TERMS_BY_LANG_SQL = """
@@ -4303,22 +4314,8 @@ def top_bigrams_by_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
             "bucket": pa.array((h % np.uint64(64)).astype(np.int32)),
         })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby(["lang", "bigram"], sort=False)["n_part"] \
-            .sum().reset_index(name="n")
-        tot = tot.sort_values(["lang", "n", "bigram"],
-                              ascending=[True, False, True])
-        return tot.groupby("lang", sort=False).head(k)
-
-    cand = partials.groupby("bucket").map_groups(
-        bucket_topk, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(["lang", "n", "bigram"],
-                            ascending=[True, False, True])
-    out = cand.groupby("lang", sort=True).head(k).reset_index(drop=True)
-    out["n"] = out["n"].astype(np.int64)
-    return out[["lang", "bigram", "n"]]
+    return _bucketed_topk_by_lang(
+        ds.map_batches(partial, batch_format="pyarrow"), "bigram", k)
 
 
 TOP_BIGRAMS_BY_LANG_SQL = """
@@ -4363,7 +4360,7 @@ def freshness_events(sf_dir: str) -> pd.DataFrame:
             n_part=1,
             null_part=ts.isna().astype(np.int64),
             stale_part=(ts < pd.Timestamp(cutoff)).astype(np.int64),
-        ).groupby("event_type", sort=False).agg(
+        ).groupby("event_type", sort=False, dropna=False).agg(
             n_part=("n_part", "sum"),
             null_part=("null_part", "sum"),
             stale_part=("stale_part", "sum"),
@@ -4372,7 +4369,8 @@ def freshness_events(sf_dir: str) -> pd.DataFrame:
                                     preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby("event_type", sort=True).agg(
+    # dropna=False: a NULL event_type group must match the SQL GROUP BY
+    out = parts.groupby("event_type", sort=True, dropna=False).agg(
         n_rows=("n_part", "sum"), n_null_ts=("null_part", "sum"),
         n_stale=("stale_part", "sum"),
         min_ts=("min_ts", "min"), max_ts=("max_ts", "max")) \

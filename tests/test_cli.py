@@ -366,3 +366,54 @@ class TestValidateRulesSpec:
         out = json.loads(capsys.readouterr().out.strip())
         assert rc == 1 and out["result"] == "failed"
         assert out["rulesFailed"] == 1 and out["ruleViolations"] == 1
+
+
+class TestRulesSpecEdges:
+    def test_csv_mode_rejects_rules_spec(self, ray_session, tmp_path,
+                                         capsys):
+        sp = tmp_path / "s.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "not_null", "column": "v"}]}))
+        rc = main(["validate", "--source", str(tmp_path / "a"),
+                   "--sink", str(tmp_path / "b"), "--keys", "k",
+                   "--format", "csv", "--rules-spec", str(sp)])
+        assert rc == 2
+        assert "not supported" in capsys.readouterr().err
+
+    def test_malformed_spec_json_clean_error(self, ray_session,
+                                             tmp_path, capsys):
+        t = pa.table({"k": ["a"], "v": ["1"]})
+        src, snk = _pair(tmp_path, t, t)
+        sp = tmp_path / "bad.json"
+        sp.write_text("{not json")
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--rules-spec", str(sp)])
+        assert rc == 2
+        assert "bad rule spec" in capsys.readouterr().err
+
+    def test_compare_cols_violations_exported(self, ray_session,
+                                              tmp_path, capsys):
+        t = pa.table({"n": pa.array([2, 9], pa.int64()),
+                      "s": ["ab", "abc"],
+                      "id": pa.array([1, 2], pa.int64())})
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "compare_cols", "column": "n", "right": "s",
+             "op": "==", "right_fn": "length"}]}))
+        vout = tmp_path / "viol"
+        rc = main(["rules", "--input", str(inp), "--spec", str(sp),
+                   "--violations-out", str(vout),
+                   "--violation-columns", "id,n"])
+        capsys.readouterr()
+        assert rc == 1
+
+        import glob
+
+        import pandas as pd
+
+        dirs = glob.glob(str(vout / "*"))
+        assert len(dirs) == 1  # compare_cols rule exported its rows
+        rows = pd.read_parquet(dirs[0])
+        assert rows["id"].tolist() == [2]

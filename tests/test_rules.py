@@ -508,3 +508,30 @@ class TestCompareColsRule:
         with pytest.raises(ValueError):
             R.Rule("compare_cols", "a", {"right": "b",
                                          "left_fn": "upper"})
+
+
+def test_freshness_null_event_type_group(ray_session, tmp_path):
+    """NULL event_type forms its own group on both engines (review
+    finding: pandas dropna default silently dropped those rows)."""
+    import duckdb as dk
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    d = tmp_path / "fnull"
+    d.mkdir()
+    t = pa.table({
+        "event_type": ["a", None, None],
+        "ts": pa.array([pd.Timestamp("2024-01-25")] * 3,
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(d / "events.parquet"))
+    mine = q.freshness_events(str(d))
+    assert int(mine["n_rows"].sum()) == 3
+    assert mine["event_type"].isna().sum() == 1
+    con = dk.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    oracle = con.execute(q.FRESHNESS_EVENTS_SQL).df()
+    assert len(oracle) == len(mine) == 2

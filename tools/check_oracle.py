@@ -123,6 +123,9 @@ if __name__ == "__main__":
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [sf_dir] --only n1,n2")
+            raise SystemExit(1)
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
     sf = args[0] if args else "/root/testdata/sf0.01"
