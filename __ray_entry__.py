@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
         "consistency_documents": q.consistency_documents,
+        "completeness_documents": q.completeness_documents,
     }
 
 
@@ -275,4 +276,6 @@ def oracle_sql() -> dict[str, str]:
         "freshness_events": q.FRESHNESS_EVENTS_SQL,
         # cross-field compare_cols rule, closed fn registry
         "consistency_documents": q.CONSISTENCY_DOCUMENTS_SQL,
+        # disjoint null/empty/whitespace-only classes per string col
+        "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

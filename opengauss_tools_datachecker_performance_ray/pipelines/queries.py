@@ -4411,3 +4411,70 @@ def consistency_documents(sf_dir: str) -> pd.DataFrame:
 
 CONSISTENCY_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_CONSISTENCY_RULES, partition_col="lang")
+
+
+GATE_COMPLETENESS_COLS = ("text", "lang", "source")
+_WS_ONLY_RE = "^[\\t\\n\\r ]+$"  # RE2 literal shared with the oracle
+
+
+def completeness_documents(sf_dir: str) -> pd.DataFrame:
+    """String-column completeness profile: per column the DISJOINT
+    classes null / empty ('') / whitespace-only — the web-text DQ
+    detail ``profile_counts`` (null/min/max) doesn't separate: an
+    empty text is not a null text, and a run of blanks is neither.
+    One fused pass; every block emits one wide integer partial row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([len(batch)], pa.int64())}
+        for c in GATE_COMPLETENESS_COLS:
+            col = batch.column(c)
+            valid = pc.is_valid(col)
+            n = len(batch)
+            nn = n - (pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+            empty = pc.and_(valid, pc.equal(col, ""))
+            ws = pc.and_(pc.and_(valid, pc.invert(
+                pc.fill_null(pc.equal(col, ""), False))),
+                pc.fill_null(pc.match_substring_regex(
+                    col, _WS_ONLY_RE), False))
+            out[f"{c}__null"] = pa.array(
+                [int(nn)], pa.int64())
+            out[f"{c}__empty"] = pa.array(
+                [pc.sum(pc.cast(empty, pa.int64())).as_py() or 0],
+                pa.int64())
+            out[f"{c}__ws"] = pa.array(
+                [pc.sum(pc.cast(ws, pa.int64())).as_py() or 0],
+                pa.int64())
+        return pa.table(out)
+
+    ds = _read(sf_dir, "documents", list(GATE_COMPLETENESS_COLS))
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.sum()
+    rows = [{"col": c, "n_rows": int(tot["n_rows"]),
+             "n_null": int(tot[f"{c}__null"]),
+             "n_empty": int(tot[f"{c}__empty"]),
+             "n_ws_only": int(tot[f"{c}__ws"])}
+            for c in GATE_COMPLETENESS_COLS]
+    return pd.DataFrame(rows).astype(
+        {k: np.int64 for k in ("n_rows", "n_null", "n_empty",
+                               "n_ws_only")}).sort_values("col") \
+        .reset_index(drop=True)
+
+
+def _completeness_sql() -> str:
+    selects = []
+    for c in GATE_COMPLETENESS_COLS:
+        selects.append(f"""
+SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null,
+  CAST(sum(CASE WHEN {c} = '' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_empty,
+  CAST(sum(CASE WHEN {c} <> ''
+            AND regexp_matches({c}, '{_WS_ONLY_RE}')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_ws_only
+FROM documents""")
+    return ("SELECT * FROM (" + "\nUNION ALL\n".join(selects)
+            + ") ORDER BY col")
+
+
+COMPLETENESS_DOCUMENTS_SQL = _completeness_sql()

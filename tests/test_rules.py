@@ -535,3 +535,31 @@ def test_freshness_null_event_type_group(ray_session, tmp_path):
                 f"read_parquet('{d}/events.parquet')")
     oracle = con.execute(q.FRESHNESS_EVENTS_SQL).df()
     assert len(oracle) == len(mine) == 2
+
+
+def test_completeness_disjoint_classes(ray_session, tmp_path):
+    """null / empty / whitespace-only are disjoint on both engines."""
+    import duckdb as dk
+    import pyarrow.parquet as pq
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    d = tmp_path / "comp"
+    d.mkdir()
+    t = pa.table({
+        "text": ["real", None, "", "  \t", "\n\r", " x "],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    mine = q.completeness_documents(str(d))
+    row = mine[mine["col"] == "text"].iloc[0]
+    assert (row["n_null"], row["n_empty"], row["n_ws_only"]) == (1, 1, 2)
+    con = dk.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    oracle = con.execute(q.COMPLETENESS_DOCUMENTS_SQL).df().astype(
+        {k: np.int64 for k in ("n_rows", "n_null", "n_empty",
+                               "n_ws_only")})
+    pd.testing.assert_frame_equal(mine, oracle.reset_index(drop=True))
