@@ -23,65 +23,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Dict ORDER matters: the driver's correctness gate snapshots the
+    # FIRST 50 entries. Round-5 rotation (round-4 verdict #1): the 34
+    # entries that had never received a driver CORRECTNESS row come
+    # first, followed by this round's new operators, then rotation
+    # picks; the long-stable, repeatedly-driver-verified family sits
+    # in the tail (still covered by tools/check_oracle.py + pytest).
     return {
-        # column stats / profiles (SURVEY.md §2.5 A-ext)
-        "stats_documents": q.stats_documents,
-        "stats_by_lang": q.stats_by_lang,
-        "events_by_type": q.events_by_type,
-        "hll_profile_documents": q.hll_profile_documents,
-        # uniqueness (§2.7)
-        "uniqueness_lineitem": q.uniqueness_lineitem,
-        "uniqueness_orders": q.uniqueness_orders,
-        "uniqueness_lineitem_composite": q.uniqueness_lineitem_composite,
-        # referential (§2.4)
-        "referential_orders_customer": q.referential_orders_customer,
-        "referential_events_smallparent": q.referential_events_smallparent,
-        "referential_lineitem_orders_partitioned":
-            q.referential_lineitem_orders_partitioned,
-        "referential_bloom_pruned": q.referential_bloom_pruned,
-        # table-pair compare (§2.4 J1-J3, §2.5 A1-A4)
-        "compare_orders_pair": q.compare_orders_pair,
-        "compare_documents_clean": q.compare_documents_clean,
-        # dedup / similarity / text (training-data extensions)
-        "corpus_curation_by_lang": q.corpus_curation_by_lang,
-        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
-        "dedup_exact_documents": q.dedup_exact_documents,
-        "line_dedup_documents": q.line_dedup_documents,
-        "dup_spans_documents": q.dup_spans_documents,
-        "span_dup_scores_documents": q.span_dup_scores_documents,
-        "pattern_scan_documents": q.pattern_scan_documents,
-        "corpus_curation_v2": q.corpus_curation_v2,
-        "corpus_curation_v3": q.corpus_curation_v3,
-        "corpus_curation_v4": q.corpus_curation_v4,
-        "minhash_lsh_candidates": q.minhash_lsh_candidates,
-        "neardup_components_documents": q.neardup_components_documents,
-        "decontaminate_documents": q.decontaminate_documents,
-        "minhash_dedup_keep_documents": q.minhash_dedup_keep_documents,
-        "simhash_documents": q.simhash_documents,
-        "token_stats_documents": q.token_stats_documents,
-        "topk_longest_documents": q.topk_longest_documents,
-        "lang_by_source": q.lang_by_source,
-        "psi_lang_by_source": q.psi_lang_by_source,
-        "ks_exact_events": q.ks_exact_events,
-        "quantiles_events_value": q.quantiles_events_value,
-        "events_value_histogram": q.events_value_histogram,
-        "quantiles_by_event_type": q.quantiles_by_event_type,
-        "top_terms_by_lang": q.top_terms_by_lang,
-        "events_props_rollup": q.events_props_rollup,
-        "stable_sample_orders": q.stable_sample_orders,
-        "cap_per_source_documents": q.cap_per_source_documents,
-        "pack_chunks_documents": q.pack_chunks_documents,
-        "repetition_features_documents": q.repetition_features_documents,
-        "quality_documents": q.quality_documents,
-        "quality_features_documents": q.quality_features_documents,
-        "profile_counts_documents": q.profile_counts_documents,
-        "drift_documents_by_source": q.drift_documents_by_source,
-        "knn_embeddings": q.knn_embeddings,
-        # incremental mode, rules, skew, CSV source, multimodal (§2.9,
-        # §2.2 M3-M5, §4 skew, §2.1 S4, training-data extensions)
-        "cdc_debezium_orders": q.cdc_debezium_orders,
-        "incremental_recheck_orders": q.incremental_recheck_orders,
-        "row_rule_orders": q.row_rule_orders,
+        # --- never driver-verified until round 5 (34 entries) ---
         "hot_sources_documents": q.hot_sources_documents,
         "csv_lang_counts": q.csv_lang_counts,
         "simhash_near_dups_documents": q.simhash_near_dups_documents,
@@ -95,8 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionization": q.events_sessionization,
         "events_asof_last_order": q.events_asof_last_order,
         "events_range_join_orders": q.events_range_join_orders,
-        # round-4 continuation #3: canonicalization, quality filter,
-        # retrieval, JSONL interchange round-trip
+        # canonicalization, quality filter, retrieval, JSONL round-trip
         "normalize_text_documents": q.normalize_text_documents,
         "corpus_curation_v5": q.corpus_curation_v5,
         "gopher_filter_documents": q.gopher_filter_documents,
@@ -106,8 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_documents": q.vocabulary_documents,
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "redact_events_props": q.redact_events_props,
-        # round-4 continuation #5: declarative constraint-rule engine
-        # (per-partition verdicts + violation-row emission)
+        # declarative constraint-rule engine
         "rules_documents": q.rules_documents,
         "rules_events": q.rules_events,
         "rule_violations_events": q.rule_violations_events,
@@ -122,6 +69,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_events": q.freshness_events,
         "consistency_documents": q.consistency_documents,
         "completeness_documents": q.completeness_documents,
+        # --- round-5 additions (inside the driver window) ---
+        "rules_aggregate_documents": q.rules_aggregate_documents,
+        # --- rotation picks: newest previously-verified entries ---
+        "compare_orders_pair": q.compare_orders_pair,
+        "hll_profile_documents": q.hll_profile_documents,
+        "drift_documents_by_source": q.drift_documents_by_source,
+        "minhash_lsh_candidates": q.minhash_lsh_candidates,
+        "corpus_curation_v4": q.corpus_curation_v4,
+        "minhash_dedup_keep_documents": q.minhash_dedup_keep_documents,
+        "neardup_components_documents": q.neardup_components_documents,
+        "dup_spans_documents": q.dup_spans_documents,
+        "span_dup_scores_documents": q.span_dup_scores_documents,
+        "pattern_scan_documents": q.pattern_scan_documents,
+        "pack_chunks_documents": q.pack_chunks_documents,
+        "cap_per_source_documents": q.cap_per_source_documents,
+        # --- tail: long-stable, driver-verified rounds 1-4 ---
+        "stats_documents": q.stats_documents,
+        "stats_by_lang": q.stats_by_lang,
+        "events_by_type": q.events_by_type,
+        "uniqueness_lineitem": q.uniqueness_lineitem,
+        "uniqueness_orders": q.uniqueness_orders,
+        "uniqueness_lineitem_composite": q.uniqueness_lineitem_composite,
+        "referential_orders_customer": q.referential_orders_customer,
+        "referential_events_smallparent": q.referential_events_smallparent,
+        "referential_lineitem_orders_partitioned":
+            q.referential_lineitem_orders_partitioned,
+        "referential_bloom_pruned": q.referential_bloom_pruned,
+        "compare_documents_clean": q.compare_documents_clean,
+        "corpus_curation_by_lang": q.corpus_curation_by_lang,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "line_dedup_documents": q.line_dedup_documents,
+        "corpus_curation_v2": q.corpus_curation_v2,
+        "corpus_curation_v3": q.corpus_curation_v3,
+        "decontaminate_documents": q.decontaminate_documents,
+        "simhash_documents": q.simhash_documents,
+        "token_stats_documents": q.token_stats_documents,
+        "topk_longest_documents": q.topk_longest_documents,
+        "lang_by_source": q.lang_by_source,
+        "psi_lang_by_source": q.psi_lang_by_source,
+        "ks_exact_events": q.ks_exact_events,
+        "quantiles_events_value": q.quantiles_events_value,
+        "events_value_histogram": q.events_value_histogram,
+        "quantiles_by_event_type": q.quantiles_by_event_type,
+        "top_terms_by_lang": q.top_terms_by_lang,
+        "events_props_rollup": q.events_props_rollup,
+        "stable_sample_orders": q.stable_sample_orders,
+        "repetition_features_documents": q.repetition_features_documents,
+        "quality_documents": q.quality_documents,
+        "quality_features_documents": q.quality_features_documents,
+        "profile_counts_documents": q.profile_counts_documents,
+        "knn_embeddings": q.knn_embeddings,
+        "cdc_debezium_orders": q.cdc_debezium_orders,
+        "incremental_recheck_orders": q.incremental_recheck_orders,
+        "row_rule_orders": q.row_rule_orders,
     }
 
 
@@ -253,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         # objects (identical predicates / RE2 literals by construction)
         "rules_documents": q.RULES_DOCUMENTS_SQL,
         "rules_events": q.RULES_EVENTS_SQL,
+        "rules_aggregate_documents": q.RULES_AGGREGATE_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

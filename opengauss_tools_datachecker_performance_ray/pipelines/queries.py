@@ -3787,6 +3787,41 @@ RULES_EVENTS_SQL = rulesmod.rules_report_sql(
     fk_tables={"foreign_key(user_id)": ("customer", "c_custkey")})
 
 
+# aggregate-class rules (round-5): per-scope constraints over the same
+# one-pass partials — the reference's table-level precondition checks
+# (row counts / structure gates, CheckTableStructureService.java:65-80)
+# generalized to declarative per-partition aggregate verdicts.
+# Thresholds chosen so sf0.001 AND sf0.01 both exercise pass and fail
+# verdicts for each aggregate kind (see BASELINE-era stats: per-lang
+# counts 64..218, means 278..330, mins 47..63, maxes 536..558).
+GATE_DOC_AGG_RULES = [
+    rulesmod.Rule("not_null", "text"),  # row-local rides the same scan
+    rulesmod.Rule("row_count", None, {"lo": 75}),
+    rulesmod.Rule("null_rate", "text", {"hi": 0.0}),
+    rulesmod.Rule("mean", "n_chars", {"lo": 280, "hi": 320}),
+    rulesmod.Rule("sum", "n_chars", {"hi": 30000}),
+    rulesmod.Rule("min", "n_chars", {"lo": 50}),
+    rulesmod.Rule("max", "n_chars", {"hi": 550}),
+]
+
+
+def rules_aggregate_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language aggregate-constraint verdicts over documents: six
+    aggregate rules (row_count / null_rate / mean / sum / min / max
+    bounds) plus one row-local rule, ALL fused into the same single
+    streaming scan — each block emits one tiny partial row per lang
+    (counts, exact integer sums, min/max), merged on the driver, and
+    the verdict recomputes each aggregate exactly as the generated
+    GROUP BY oracle does. 35 verdict rows at any corpus size."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+    return rulesmod.evaluate_rules(ds, GATE_DOC_AGG_RULES,
+                                   partition_col="lang")
+
+
+RULES_AGGREGATE_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_DOC_AGG_RULES, partition_col="lang")
+
+
 def rule_violations_events(sf_dir: str) -> pd.DataFrame:
     """Violation-row emission for one declared rule (the engine's
     `Difference` analog): events whose value falls outside the declared
@@ -3839,8 +3874,11 @@ WITH flags AS (
           OR label > {GATE_EMB_LABEL_HI}) THEN 1 ELSE 0 END AS f_lab
   FROM embeddings
 ), dup AS (
+  -- null ids are excluded from the duplicate check, matching the
+  -- engine's UNIQUE semantics (null key parts never form a dup group)
   SELECT count(*) AS n FROM (SELECT count(*) OVER
-    (PARTITION BY vec_id) AS c FROM embeddings) WHERE c > 1
+    (PARTITION BY vec_id) AS c FROM embeddings
+    WHERE vec_id IS NOT NULL) WHERE c > 1
 )
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(coalesce(sum(f_null), 0) AS BIGINT) AS n_null_vec,

@@ -16,6 +16,15 @@ Ray-Data-first:
   each block emits one tiny partial row per partition value — wide
   integer counts, never the data itself. However many rules you add,
   the input is scanned exactly once.
+- **Aggregate-class rules** (``row_count``, ``null_rate``, ``mean``,
+  ``sum``, ``min``, ``max`` with inclusive ``[lo, hi]`` bounds) ride
+  the SAME fused pass: each adds tiny typed partial columns (null
+  count, exact sum+count, min, max) to the per-block grouped fold,
+  and the per-scope verdict is recomputed on the driver exactly as
+  the generated GROUP BY oracle computes it — the reference's
+  table-level precondition checks
+  (`check/service/CheckTableStructureService.java:65-80`) generalized
+  to declarative per-partition aggregate constraints.
 - **Cross-row rules** (``unique``, ``foreign_key``) delegate to the
   bucketed machinery in ``pipelines/checks.py`` (partial-count
   pre-aggregation, byte-aware broadcast anti-join) and land in the
@@ -49,6 +58,15 @@ NULL_SCOPE = "<null>"  # partition-key nulls; '' is the table-level scope
 
 _ROW_LOCAL = ("not_null", "in_set", "range", "regex", "compare_cols")
 _CROSS_ROW = ("unique", "foreign_key")
+# aggregate-class rules: per-scope constraints over the SAME one-pass
+# partials the row-local rules ride (the reference's table-level
+# precondition checks generalized — row counts / structure gates in
+# `check/service/CheckTableStructureService.java:65-80`). The verdict
+# is per scope: the aggregate either satisfies the inclusive [lo, hi]
+# bounds (passed=1, n_violations=0) or not (passed=0, n_violations=1).
+# An empty aggregate (zero non-null values for mean/min/max/sum)
+# passes vacuously, mirroring how domain rules skip nulls.
+_AGGREGATE = ("row_count", "null_rate", "mean", "sum", "min", "max")
 
 # cross-field transform registry: every entry must behave identically
 # in Arrow compute and DuckDB SQL (that's why it's a closed registry,
@@ -78,15 +96,33 @@ class Rule:
     - ``regex``: ``{"pattern": str}`` (RE2 search; violation:
       non-null value with no match)
     - ``foreign_key``: ``{"parent": Dataset, "parent_key": str}``
+    - aggregate kinds (``row_count`` / ``null_rate`` / ``mean`` /
+      ``sum`` / ``min`` / ``max``): ``{"lo": x | None, "hi": y |
+      None}`` inclusive bounds on the per-scope aggregate value;
+      ``row_count`` takes ``column=None``. Exact cross-engine parity
+      holds for integer columns (sums fold exactly on both sides) and
+      for min/max/row_count/null_rate on any type; a float-column
+      ``mean``/``sum`` is summation-order-dependent and may differ
+      from SQL in the last ULP at a bounds boundary.
     """
 
     kind: str
-    column: str | tuple
+    column: str | tuple | None
     params: dict = field(default_factory=dict)
 
     def __post_init__(self):
-        if self.kind not in _ROW_LOCAL + _CROSS_ROW:
+        if self.kind not in _ROW_LOCAL + _CROSS_ROW + _AGGREGATE:
             raise ValueError(f"unknown rule kind {self.kind!r}")
+        if self.kind in _AGGREGATE:
+            if self.params.get("lo") is None \
+                    and self.params.get("hi") is None:
+                raise ValueError(f"{self.kind} rule needs lo and/or hi")
+            if self.kind == "row_count":
+                if self.column is not None:
+                    raise ValueError("row_count takes column=None")
+            elif not isinstance(self.column, str):
+                raise ValueError(f"{self.kind} needs one column name")
+            return
         # reject silently-vacuous rules at construction (a bounds-less
         # range passes everything on the Ray side and generates
         # unparseable SQL)
@@ -118,12 +154,14 @@ class Rule:
             rhs = f"{rf}({r})" if rf else r
             return f"compare({lhs}{op}{rhs})"
         col = (",".join(self.column) if isinstance(self.column, tuple)
-               else self.column)
+               else (self.column or ""))
         return f"{self.kind}({col})"
 
     @property
     def input_columns(self) -> set:
         """Every column this rule reads (projection pruning)."""
+        if self.column is None:
+            return set()
         cols = set(self.column) if isinstance(self.column, tuple) \
             else {self.column}
         if self.kind == "compare_cols":
@@ -236,12 +274,39 @@ def rule_ids(rules: list[Rule]) -> list[str]:
     return out
 
 
+def agg_partial_plan(aggs: list[Rule]) -> list[tuple[str, str]]:
+    """The extra partial columns an aggregate rule list needs, as
+    ``(column_name, merge_fn)`` pairs where merge_fn is the driver-side
+    fold (``sum`` / ``min`` / ``max``). Shared by the block partials,
+    the driver merge and the empty-schema fallback so the three always
+    agree column-for-column."""
+    plan: list[tuple[str, str]] = []
+    for j, r in enumerate(aggs):
+        if r.kind == "row_count":
+            continue  # n_rows already carries it
+        if r.kind == "null_rate":
+            plan.append((f"a{j}_nul", "sum"))
+        elif r.kind in ("mean", "sum"):
+            plan.append((f"a{j}_sum", "sum"))
+            plan.append((f"a{j}_cnt", "sum"))
+        elif r.kind == "min":
+            plan.append((f"a{j}_min", "min"))
+        else:  # max
+            plan.append((f"a{j}_max", "max"))
+    return plan
+
+
 def row_local_partials(batch: pa.Table, local: list[Rule],
-                       partition_col: str | None) -> pa.Table:
+                       partition_col: str | None,
+                       aggs: list[Rule] | None = None) -> pa.Table:
     """One block's contribution to the verdict report: every row-local
     rule's violation mask computed vectorized on the same batch, summed
     per partition value — wide integer partial rows (scope, n_rows,
-    v0..vN), never the data itself."""
+    v0..vN), never the data itself. Aggregate rules ride the SAME
+    grouped fold: each adds its partial columns (null count, sum+count,
+    min, max) so however many rules of either class you declare, the
+    input is scanned exactly once."""
+    aggs = aggs or []
     vcols = [f"v{i}" for i in range(len(local))]
     cols = {}
     if partition_col is not None:
@@ -254,18 +319,91 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     for name, rule in zip(vcols, local):
         mask = rule.violation_mask_batch(batch)
         cols[name] = pc.cast(mask, pa.int64())
+    spec = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
+    out_names = ["scope", "n_rows"] + list(vcols)
+    for j, r in enumerate(aggs):
+        if r.kind == "row_count":
+            continue
+        col = batch.column(r.column)
+        if pa.types.is_null(col.type):
+            # an all-null column arrives as the NULL type: no value
+            # kernels exist, so emit typed empties (cnt 0 / null
+            # extremes) — the aggregate then passes vacuously
+            col = pa.nulls(len(batch), pa.float64())
+        if r.kind == "null_rate":
+            cols[f"a{j}_nul"] = pc.cast(pc.is_null(col), pa.int64())
+            spec.append((f"a{j}_nul", "sum"))
+            out_names.append(f"a{j}_nul")
+        elif r.kind in ("mean", "sum"):
+            cols[f"a{j}_sum"] = col  # Arrow hash_sum skips nulls
+            cols[f"a{j}_cnt"] = pc.cast(pc.is_valid(col), pa.int64())
+            spec += [(f"a{j}_sum", "sum"), (f"a{j}_cnt", "sum")]
+            out_names += [f"a{j}_sum", f"a{j}_cnt"]
+        else:  # min / max
+            name = f"a{j}_{r.kind}"
+            cols[name] = col
+            spec.append((name, r.kind))
+            out_names.append(name)
     t = pa.table(cols)
-    aggs = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
-    g = t.group_by(["scope"]).aggregate(aggs)
-    return g.rename_columns(["scope", "n_rows"] + vcols)
+    g = t.group_by(["scope"]).aggregate(spec)
+    # aggregate() appends the agg fn to each output name; restore ours
+    return g.rename_columns(out_names)
 
 
-def merge_partials(part: pd.DataFrame, n_local: int) -> pd.DataFrame:
-    """Driver-side fold of the per-block partial rows."""
+def merge_partials(part: pd.DataFrame, n_local: int,
+                   aggs: list[Rule] | None = None) -> pd.DataFrame:
+    """Driver-side fold of the per-block partial rows. Count-like
+    columns sum; min/max partials fold with min/max (pandas skips the
+    NaN an all-null block emitted)."""
+    plan = agg_partial_plan(aggs or [])
     if part.empty:  # empty Dataset loses its schema on to_pandas
         part = pd.DataFrame(columns=["scope", "n_rows"]
-                            + [f"v{i}" for i in range(n_local)])
-    return part.groupby("scope", sort=True).sum().reset_index()
+                            + [f"v{i}" for i in range(n_local)]
+                            + [c for c, _ in plan])
+    fold = {c: "sum" for c in part.columns if c != "scope"}
+    fold.update(dict(plan))
+    return (part.groupby("scope", sort=True).agg(fold)
+                .reset_index())
+
+
+def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
+                          ids: list[str]) -> list[dict]:
+    """Per-(scope, aggregate-rule) verdict rows from the merged
+    partials. The aggregate value is recomputed exactly as the SQL
+    oracle does (one float division over exactly-folded integer
+    partials), so integer-column rules are bit-parity with DuckDB."""
+    rows = []
+    for _, row in merged.iterrows():
+        n = int(row["n_rows"])
+        for j, (rule, rid) in enumerate(zip(aggs, ids)):
+            lo = rule.params.get("lo")
+            hi = rule.params.get("hi")
+            if rule.kind == "row_count":
+                val = n
+            elif rule.kind == "null_rate":
+                val = float(np.float64(int(row[f"a{j}_nul"]))
+                            / np.float64(n))
+            elif rule.kind in ("mean", "sum"):
+                cnt = int(row[f"a{j}_cnt"])
+                s = row[f"a{j}_sum"]
+                if cnt == 0:
+                    val = None  # vacuous: no non-null values in scope
+                elif rule.kind == "sum":
+                    val = s.item() if hasattr(s, "item") else s
+                else:
+                    val = float(np.float64(s) / np.float64(cnt))
+            else:  # min / max
+                v = row[f"a{j}_{rule.kind}"]
+                val = None if v is None or (isinstance(v, float)
+                                            and np.isnan(v)) else \
+                    (v.item() if hasattr(v, "item") else v)
+            viol = val is not None and (
+                (lo is not None and val < lo)
+                or (hi is not None and val > hi))
+            rows.append({"scope": row["scope"], "rule_id": rid,
+                         "n_rows": n, "n_violations": int(viol),
+                         "passed": int(not viol)})
+    return rows
 
 
 def partials_to_report(merged: pd.DataFrame, local: list[Rule],
@@ -295,7 +433,8 @@ def evaluate_rules(ds, rules: list[Rule],
     ``n_rows`` (rows checked in that scope), ``n_violations`` and
     ``passed`` (int 0/1) — the generalized ``CheckDiffResult``.
 
-    One streaming input pass covers every row-local rule; each
+    One streaming input pass covers every row-local AND aggregate
+    rule (their partials share the per-block grouped fold); each
     ``unique`` / ``foreign_key`` rule adds its own bucketed/broadcast
     pass via ``checks``.
     """
@@ -305,20 +444,25 @@ def evaluate_rules(ds, rules: list[Rule],
     local = [r for r in rules if r.kind in _ROW_LOCAL]
     local_ids = [i for r, i in zip(rules, ids_all)
                  if r.kind in _ROW_LOCAL]
+    aggr = [r for r in rules if r.kind in _AGGREGATE]
+    aggr_ids = [i for r, i in zip(rules, ids_all)
+                if r.kind in _AGGREGATE]
     cross = [(r, i) for r, i in zip(rules, ids_all)
              if r.kind in _CROSS_ROW]
     out_rows: list[dict] = []
     total_rows = None
 
-    if local:
+    if local or aggr:
         def partials(batch: pa.Table) -> pa.Table:
-            return row_local_partials(batch, local, partition_col)
+            return row_local_partials(batch, local, partition_col,
+                                      aggs=aggr)
 
         part = ds.map_batches(partials, batch_format="pyarrow",
                               batch_size=batch_size).to_pandas()
-        merged = merge_partials(part, len(local))
+        merged = merge_partials(part, len(local), aggs=aggr)
         total_rows = int(merged["n_rows"].sum())
         out_rows.extend(partials_to_report(merged, local, local_ids))
+        out_rows.extend(aggregate_report_rows(merged, aggr, aggr_ids))
 
     if cross:
         if total_rows is None:
@@ -392,6 +536,35 @@ SELECT {scope_expr} AS scope, '{rid}' AS rule_id,
        CAST(CASE WHEN sum(CASE WHEN {r.violation_sql()} THEN 1 ELSE 0
             END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
 FROM {table} GROUP BY 1""")
+        elif r.kind in _AGGREGATE:
+            c = r.column
+            if r.kind == "row_count":
+                agg = "count(*)"
+            elif r.kind == "null_rate":
+                # exactly the engine's fold: one double division over
+                # exactly-summed integer partials
+                agg = (f"(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 "
+                       f"END) AS DOUBLE) / count(*))")
+            elif r.kind == "mean":
+                agg = (f"(CASE WHEN count({c}) = 0 THEN NULL ELSE "
+                       f"CAST(sum({c}) AS DOUBLE) / count({c}) END)")
+            else:  # sum / min / max — NULL when the scope is all-null
+                agg = f"{r.kind}({c})"
+            lo, hi = r.params.get("lo"), r.params.get("hi")
+            parts = []
+            if lo is not None:
+                parts.append(f"{agg} < {_sql_lit(lo)}")
+            if hi is not None:
+                parts.append(f"{agg} > {_sql_lit(hi)}")
+            # NULL aggregate (empty scope) passes vacuously, like the
+            # engine; OR over NULL comparisons stays NULL -> ELSE 0
+            viol = (f"CASE WHEN {' OR '.join(parts)} THEN 1 ELSE 0 END")
+            selects.append(f"""
+SELECT {scope_expr} AS scope, '{rid}' AS rule_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({viol} AS BIGINT) AS n_violations,
+       CAST(1 - ({viol}) AS BIGINT) AS passed
+FROM {table} GROUP BY 1""")
         elif r.kind == "unique":
             cols = (list(r.column) if isinstance(r.column, tuple)
                     else [r.column])
@@ -436,12 +609,12 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
     out = []
     for e in spec:
         kind = e["kind"]
-        col = e["column"]
+        col = e.get("column")  # row_count legitimately has none
         if kind == "unique" and isinstance(col, list):
             col = tuple(col)
         if kind == "in_set":
             params = {"values": e["values"]}
-        elif kind == "range":
+        elif kind == "range" or kind in _AGGREGATE:
             params = {"lo": e.get("lo"), "hi": e.get("hi")}
         elif kind == "regex":
             params = {"pattern": e["pattern"]}

@@ -125,14 +125,28 @@ def stratified_sample(ds, key_col: str, group_col: str,
     dthr = sample_threshold(default_rate)
     gtype = dict(zip(ds.schema().names, ds.schema().types)) \
         .get(group_col)
-    if thr_map and isinstance(gtype, pa.DataType) \
-            and pa.types.is_integer(gtype) \
-            and all(isinstance(g, str) for g in thr_map):
+    if thr_map and isinstance(gtype, pa.DataType):
         # a silent type mismatch would apply default_rate to every
-        # row — the declared per-group rates become a no-op
-        raise ValueError(
-            f"rates keys are strings but {group_col!r} is {gtype}; "
-            f"pass keys of the column's type")
+        # row — the declared per-group rates become a no-op; check
+        # every key against the column's type family, both directions
+        if pa.types.is_dictionary(gtype):
+            gtype = gtype.value_type
+        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+            ok = str
+        elif pa.types.is_integer(gtype) or pa.types.is_floating(gtype):
+            ok = (int, float)  # 2 == 2.0 maps fine either way
+        elif pa.types.is_boolean(gtype):
+            ok = bool
+        else:
+            ok = object
+        bad = [g for g in thr_map
+               if g is None or isinstance(g, bool) != (ok is bool)
+               or not isinstance(g, ok)]
+        if bad:
+            raise ValueError(
+                f"rates keys {bad!r} do not match {group_col!r} type "
+                f"{gtype} — a mismatched key can never select a row; "
+                f"pass keys of the column's type")
 
     def keep(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)

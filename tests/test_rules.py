@@ -252,9 +252,20 @@ def test_stratified_sample_type_mismatch_raises(ray_session):
 
     t = pa.table({"k": pa.array([1, 2], pa.int64()),
                   "year": pa.array([2020, 2021], pa.int32())})
-    with pytest.raises(ValueError, match="keys are strings"):
+    with pytest.raises(ValueError, match="can never select a row"):
         sampling.stratified_sample(rd.from_arrow(t), "k", "year",
                                    {"2020": 0.5})
+    # the reverse direction: integer keys on a string column must raise
+    # too (was a silent default_rate no-op before the guard generalized)
+    ts = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "lang": pa.array(["en", "fr"])})
+    with pytest.raises(ValueError, match="can never select a row"):
+        sampling.stratified_sample(rd.from_arrow(ts), "k", "lang",
+                                   {2020: 0.5})
+    # bool keys on an int column are a mismatch (bool is not "int" here)
+    with pytest.raises(ValueError, match="can never select a row"):
+        sampling.stratified_sample(rd.from_arrow(t), "k", "year",
+                                   {True: 0.5})
     # properly-typed keys work
     out = sampling.stratified_sample(rd.from_arrow(t), "k", "year",
                                      {2020: 1.0}, 0.0).to_pandas()
@@ -563,3 +574,119 @@ def test_completeness_disjoint_classes(ray_session, tmp_path):
         {k: np.int64 for k in ("n_rows", "n_null", "n_empty",
                                "n_ws_only")})
     pd.testing.assert_frame_equal(mine, oracle.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# aggregate-class rules (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_rule_construction():
+    with pytest.raises(ValueError, match="lo and/or hi"):
+        R.Rule("mean", "x")
+    with pytest.raises(ValueError, match="column=None"):
+        R.Rule("row_count", "x", {"lo": 1})
+    with pytest.raises(ValueError, match="one column"):
+        R.Rule("mean", ("a", "b"), {"lo": 1})
+    assert R.Rule("row_count", None, {"lo": 1}).rule_id == "row_count()"
+    assert R.Rule("mean", "x", {"lo": 1}).rule_id == "mean(x)"
+    assert R.Rule("row_count", None, {"lo": 1}).input_columns == set()
+
+
+def test_aggregate_rules_semantics(ray_session):
+    """Verdicts per scope; empty aggregates (all-null scope) pass
+    vacuously; row_count rides n_rows; one fused scan serves row-local
+    and aggregate rules together."""
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "b", None],
+        "x": pd.array([1, None, 3, 4, 100, 7], dtype="Int64"),
+        "y": [1.5, 2.5, None, None, None, 3.0],
+    })
+    rules = [
+        R.Rule("row_count", None, {"lo": 2}),
+        R.Rule("null_rate", "x", {"hi": 0.3}),
+        R.Rule("mean", "x", {"lo": 0, "hi": 10}),
+        R.Rule("sum", "x", {"hi": 50}),
+        R.Rule("min", "y", {"lo": 2.0}),
+        R.Rule("max", "x", {"hi": 99}),
+        R.Rule("not_null", "x"),
+    ]
+    rep = R.evaluate_rules(rd.from_pandas(df), rules, partition_col="g")
+    assert len(rep) == 3 * 7
+    k = rep.set_index(["scope", "rule_id"])["passed"]
+    assert k[("a", "row_count()")] == 1 and k[(R.NULL_SCOPE,
+                                               "row_count()")] == 0
+    assert k[("a", "null_rate(x)")] == 0  # 1/2 > 0.3
+    assert k[("b", "mean(x)")] == 0       # 107/3 > 10
+    assert k[("b", "sum(x)")] == 0        # 107 > 50
+    assert k[("b", "min(y)")] == 1        # all-null scope: vacuous pass
+    assert k[("a", "min(y)")] == 0        # 1.5 < 2.0
+    assert k[("b", "max(x)")] == 0        # 100 > 99
+    # SQL generated from the SAME rules agrees bit-for-bit
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute(
+        R.rules_report_sql("t", rules, partition_col="g")).df().astype(
+        {c: np.int64 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_aggregate_rules_empty_and_spec(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.large_string()),
+        "x": pa.array([], pa.int64())}))
+    rep = R.evaluate_rules(
+        empty, [R.Rule("mean", "x", {"lo": 0})], partition_col="g")
+    assert len(rep) == 0  # no scopes seen, like row-local rules
+    # spec round-trip (the CLI contract) covers the aggregate kinds
+    rules = R.rules_from_spec([
+        {"kind": "row_count", "lo": 5},
+        {"kind": "null_rate", "column": "x", "hi": 0.5},
+        {"kind": "mean", "column": "x", "lo": 1, "hi": 2},
+    ])
+    assert [r.rule_id for r in rules] == \
+        ["row_count()", "null_rate(x)", "mean(x)"]
+    assert R.columns_needed(rules, "g") == ["g", "x"]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       lo=st.integers(-40, 0), hi=st.integers(1, 40),
+       rate=st.floats(0.0, 1.0, allow_nan=False),
+       grp_null=st.booleans())
+def test_aggregate_rules_fuzz_parity(ray_session_holder, vals, lo, hi,
+                                     rate, grp_null):
+    """Random integer tables (nulls everywhere, whole-scope-null
+    cases) through every aggregate kind must agree with the generated
+    GROUP BY oracle bit-for-bit — integer sums fold exactly on both
+    sides, and null_rate/mean reduce to one double division over the
+    same operands."""
+    n = len(vals)
+    grp = ["g1" if i % 3 else ("g2" if not grp_null else None)
+           for i in range(n)]
+    df = pd.DataFrame({
+        "grp": grp,
+        "val": pd.array(vals, dtype="Int64"),
+    })
+    ruleset = [
+        R.Rule("row_count", None, {"lo": 3}),
+        R.Rule("null_rate", "val", {"hi": rate}),
+        R.Rule("mean", "val", {"lo": lo, "hi": hi}),
+        R.Rule("sum", "val", {"lo": lo * 4}),
+        R.Rule("min", "val", {"lo": lo}),
+        R.Rule("max", "val", {"hi": hi}),
+        R.Rule("not_null", "val"),  # fused row-local alongside
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        oracle = con.execute(
+            R.rules_report_sql("t", ruleset, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
