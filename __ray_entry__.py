@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_documents": q.completeness_documents,
         # --- round-5 additions (inside the driver window) ---
         "rules_aggregate_documents": q.rules_aggregate_documents,
+        "bpe_tokenize_documents": q.bpe_tokenize_documents,
+        "bpe_pack_documents": q.bpe_pack_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -256,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
         "rules_documents": q.RULES_DOCUMENTS_SQL,
         "rules_events": q.RULES_EVENTS_SQL,
         "rules_aggregate_documents": q.RULES_AGGREGATE_DOCUMENTS_SQL,
+        "bpe_tokenize_documents": q.BPE_TOKENIZE_DOCUMENTS_SQL,
+        "bpe_pack_documents": q.BPE_PACK_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

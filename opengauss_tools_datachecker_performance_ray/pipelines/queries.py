@@ -4516,3 +4516,96 @@ FROM documents""")
 
 
 COMPLETENESS_DOCUMENTS_SQL = _completeness_sql()
+
+
+# ---------------------------------------------------------------------------
+# From-scratch BPE tokenizer (functions/bpe.py, round 5) — trained on
+# the corpus's own word-frequency table (deterministic merge order:
+# max pair count, lexicographic tie-break), encoded as a map-only
+# broadcast lookup. The oracle replays training AND encoding in pure
+# DuckDB SQL: the merge loop is recursion-unrolled as one CTE block
+# per merge rank over the sentinel-string representation (whose merge
+# step is exactly `replace`, identical left-to-right non-overlapping
+# semantics in Python and DuckDB).
+# ---------------------------------------------------------------------------
+
+from ..functions import bpe as bpefn  # noqa: E402
+
+GATE_BPE_MERGES = 48
+
+
+def bpe_tokenize_documents(sf_dir: str) -> pd.DataFrame:
+    """Train a 48-merge BPE on documents' own word-frequency table
+    (one streaming pass: per-block Arrow partial counts, driver-side
+    vocabulary-bounded fold + merge loop), then encode every document
+    in a second map-only pass with the word->ids table broadcast once
+    via ``ray.put``. Output per doc: token count + md5 of the
+    comma-joined id sequence — value-matched against an oracle that
+    re-derives the same merges from the same corpus in SQL."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wf = bpefn.word_freq_from_dataset(ds, "text")
+    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
+    ref = ray.put(tok.word_ids)
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        wids = ray.get(ref)  # zero-copy local object-store read
+        n_toks, digests = [], []
+        for t in batch["text"]:
+            ids = [i for w in bpefn.words_of(t) for i in wids[w]]
+            n_toks.append(len(ids))
+            digests.append(bpefn.ids_md5(ids))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "n_tokens": n_toks, "ids_md5": digests})
+
+    out = ds.map_batches(enc, batch_format="pandas")
+    df = _with_schema(out, ["doc_id", "n_tokens", "ids_md5"],
+                      {"doc_id": np.int64, "n_tokens": np.int64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+BPE_TOKENIZE_DOCUMENTS_SQL = bpefn.oracle_sql(GATE_BPE_MERGES)
+
+
+def bpe_pack_documents(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-grade sequence packing: the BPE tokenizer (trained on
+    the corpus exactly as in ``bpe_tokenize_documents``) supplies the
+    per-document token weights that ``stages/packing.pack_chunks``
+    prefix-sums into 2048-token training-chunk spans — replacing the
+    whitespace proxy of ``pack_chunks_documents`` with real subword
+    counts. Only the word -> token-count dict broadcasts (one int per
+    corpus word); text never leaves the count pass."""
+    import ray
+
+    from ..stages import packing
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wf = bpefn.word_freq_from_dataset(ds, "text")
+    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
+    ref = ray.put({w: len(ids) for w, ids in tok.word_ids.items()})
+
+    def count(batch: pa.Table) -> pa.Table:
+        import ray
+
+        wn = ray.get(ref)
+        n = [sum(wn[w] for w in bpefn.words_of(t))
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    weights = ds.map_batches(count, batch_format="pyarrow")
+    out = packing.pack_chunks(weights, "doc_id", "n_tokens",
+                              GATE_PACK_CHUNK_TOKENS, bucket_width=64)
+    df = _with_schema(out, ["doc_id", "n_tokens", "offset",
+                            "chunk_first", "chunk_last"],
+                      {c: np.int64 for c in
+                       ("doc_id", "n_tokens", "offset",
+                        "chunk_first", "chunk_last")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+BPE_PACK_DOCUMENTS_SQL = bpefn.oracle_pack_sql(
+    GATE_BPE_MERGES, GATE_PACK_CHUNK_TOKENS)
