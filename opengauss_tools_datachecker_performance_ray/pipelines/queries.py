@@ -2193,7 +2193,13 @@ def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
     byte sum of the padded prefix, which DuckDB computes from
     hex(encode(text)). Float error budget: chunk means are float32
     (rel ~1e-7), sum <= 3072*255 ~ 7.8e5, absolute error ~0.2 < 0.5 —
-    the round is always exact."""
+    the round is always exact.
+
+    Round 5: odd media_ids carry the SAME pixels as a real PNG
+    (stdlib-zlib DEFLATE, Paeth-filtered scanlines) instead of ppm —
+    identical decoded tensors, so the oracle is unchanged while the
+    driver gate now exercises the compressed-format decode path
+    (``multimodal.decode_png``) end-to-end."""
     import pyarrow as pa  # noqa: F811
     import ray.data as rd
 
@@ -2203,16 +2209,22 @@ def multimodal_embeddings(sf_dir: str) -> pd.DataFrame:
         .filter(expr="doc_id < 64")
     rows = ds.to_pandas()
 
-    def text_to_ppm(t: str) -> bytes:
+    def text_to_img(doc_id: int, t: str) -> bytes:
         raw = np.frombuffer(t.encode()[:3072].ljust(3072, b" "),
-                            dtype=np.uint8)
-        return multimodal.encode_ppm(raw.reshape(32, 32, 3))
+                            dtype=np.uint8).reshape(32, 32, 3)
+        if doc_id % 2:  # odd ids: same pixels, real PNG payload
+            return multimodal.encode_png(raw, filter_type=4)
+        return multimodal.encode_ppm(raw)
 
     media = pa.table({
         "media_id": pa.array(rows["doc_id"].to_numpy(np.int64)),
-        "payload": pa.array([text_to_ppm(t) for t in rows["text"]],
-                            pa.large_binary()),
-        "mime": pa.array(["image/x-portable-pixmap"] * len(rows)),
+        "payload": pa.array(
+            [text_to_img(i, t)
+             for i, t in zip(rows["doc_id"], rows["text"])],
+            pa.large_binary()),
+        "mime": pa.array(["image/png" if i % 2
+                          else "image/x-portable-pixmap"
+                          for i in rows["doc_id"]]),
         "width": pa.array(np.full(len(rows), 32, np.int32)),
         "height": pa.array(np.full(len(rows), 32, np.int32)),
         "duration_ms": pa.array(np.zeros(len(rows), np.int32)),

@@ -250,9 +250,14 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
-        # repr round-trips the double exactly; DuckDB parses it back
-        # to the same IEEE value, keeping < / > comparisons bit-equal
-        return repr(v)
+        # repr round-trips the double exactly, but a bare decimal
+        # literal parses as DECIMAL in DuckDB, whose DECIMAL->DOUBLE
+        # conversion is NOT correctly rounded (0.9999999999999999
+        # becomes 1.0). An exponent suffix forces a true DOUBLE parse
+        # (strtod, correctly rounded) so < / > comparisons stay
+        # bit-equal with the engine.
+        r = repr(v)
+        return r if ("e" in r or "inf" in r or "nan" in r) else r + "e0"
     return str(v)
 
 

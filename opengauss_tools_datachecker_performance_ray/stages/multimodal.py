@@ -7,16 +7,20 @@ happens once per actor in ``__init__``, work per batch in
 ``__call__``).
 
 The REAL decode path handles netpbm images (P6 ppm / P5 pgm) with a
-pure-numpy parser + vectorized nearest-neighbor resize — a genuine
-end-to-end decode exercised by tests, no external library needed.
-Formats that require PIL/libjpeg/ffmpeg (jpeg, png, video) are gated
-behind ``NotImplementedError`` because those libraries are not in this
-container; ``fake=True`` remains the deterministic stand-in for bulk
-plumbing tests.
+pure-numpy parser + vectorized nearest-neighbor resize, and baseline
+PNG (8-bit gray/RGB/palette/alpha, non-interlaced — stdlib zlib
+inflate + numpy scanline unfiltering) — genuine end-to-end decodes of
+an uncompressed AND a compressed format, exercised by tests and the
+``multimodal_embeddings`` gate, no external library needed. PIL stays
+the fast path when installed (jpeg + exotic PNGs); video frame
+sampling still stubs ffmpeg honestly; ``fake=True`` remains the
+deterministic stand-in for bulk plumbing tests.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -79,6 +83,162 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + \
         np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
+# ---------------------------------------------------------------------------
+# Baseline PNG codec (stdlib zlib + numpy — no external image library).
+# Public-spec implementation (RFC 2083 / W3C PNG): chunk walk, inflate,
+# per-scanline unfilter (None/Sub/Up/Average/Paeth), color normalize.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth_predict(left: np.ndarray, up: np.ndarray,
+                   upleft: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over one pixel's byte lanes."""
+    p = left + up - upleft
+    pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    return np.where((pa_ <= pb) & (pa_ <= pc), left,
+                    np.where(pb <= pc, up, upleft))
+
+
+def _unfilter_scanlines(raw: np.ndarray, h: int, stride: int,
+                        bpp: int) -> np.ndarray:
+    """(h, 1 + stride) filtered bytes -> (h, stride) reconstructed.
+    Sub/Up are whole-row numpy ops (Sub = per-lane cumsum mod 256);
+    Average/Paeth walk pixels with the bpp lanes vectorized."""
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    zero = np.zeros(bpp, np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: rec[x] = line[x] + rec[x - bpp]
+            rec = (np.cumsum(line.reshape(-1, bpp), axis=0,
+                             dtype=np.int64) % 256).reshape(-1) \
+                .astype(np.int32)
+        elif f == 2:  # Up
+            rec = (line + prev) & 255
+        elif f in (3, 4):  # Average / Paeth: left-dependent walk
+            rec = np.empty(stride, np.int32)
+            left = zero
+            for x0 in range(0, stride, bpp):
+                sl = slice(x0, x0 + bpp)
+                up = prev[sl]
+                ul = prev[x0 - bpp:x0] if x0 else zero
+                if f == 3:
+                    val = (line[sl] + ((left + up) >> 1)) & 255
+                else:
+                    val = (line[sl] + _paeth_predict(left, up, ul)) & 255
+                rec[sl] = val
+                left = val
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a baseline PNG -> (h, w, 3) uint8: 8-bit depth, color
+    types 0/2/3/4/6, non-interlaced, CRC-verified chunk walk. Alpha is
+    dropped (PIL ``convert("RGB")`` on opaque images agrees). Raises
+    ValueError on anything outside the baseline subset."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        crc = payload[pos + 8 + length:pos + 12 + length]
+        if len(data) != length or len(crc) != 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + data) != struct.unpack(">I", crc)[0]:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+            or ct not in _PNG_CHANNELS:
+        raise ValueError(
+            f"beyond baseline PNG subset (depth={depth}, color={ct}, "
+            f"interlace={interlace}); install Pillow for this file")
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    img = _unfilter_scanlines(raw.reshape(h, 1 + stride), h, stride, ch) \
+        .reshape(h, w, ch)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[img[:, :, 0]]
+    if ct in (0, 4):  # gray (+alpha): replicate, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA
+
+
+def _filter_scanline(f: int, line: np.ndarray, prev: np.ndarray,
+                     bpp: int) -> np.ndarray:
+    """Apply PNG filter ``f`` to one reconstructed scanline (encoder
+    side — the exact inverse of ``_unfilter_scanlines`` row logic)."""
+    line = line.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+    upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+    if f == 0:
+        out = line
+    elif f == 1:
+        out = line - left
+    elif f == 2:
+        out = line - prev
+    elif f == 3:
+        out = line - ((left + prev) >> 1)
+    elif f == 4:
+        out = line - _paeth_predict(left, prev, upleft)
+    else:
+        raise ValueError(f"unknown PNG filter type {f}")
+    return (out & 255).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (8-bit RGB, non-interlaced), every
+    scanline filtered with ``filter_type`` (0–4; non-zero choices let
+    tests drive each decoder unfilter path)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3)
+    prev = np.zeros(w * 3, np.uint8)
+    rows = []
+    for y in range(h):
+        rows.append(bytes([filter_type]))
+        rows.append(_filter_scanline(filter_type, flat[y], prev, 3)
+                    .tobytes())
+        prev = flat[y]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + ctype + data + \
+            struct.pack(">I", zlib.crc32(ctype + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(b"".join(rows))) + \
+        chunk(b"IEND", b"")
+
+
 # Bound batches by PAYLOAD BYTES, not rows: a 256 KB-avg image column
 # at batch_size=4096 is a 1 GB heap spike per task. Large binary
 # columns want small row batches (SURVEY.md §7 hard part (d)).
@@ -116,7 +276,7 @@ class ImageDecodeResize:
         # jpeg/png path); the netpbm path needs nothing
         self._pil = None
         if not self.cfg.fake:
-            try:  # pragma: no cover - PIL absent in this container
+            try:
                 from PIL import Image  # noqa: F401
 
                 self._pil = Image
@@ -132,22 +292,36 @@ class ImageDecodeResize:
                           dtype=np.float32)
 
     def _real_decode(self, payload: bytes) -> np.ndarray:
-        """REAL decode: netpbm via the pure-numpy kernel; other formats
-        via PIL when installed, else an honest NotImplementedError."""
+        """REAL decode: netpbm via the pure-numpy kernel, baseline PNG
+        via the stdlib-zlib codec (PIL preferred when installed — it
+        also covers interlaced/16-bit PNGs); remaining formats via PIL
+        when installed, else an honest NotImplementedError."""
         if payload[:1] == b"P" and payload[1:2] in b"56":
             img = decode_netpbm(payload)
-        elif self._pil is not None:  # pragma: no cover - no PIL here
-            import io
-
-            img = np.asarray(
-                self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        elif payload[:8] == PNG_SIG:
+            if self._pil is not None:
+                img = self._pil_decode(payload)
+            else:
+                img = decode_png(payload)
+        elif self._pil is not None:
+            img = self._pil_decode(payload)
         else:
             raise NotImplementedError(
-                "only netpbm (P5/P6) decodes without Pillow; install an "
-                "image library for jpeg/png or use DecodeConfig(fake=True)")
+                "netpbm (P5/P6) and baseline PNG decode without Pillow; "
+                "install an image library for jpeg/interlaced-png or "
+                "use DecodeConfig(fake=True)")
         img = resize_nearest(img, self.cfg.target_width,
                              self.cfg.target_height)
         return (img.astype(np.float32) / np.float32(255.0))
+
+    def _pil_decode(self, payload: bytes) -> np.ndarray:
+        """The PIL fast path — one seam so tests can drive the exact
+        call/convert plumbing with a stub Image module even where
+        Pillow is not installed."""
+        import io
+
+        return np.asarray(
+            self._pil.open(io.BytesIO(payload)).convert("RGB"))
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         from ..functions.runtime import pin_worker_threads
@@ -265,3 +439,16 @@ def ppm_media_table(n: int = 16, seed: int = 42) -> pa.Table:
         "height": pa.array(np.asarray(hs, np.int32)),
         "duration_ms": pa.array(np.zeros(n, np.int32)),
     })
+
+
+def png_media_table(n: int = 16, seed: int = 42,
+                    filter_type: int = 0) -> pa.Table:
+    """The ``ppm_media_table`` images re-encoded as real PNGs (same
+    deterministic pixels, DEFLATE-compressed, chosen scanline filter)
+    — drives the compressed-format decode path."""
+    ppm = ppm_media_table(n, seed)
+    payloads = [encode_png(decode_netpbm(p), filter_type)
+                for p in ppm.column("payload").to_pylist()]
+    return ppm.set_column(
+        1, "payload", pa.array(payloads, pa.large_binary())) \
+        .set_column(2, "mime", pa.array(["image/png"] * n))
