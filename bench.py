@@ -153,7 +153,16 @@ def run_bench() -> dict:
             # documents — pure "validated docs/sec"
             "rules_documents_scaled":
                 lambda sf: q.rules_documents_scaled(sf, repeat=rules_repeat),
+            # round-4 verdict #7: 16k-group drift, auto-routed
+            # bucketed distributed fold
+            "drift_manygroups_events": q.drift_manygroups_scaled,
+            # round-4 verdict #8: CDC events/s through parse -> window
+            # -> broadcast re-extract -> digest compare (two-phase)
+            "cdc_window_throughput": q.cdc_window_throughput_scaled,
         })
+        # CDC change-log fixture is setup, not workload — build outside
+        # the timers (pages-fixture convention)
+        q._ensure_cdc_log(SF_DIR, 65536)
     for name, fn in benches.items():
         t0 = time.time()
         res = fn(SF_DIR)

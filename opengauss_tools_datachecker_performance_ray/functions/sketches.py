@@ -53,6 +53,28 @@ class HLL:
         assert self.p == other.p
         return HLL(self.p, np.maximum(self.registers, other.registers))
 
+    # sparse pickle: a small group's partial profile would otherwise
+    # ship all 2^p registers (16 KB of zeros) — at 10^5 (batch, group)
+    # drift partials that is GBs of shuffle for KBs of information.
+    # Densely-populated sketches still ship raw register bytes.
+    def __getstate__(self):
+        nz = np.flatnonzero(self.registers)
+        if len(nz) < self.m // 16:
+            return ("sparse", self.p, nz.astype(np.int32).tobytes(),
+                    self.registers[nz].tobytes())
+        return ("dense", self.p, self.registers.tobytes())
+
+    def __setstate__(self, state):
+        self.p = state[1]
+        self.m = 1 << self.p
+        if state[0] == "dense":
+            self.registers = np.frombuffer(
+                state[2], dtype=np.uint8).copy()
+        else:
+            self.registers = np.zeros(self.m, dtype=np.uint8)
+            idx = np.frombuffer(state[2], dtype=np.int32)
+            self.registers[idx] = np.frombuffer(state[3], dtype=np.uint8)
+
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1 + 1.079 / m)
@@ -108,6 +130,13 @@ class TDigest:
     def _k(self, q: np.ndarray) -> np.ndarray:
         return self.delta * (np.arcsin(2 * np.clip(q, 0, 1) - 1) / math.pi + 0.5)
 
+    def _k1(self, q: float) -> float:
+        if q < 0.0:
+            q = 0.0
+        elif q > 1.0:
+            q = 1.0
+        return self.delta * (math.asin(2.0 * q - 1.0) / math.pi + 0.5)
+
     def _compress(self) -> None:
         if not self._buf and len(self.means):
             return
@@ -119,24 +148,54 @@ class TDigest:
         if not len(means):
             return
         order = np.argsort(means, kind="stable")
-        means, weights = means[order], weights[order]
-        total = weights.sum()
+        # plain-float greedy walk (same arithmetic as the original
+        # per-centroid numpy version, ~30x faster: the scalar k() and
+        # list indexing drop the per-iteration array allocations that
+        # made 10^4 driver-side merges cost minutes)
+        ml = means[order].tolist()
+        wl = weights[order].tolist()
+        total = float(weights.sum())
         out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
+        cur_m, cur_w = ml[0], wl[0]
         cum = 0.0
-        for i in range(1, len(means)):
-            q0 = cum / total
-            q2 = (cum + cur_w + weights[i]) / total
-            if self._k(np.array([q2]))[0] - self._k(np.array([q0]))[0] <= 1.0:
-                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
-                cur_w += weights[i]
+        k1 = self._k1
+        for i in range(1, len(ml)):
+            wi = wl[i]
+            if k1((cum + cur_w + wi) / total) - k1(cum / total) <= 1.0:
+                cur_m = (cur_m * cur_w + ml[i] * wi) / (cur_w + wi)
+                cur_w += wi
             else:
-                out_m.append(cur_m); out_w.append(cur_w)
+                out_m.append(cur_m)
+                out_w.append(cur_w)
                 cum += cur_w
-                cur_m, cur_w = means[i], weights[i]
-        out_m.append(cur_m); out_w.append(cur_w)
+                cur_m, cur_w = ml[i], wi
+        out_m.append(cur_m)
+        out_w.append(cur_w)
         self.means = np.asarray(out_m)
         self.weights = np.asarray(out_w)
+
+    @staticmethod
+    def merge_many(digests: "list[TDigest]") -> "TDigest | None":
+        """Fold many digests with ONE compression over the concatenated
+        centroids — the global-baseline fold at 10^4+ groups pays one
+        O(total centroids) pass instead of 10^4 pairwise compressions."""
+        ds = [d for d in digests if d is not None]
+        if not ds:
+            return None
+        for d in ds:
+            d._compress()
+        out = TDigest(ds[0].delta)
+        out.n = float(sum(d.n for d in ds))
+        out.vmin = min(d.vmin for d in ds)
+        out.vmax = max(d.vmax for d in ds)
+        means = np.concatenate([d.means for d in ds
+                                if len(d.means)] or [np.empty(0)])
+        weights = np.concatenate([d.weights for d in ds
+                                  if len(d.weights)] or [np.empty(0)])
+        if len(means):
+            out._buf = [(means, weights)]
+            out._compress()
+        return out
 
     def quantile(self, q: float) -> float:
         self._compress()

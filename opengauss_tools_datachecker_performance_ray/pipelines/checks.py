@@ -453,15 +453,41 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     from ..stages.profile import merge_partials, profile_batch
 
     def partials(batch: pa.Table) -> pa.Table:
+        # partition the batch by group value via dictionary-encode +
+        # stable argsort + run slicing: O(n log n) per batch however
+        # many groups it contains (the per-group filter loop this
+        # replaces was O(groups x rows) — quadratic at 10^4+ groups
+        # per batch, the round-4 verdict #7 stress shape)
+        import pyarrow.compute as pc  # noqa: F811
         groups: list[str] = []
         blobs: list[bytes] = []
         gvals = batch.column(group_col)
-        # partition the batch by group value, profile each slice
-        import pyarrow.compute as pc  # noqa: F811
-        for gv in pc.unique(gvals).to_pylist():
-            sub = batch.filter(pc.equal(gvals, pa.scalar(gv, type=gvals.type)))
-            groups.append(str(gv))
-            blobs.append(pickle.dumps(profile_batch(sub, value_cols)))
+        if isinstance(gvals, pa.ChunkedArray):
+            gvals = gvals.combine_chunks()
+        if len(gvals):
+            enc = pc.dictionary_encode(gvals)
+            # null group keeps the historical convention: the partial
+            # row exists (group "None") but profiles an EMPTY slice,
+            # exactly like the filter-based path whose null == null
+            # comparison dropped every row
+            codes = enc.indices.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            bounds = np.flatnonzero(np.diff(sc)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(sc)]])
+            tbl = batch.take(pa.array(order, pa.int64()))
+            dictionary = enc.dictionary
+            for s, e in zip(starts, ends):
+                code = int(sc[s])
+                if code < 0:
+                    groups.append(str(None))
+                    sub = tbl.slice(int(s), 0)
+                else:
+                    groups.append(str(dictionary[code].as_py()))
+                    sub = tbl.slice(int(s), int(e - s))
+                blobs.append(pickle.dumps(profile_batch(sub, value_cols)))
         return pa.table({"group": pa.array(groups, type=pa.large_string()),
                          "partial": pa.array(blobs, type=pa.large_binary())})
 
@@ -475,13 +501,34 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
         partial_ds = partial_ds.materialize()
         merge_distributed = partial_ds.count() > max_partials
     if merge_distributed:
-        def fold_group(g: pd.DataFrame) -> pd.DataFrame:
-            merged_prof = merge_partials([bytes(b) for b in g["partial"]])
-            return pd.DataFrame({"group": [str(g["group"].iloc[0])],
-                                 "partial": [pickle.dumps(merged_prof)]})
+        # bucketed fold: shuffling by group and calling map_groups once
+        # PER GROUP pays Ray's per-group dispatch 10^4-10^6 times; hash
+        # groups into a fixed bucket count instead, co-locate buckets,
+        # and fold every group inside a bucket in one plain dict loop
+        # (the referential-check bucketed-machinery pattern)
+        import zlib as _zlib
 
-        partial_ds = partial_ds.groupby("group").map_groups(
-            fold_group, batch_format="pandas")
+        n_buckets = 256
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            bk = [_zlib.crc32(s.encode()) % n_buckets
+                  for s in t.column("group").to_pylist()]
+            return t.append_column("bucket", pa.array(bk, pa.int32()))
+
+        def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out_g: list[str] = []
+            out_b: list[bytes] = []
+            for grp, sub in g.groupby("group", sort=False):
+                merged_prof = merge_partials(
+                    [bytes(b) for b in sub["partial"]])
+                out_g.append(str(grp))
+                out_b.append(pickle.dumps(merged_prof))
+            return pd.DataFrame({"group": out_g, "partial": out_b})
+
+        partial_ds = partial_ds \
+            .map_batches(add_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(fold_bucket,
+                                          batch_format="pandas")
     # streamed driver fold: one batch of blobs in flight, merged
     # incrementally per group (blob count here is either <= the auto
     # bound or one per group after the distributed fold)
@@ -493,22 +540,26 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
             cur = merged.setdefault(str(g), {})
             for name, p in profs.items():
                 cur[name] = cur[name].merge(p) if name in cur else p
-    global_prof = None
-    for g, profs in merged.items():
+    # global baseline: ONE bulk fold per column over every group's
+    # profile (single t-digest compression / register reduction) —
+    # pairwise merging here cost one compression per group, the
+    # driver-side bottleneck at 10^4+ groups
+    from ..stages.profile import ColumnProfile
+
+    by_col: dict[str, list] = {}
+    for profs in merged.values():
         for name, p in profs.items():
-            if global_prof is None:
-                global_prof = {}
-            global_prof[name] = (p if name not in global_prof
-                                 else global_prof[name].merge(p))
-    out = []
+            by_col.setdefault(name, []).append(p)
+    global_prof = {name: ColumnProfile.merge_many(ps)
+                   for name, ps in by_col.items()} or None
+    out_rows: list[dict] = []
     for g in sorted(merged):
-        rep = drift_report(merged[g], global_prof or {},
-                           ks_threshold, psi_threshold)
-        rep.insert(0, "grp", g)
-        out.append(rep)
-    if not out:
+        for row in _drift_rows(merged[g], global_prof or {},
+                               ks_threshold, psi_threshold):
+            out_rows.append({"grp": g, **row})
+    if not out_rows:
         return pd.DataFrame(columns=["grp", "column", "ks", "psi", "result"])
-    rep = pd.concat(out, ignore_index=True)
+    rep = pd.DataFrame(out_rows)
     # Robust flagging: the global baseline itself contains any drifted
     # group, so every clean group shows a nonzero KS/PSI against it.
     # The median group is the clean baseline — a group drifts when its
@@ -559,6 +610,20 @@ def drift_report(src_profiles: dict, snk_profiles: dict,
     count (e.g. free text, urls) is skipped — PSI over near-unique
     values is pure noise.
     """
+    return pd.DataFrame(_drift_rows(src_profiles, snk_profiles,
+                                    ks_threshold, psi_threshold,
+                                    max_categorical_ratio))
+
+
+def _drift_rows(src_profiles: dict, snk_profiles: dict,
+                ks_threshold: float = 0.1,
+                psi_threshold: float = 0.25,
+                max_categorical_ratio: float = 0.2) -> list[dict]:
+    """``drift_report``'s row builder as plain dicts — the many-groups
+    caller (``drift_by_group``) collects every group's rows into ONE
+    DataFrame instead of concatenating 10^4+ tiny frames (the frame-
+    per-group constructor was the driver-side bottleneck at 16k
+    groups, round-4 verdict #7)."""
     rows = []
     for name, sp in src_profiles.items():
         kp = snk_profiles.get(name)
@@ -568,10 +633,12 @@ def drift_report(src_profiles: dict, snk_profiles: dict,
               if sp.tdigest is not None and kp.tdigest is not None else None)
         nn = max(1, sp.count - sp.nulls)
         nn_ref = max(1, kp.count - kp.nulls)
-        categorical = sp.hll.estimate() <= max_categorical_ratio * nn
-        p = (psi(sp.topk, kp.topk)
-             if categorical and sp.topk is not None and kp.topk is not None
-             else None)
+        # evaluate the (HLL-estimate) categorical gate only when PSI
+        # could apply at all — numeric columns carry no counter, and
+        # the estimate costs ~0.2 ms x groups on the driver otherwise
+        categorical = (sp.topk is not None and kp.topk is not None
+                       and sp.hll.estimate() <= max_categorical_ratio * nn)
+        p = psi(sp.topk, kp.topk) if categorical else None
         n_cats = (len(set(sp.topk.counts) | set(kp.topk.counts))
                   if sp.topk is not None and kp.topk is not None else 0)
         drifted = ((ks is not None and ks > ks_threshold)
@@ -579,7 +646,7 @@ def drift_report(src_profiles: dict, snk_profiles: dict,
         rows.append({"column": name, "ks": ks, "psi": p,
                      "n": nn, "n_ref": nn_ref, "n_cats": n_cats,
                      "result": "failed" if drifted else "success"})
-    return pd.DataFrame(rows)
+    return rows
 
 
 def ks_exact_counts(ds, value_col: str, flag_col: str) -> dict:

@@ -3929,7 +3929,40 @@ def _bench_doc_rules():
     return BENCH_DOC_RULES
 
 
-def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
+BENCH_DOC_RULES_HEAVY = None
+
+
+def _bench_doc_rules_heavy():
+    """The standard bench mix + 4 extra full-text RE2 rules (big
+    case-insensitive alternations, bounded repeats, word boundaries).
+    Same engine path, ~5x the per-byte automaton work — the
+    compute-bound point of the scaling curve: if efficiency rises with
+    arithmetic intensity, the standard mix's ceiling is memory
+    bandwidth, not the engine (round-4 verdict #6)."""
+    global BENCH_DOC_RULES_HEAVY
+    if BENCH_DOC_RULES_HEAVY is None:
+        BENCH_DOC_RULES_HEAVY = _bench_doc_rules() + [
+            rulesmod.Rule("regex", "text", {"pattern": (
+                r"(?i)(privacy policy|all rights reserved|copyright|"
+                r"terms of (service|use)|cookie|subscribe|newsletter|"
+                r"click here|read more|sign (in|up)|log ?in)")}),
+            rulesmod.Rule("regex", "text", {"pattern": (
+                r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}|"
+                r"[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}")}),
+            rulesmod.Rule("regex", "text", {"pattern": (
+                r"(?i)https?://[a-z0-9./_%-]+|www\.[a-z0-9./_%-]+|"
+                r"[a-z0-9-]+\.(com|org|net|edu|gov|io)\b")}),
+            rulesmod.Rule("regex", "text", {"pattern": (
+                r"\b(?i)(the|and|for|with|that|this|from|have|was|"
+                r"are|not|but|all|can|will|one|out|about|which|when)"
+                r"\b.{0,40}\b(data|model|system|value|table|index|"
+                r"query|stream|batch|shard)\b")}),
+        ]
+    return BENCH_DOC_RULES_HEAVY
+
+
+def rules_documents_scaled(sf_dir: str, repeat: int = 1024,
+                           mix: str = "standard") -> pd.DataFrame:
     """Bench: constraint-eval throughput — the north metric's
     "validated docs/sec" in its purest form. Six row-local rules
     (null / domain / range / metadata regex + two content regexes
@@ -3945,7 +3978,8 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     import ray.data as rd
 
     path = f"{sf_dir}/documents.parquet"
-    local = _bench_doc_rules()
+    local = _bench_doc_rules_heavy() if mix == "heavy" \
+        else _bench_doc_rules()
     # several copies per task: the parquet decode amortizes and the
     # task count stays low enough that driver-side submission never
     # becomes the serial bottleneck (1024 one-row tasks hit a ~6 s
@@ -3976,6 +4010,96 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024) -> pd.DataFrame:
     return (df.astype({"n_rows": np.int64, "n_violations": np.int64,
                        "passed": np.int64})
               .sort_values(["scope", "rule_id"]).reset_index(drop=True))
+
+
+def drift_manygroups_scaled(sf_dir: str,
+                            n_groups: int = 16384) -> pd.DataFrame:
+    """Bench: per-partition drift at 16k groups (round-4 verdict #7).
+    events.user_id hashes into ``n_groups`` partitions; the partial
+    count (blocks x groups-per-block) crosses DRIVER_DRIFT_MAX_PARTIALS
+    naturally, so the AUTO route takes the bucketed distributed fold —
+    the many-partitions shape of the north rule's "KS/PSI drift tests
+    per partition" at 100-TB group cardinalities. The taken route rides
+    along as a column so the recorded bench row is self-evidencing."""
+    ds = _read(sf_dir, "events", ["event_id", "value"]) \
+        .repartition(64)
+
+    def add_grp(batch: pa.Table) -> pa.Table:
+        uid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        grp = np.char.add("g", (uid % n_groups).astype(np.int64)
+                          .astype(str))
+        return pa.table({"grp": pa.array(grp),
+                         "value": batch.column("value")})
+
+    keyed = ds.map_batches(add_grp, batch_format="pyarrow")
+    # batch_size=None: one batch per 64-way repartitioned block, so the
+    # partials stage parallelizes across all of them (a fixed batch
+    # size would coalesce the blocks back into ~7 tasks)
+    rep = checks.drift_by_group(keyed, "grp", ["value"],
+                                batch_size=None)
+    rep = rep.copy()
+    rep["route"] = rep.attrs.get("merge_route", "?")
+    return rep
+
+
+def _ensure_cdc_log(sf_dir: str, n_events: int) -> str:
+    """Deterministic Debezium-JSON change log over real order keys,
+    cached in /tmp (fixture-style setup, outside the timed path)."""
+    import json as _json
+    import os as _os
+
+    tag = f"{_os.path.basename(_os.path.normpath(sf_dir))}_{n_events}"
+    log_path = f"/tmp/graft_cdc_log_{tag}.jsonl"
+    if _os.path.exists(log_path):
+        return log_path
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey"]) \
+        .column("o_orderkey").to_numpy()
+    keys = np.sort(keys)
+    picked = keys[(np.arange(n_events) * 7919) % len(keys)]
+    tmp = log_path + ".tmp"
+    with open(tmp, "w") as f:
+        for i, k in enumerate(picked):
+            f.write(_json.dumps({"payload": {
+                "before": None,
+                "after": {"o_orderkey": str(int(k)), "o_comment": "upd"},
+                "source": {"table": "orders",
+                           "ts_ms": 1675319298000 + i},
+                "op": "u", "ts_ms": 1675319299000 + i,
+            }}) + "\n")
+    _os.replace(tmp, log_path)
+    return log_path
+
+
+def cdc_window_throughput_scaled(sf_dir: str, n_events: int = 65536,
+                                 count_period: int = 8192
+                                 ) -> pd.DataFrame:
+    """Bench: CDC events/s through the FULL incremental chain
+    (round-4 verdict #8) — parse the Debezium change log, window by
+    the hybrid count/time rule (``ChangeLogWindow``), and for every
+    flushed batch re-extract both sides by broadcast semi-join and run
+    the digest compare with the two-phase re-check armed. Same table
+    on both sides: every window must verify clean. events/s =
+    ``n_events`` / recorded seconds."""
+    from . import incremental
+
+    log_path = _ensure_cdc_log(sf_dir, n_events)
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+
+    def fac():
+        return _read(sf_dir, "orders", cols)
+
+    results = incremental.incremental_from_change_log(
+        fac, fac, ["o_orderkey"], log_path, "orders",
+        cfg=incremental.IncrementConfig(
+            count_period=count_period, time_period_s=3600.0,
+            max_diff_count=2 * count_period))
+    return pd.DataFrame([
+        {"window": i, "checked": r.checked_keys, "result": r.result,
+         "diffs": int(len(r.violations))}
+        for i, r in enumerate(results)])
 
 
 # data-mixing gate: downsample the dominant lang, upsample the rare

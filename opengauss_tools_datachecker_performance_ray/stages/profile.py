@@ -63,6 +63,30 @@ class ColumnProfile:
             out.topk = self.topk or other.topk
         return out
 
+    @staticmethod
+    def merge_many(profiles: "list[ColumnProfile]") -> "ColumnProfile":
+        """Bulk fold: one t-digest compression and one register
+        reduction over ALL inputs — the 10^4-group global-baseline fold
+        in ``drift_by_group`` pays O(total state) once instead of one
+        pairwise merge (each with its own compression) per group."""
+        first = profiles[0]
+        out = ColumnProfile(first.name, first.dtype)
+        out.count = sum(p.count for p in profiles)
+        out.nulls = sum(p.nulls for p in profiles)
+        for p in profiles:
+            out.vmin = _nmin(out.vmin, p.vmin)
+            out.vmax = _nmax(out.vmax, p.vmax)
+        out.total = sum(p.total for p in profiles)
+        out.total_sq = sum(p.total_sq for p in profiles)
+        out.hll = HLL(first.hll.p, np.maximum.reduce(
+            [p.hll.registers for p in profiles]))
+        out.tdigest = TDigest.merge_many(
+            [p.tdigest for p in profiles])
+        topks = [p.topk for p in profiles if p.topk is not None]
+        for t in topks:
+            out.topk = t if out.topk is None else out.topk.merge(t)
+        return out
+
     def to_row(self) -> dict[str, Any]:
         nn = self.count - self.nulls
         return {

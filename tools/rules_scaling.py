@@ -38,18 +38,19 @@ from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 from opengauss_tools_datachecker_performance_ray.pipelines import queries as q
 # untimed warmup run spins up workers and imports
-q.rules_documents_scaled({sf!r}, repeat=32)
+q.rules_documents_scaled({sf!r}, repeat=32, mix={mix!r})
 t0 = time.time()
-q.rules_documents_scaled({sf!r}, repeat={repeat})
+q.rules_documents_scaled({sf!r}, repeat={repeat}, mix={mix!r})
 print(json.dumps({{"sec": round(time.time() - t0, 3)}}))
 ray.shutdown()
 """
 
 
-def one(ncpu: int, repeat: int) -> float:
+def one(ncpu: int, repeat: int, mix: str) -> float:
     p = subprocess.run(
         [sys.executable, "-c",
-         _CHILD.format(repo=REPO, ncpu=ncpu, sf=SF_DIR, repeat=repeat)],
+         _CHILD.format(repo=REPO, ncpu=ncpu, sf=SF_DIR, repeat=repeat,
+                       mix=mix)],
         capture_output=True, text=True, cwd=REPO, check=True)
     return json.loads(p.stdout.strip().splitlines()[-1])["sec"]
 
@@ -58,13 +59,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=1024)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--mix", choices=("standard", "heavy"),
+                    default="standard",
+                    help="heavy = +4 full-text RE2 rules (compute-bound "
+                         "point of the scaling curve)")
     args = ap.parse_args()
 
     cals = [bench.calibrate()]
     t4, t16 = [], []
     for _ in range(args.trials):
-        t4.append(one(4, args.repeat))
-        t16.append(one(16, args.repeat))
+        t4.append(one(4, args.repeat, args.mix))
+        t16.append(one(16, args.repeat, args.mix))
         cals.append(bench.calibrate())
     import pyarrow.parquet as pq
 
@@ -79,7 +84,7 @@ def main() -> int:
         "docs_per_sec_4cpu": round(n_docs / b4, 1),
         "docs_per_sec_16cpu": round(n_docs / b16, 1),
         "trials_4cpu": t4, "trials_16cpu": t16,
-        "repeat": args.repeat, "sf": SF_DIR,
+        "repeat": args.repeat, "sf": SF_DIR, "mix": args.mix,
         "host_calibration_sec": cals,
     }
     print(json.dumps(out))
