@@ -168,6 +168,30 @@ def test_rules_documents_scaled_matches_single_copy(ray_session, sf_dir):
     assert (three["passed"].to_numpy() == one["passed"].to_numpy()).all()
 
 
+def test_rules_documents_scaled_heavy_mix(ray_session, sf_dir):
+    """The compute-bound scaling mix (4 full-text RE2 rules, round-4
+    verdict #6): same engine path, verdicts match a direct single-copy
+    evaluation, and every rule is a content regex over text."""
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        queries as q)
+
+    heavy = q._bench_doc_rules_heavy()
+    assert len(heavy) == 4
+    assert all(r.kind == "regex" and r.column == "text" for r in heavy)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars", "source"])
+    one = R.evaluate_rules(ds, heavy, partition_col="lang")
+    two = q.rules_documents_scaled(sf_dir, repeat=2, mix="heavy")
+    assert list(two["rule_id"]) == list(one["rule_id"])
+    assert (two["n_rows"].to_numpy()
+            == 2 * one["n_rows"].to_numpy()).all()
+    assert (two["n_violations"].to_numpy()
+            == 2 * one["n_violations"].to_numpy()).all()
+
+
 def test_vacuous_rule_params_rejected():
     with pytest.raises(ValueError):
         R.Rule("range", "x")  # no bounds
