@@ -3985,8 +3985,15 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024,
     # task count stays low enough that driver-side submission never
     # becomes the serial bottleneck (1024 one-row tasks hit a ~6 s
     # scheduling/decode floor at 16 cpus); every copy's rule masks are
-    # still evaluated individually — only the read is shared
-    copies_per_task = 8
+    # still evaluated individually — only the read is shared. Sized so
+    # ~4 task waves cover the cluster (per-task dispatch costs ~20 ms:
+    # at 16 cpus, 256 tasks burned 1.3 s of pure dispatch — the
+    # mp-control gap found in round 5); floor of 8 keeps decode
+    # amortized at small cpu counts.
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    copies_per_task = max(8, -(-repeat // (4 * ncpu)))
     n_tasks = max(1, -(-repeat // copies_per_task))  # ceil
 
     def shard_eval(batch) -> pa.Table:
