@@ -1,4 +1,4 @@
-"""Session-long contention miner for the official round-4 numbers.
+"""Session-long contention miner for the official round-5 numbers.
 
 The round-3 process fix (probe-gate the bench on ``bench.calibrate()``)
 assumed quiet windows exist. On this host they currently don't: 4+ h of
@@ -17,10 +17,10 @@ attempt's calibration probes are kept in the output so a reader can see
 exactly how contended the mining window was.
 
 Outputs (rewritten after every phase, safe to read any time):
-  /tmp/BENCH_min_r4.json     composite per-query minima + best attempt
-  /tmp/SCALING_min_r4.json   efficiency from per-leg headline minima
-  /tmp/decode_min_r4.json    decode-isolated ratio from per-leg minima
-  /tmp/BENCH_quiet_r4.json   verbatim attempt, only if one is probe-quiet
+  /tmp/BENCH_min_r5.json     composite per-query minima + best attempt
+  /tmp/SCALING_min_r5.json   efficiency from per-leg headline minima
+  /tmp/decode_min_r5.json    decode-isolated ratio from per-leg minima
+  /tmp/BENCH_quiet_r5.json   verbatim attempt, only if one is probe-quiet
 
 Usage: python tools/min_miner.py [--deadline-min 300]
 """
@@ -42,7 +42,7 @@ import bench  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 QUIET_T16 = 0.33
-DIGEST_DIR = "/tmp/graft_digest_r4"
+DIGEST_DIR = "/tmp/graft_digest_r5"
 
 
 def run_once(ncpu: int, headlines_only: bool) -> dict:
@@ -114,7 +114,7 @@ def main() -> int:
     decode_cals: list[list[dict]] = []
     quiet_found = False
 
-    prev = _seed("/tmp/BENCH_min_r4.json")
+    prev = _seed("/tmp/BENCH_min_r5.json")
     if prev:
         full.q_min = dict(prev.get("queries_raw")
                           or prev.get("queries", {}))
@@ -125,7 +125,7 @@ def main() -> int:
         quiet_found = bool(prev.get("quiet_attempt_found", False))
         print(f"seeded full-suite minima from {len(full.attempts)} prior "
               "attempts", flush=True)
-    prev = _seed("/tmp/SCALING_min_r4.json")
+    prev = _seed("/tmp/SCALING_min_r5.json")
     if prev:
         for ncpu, key in ((4, "attempts_4cpu"), (16, "attempts_16cpu")):
             legs[ncpu].attempts = list(prev.get(key, []))
@@ -153,7 +153,7 @@ def main() -> int:
               f"{len(legs[4].attempts)}/{len(legs[16].attempts)} prior "
               "attempts", flush=True)
     decode_trials = 0
-    prev = _seed("/tmp/decode_min_r4.json")
+    prev = _seed("/tmp/decode_min_r5.json")
     if prev:
         if prev.get("sec_4cpu") is not None:
             decode_min[4] = prev["sec_4cpu"]
@@ -182,10 +182,10 @@ def main() -> int:
             if cals and all(c["t16"] <= QUIET_T16 for c in cals) \
                     and not quiet_found:
                 quiet_found = True
-                write_json("/tmp/BENCH_quiet_r4.json", out)
+                write_json("/tmp/BENCH_quiet_r5.json", out)
             n_orders_rep = out["rows_per_sec"] * out["value"]
             flag = full.headline("compare_orders_pair_scaled")
-            write_json("/tmp/BENCH_min_r4.json", {
+            write_json("/tmp/BENCH_min_r5.json", {
                 "metric": "flagship_compare_sec_min_of_attempts",
                 "value": round(flag, 3), "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in full.q_min.items()},
@@ -225,7 +225,7 @@ def main() -> int:
                 per_q = {h: round((legs[4].headline(h)
                                    / legs[16].headline(h)) / 4.0, 3)
                          for h in heads}
-                write_json("/tmp/SCALING_min_r4.json", {
+                write_json("/tmp/SCALING_min_r5.json", {
                     "metric": "scaling_efficiency",
                     "value": round((t_lo / t_hi) / 4.0, 3),
                     "unit": "ratio",
@@ -259,7 +259,7 @@ def main() -> int:
                 decode_min[ncpu] = min(decode_min[ncpu], r["sec"])
             decode_cals.append([cal0, bench.calibrate()])
             decode_trials += 1
-            write_json("/tmp/decode_min_r4.json", {
+            write_json("/tmp/decode_min_r5.json", {
                 "metric": "compare_leg_decode_isolated_scaling",
                 "value": round((decode_min[4] / decode_min[16]) / 4.0, 3),
                 "unit": "ratio",
