@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_aggregate_documents": q.rules_aggregate_documents,
         "bpe_tokenize_documents": q.bpe_tokenize_documents,
         "bpe_pack_documents": q.bpe_pack_documents,
+        "bpe_merge_table_documents": q.bpe_merge_table_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_aggregate_documents": q.RULES_AGGREGATE_DOCUMENTS_SQL,
         "bpe_tokenize_documents": q.BPE_TOKENIZE_DOCUMENTS_SQL,
         "bpe_pack_documents": q.BPE_PACK_DOCUMENTS_SQL,
+        "bpe_merge_table_documents": q.BPE_MERGE_TABLE_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

@@ -264,6 +264,22 @@ ORDER BY t.{id_col}""")
     return "".join(parts)
 
 
+def oracle_vocab_sql(n_merges: int, table: str = "documents",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> str:
+    """Oracle exposing the TRAINING ARTIFACT itself: one row per merge
+    rank (rank, lhs, rhs, merged) from the unrolled chain's best{k}
+    selections — training-order parity checked directly, not only
+    through encode digests."""
+    chain = _oracle_cte_chain(n_merges, table, id_col, text_col)
+    unions = " UNION ALL ".join(
+        f"SELECT {k + 1} AS rank, l AS lhs, r AS rhs FROM best{k}"
+        for k in range(n_merges))
+    return chain + f""", merges AS ({unions})
+SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged
+FROM merges ORDER BY rank"""
+
+
 def oracle_pack_sql(n_merges: int, chunk: int,
                     table: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text") -> str:

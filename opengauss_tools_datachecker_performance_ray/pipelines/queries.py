@@ -4753,3 +4753,22 @@ def bpe_pack_documents(sf_dir: str) -> pd.DataFrame:
 
 BPE_PACK_DOCUMENTS_SQL = bpefn.oracle_pack_sql(
     GATE_BPE_MERGES, GATE_PACK_CHUNK_TOKENS)
+
+
+def bpe_merge_table_documents(sf_dir: str) -> pd.DataFrame:
+    """The trained BPE merge table itself — (rank, lhs, rhs, merged)
+    in training order. Value-matching this against the SQL chain's
+    per-rank best{k} selections checks TRAINING parity directly
+    (count-desc / lexicographic tie-break order), independent of the
+    encode-digest gates."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wf = bpefn.word_freq_from_dataset(ds, "text")
+    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
+    return pd.DataFrame(
+        [{"rank": i + 1, "lhs": l, "rhs": r, "merged": l + r}
+         for i, (l, r) in enumerate(tok.merges)],
+        columns=["rank", "lhs", "rhs", "merged"]) \
+        .astype({"rank": np.int64})
+
+
+BPE_MERGE_TABLE_DOCUMENTS_SQL = bpefn.oracle_vocab_sql(GATE_BPE_MERGES)

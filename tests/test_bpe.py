@@ -169,6 +169,22 @@ class TestOracleParity:
         assert np.array_equal(
             off, np.concatenate([[0], np.cumsum(n)[:-1]]))
 
+    def test_merge_table_parity_adversarial(self, ray_session, adv_docs):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        mine = (q.bpe_merge_table_documents(adv_docs)
+                .sort_values("rank").reset_index(drop=True))
+        oracle = (_oracle(adv_docs, q.BPE_MERGE_TABLE_DOCUMENTS_SQL)
+                  .sort_values("rank").reset_index(drop=True))
+        assert len(mine) == len(oracle)
+        for c in ("rank", "lhs", "rhs", "merged"):
+            assert list(mine[c]) == list(oracle[c]), c
+        # merged is always the concatenation, ranks are 1..n
+        assert (mine["lhs"] + mine["rhs"] == mine["merged"]).all()
+        assert list(mine["rank"]) == list(range(1, len(mine) + 1))
+
     def test_python_training_matches_sql_chain_small(self, adv_docs):
         # engine-free check: the word->final-symbols map the SQL chain
         # derives equals Python train_merges on the same word counts
