@@ -3990,9 +3990,15 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024,
     # at 16 cpus, 256 tasks burned 1.3 s of pure dispatch — the
     # mp-control gap found in round 5); floor of 8 keeps decode
     # amortized at small cpu counts.
+    import os
+
     import ray
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # cluster_resources() raises before ray.init; a standalone caller
+    # relies on the Dataset's auto-init (which grabs all cores), so
+    # size the waves from os.cpu_count in that case
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else int(os.cpu_count() or 8)
     copies_per_task = max(8, -(-repeat // (4 * ncpu)))
     n_tasks = max(1, -(-repeat // copies_per_task))  # ceil
 
@@ -4023,7 +4029,7 @@ def rules_documents_scaled(sf_dir: str, repeat: int = 1024,
 def drift_manygroups_scaled(sf_dir: str,
                             n_groups: int = 16384) -> pd.DataFrame:
     """Bench: per-partition drift at 16k groups (round-4 verdict #7).
-    events.user_id hashes into ``n_groups`` partitions; the partial
+    events.event_id hashes into ``n_groups`` partitions; the partial
     count (blocks x groups-per-block) crosses DRIVER_DRIFT_MAX_PARTIALS
     naturally, so the AUTO route takes the bucketed distributed fold —
     the many-partitions shape of the north rule's "KS/PSI drift tests
@@ -4677,6 +4683,24 @@ from ..functions import bpe as bpefn  # noqa: E402
 
 GATE_BPE_MERGES = 48
 
+# (sf_dir, n_merges) -> trained BpeTokenizer. The three BPE gate
+# queries train the identical tokenizer on the identical corpus; the
+# memo (same pattern as _bench_doc_rules) makes the full-text word
+# count + merge loop run once per process instead of once per query.
+_BPE_TOK_CACHE: dict = {}
+
+
+def _gate_bpe_tokenizer(sf_dir: str):
+    key = (sf_dir, GATE_BPE_MERGES)
+    tok = _BPE_TOK_CACHE.get(key)
+    if tok is None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        wf = bpefn.word_freq_from_dataset(ds, "text")
+        tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
+        _BPE_TOK_CACHE.clear()  # hold at most one corpus's tables
+        _BPE_TOK_CACHE[key] = tok
+    return tok
+
 
 def bpe_tokenize_documents(sf_dir: str) -> pd.DataFrame:
     """Train a 48-merge BPE on documents' own word-frequency table
@@ -4689,17 +4713,23 @@ def bpe_tokenize_documents(sf_dir: str) -> pd.DataFrame:
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    wf = bpefn.word_freq_from_dataset(ds, "text")
-    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
-    ref = ray.put(tok.word_ids)
+    tok = _gate_bpe_tokenizer(sf_dir)
+    # broadcast the corpus word->ids table plus a word_ids-free
+    # encoder (merges + sym ids only) for the OOV fallback: with a
+    # min_freq floor, floored-out words are absent from word_ids but
+    # present in the text — replay the merges for those (standard BPE
+    # inference) instead of KeyError-ing inside a Ray task
+    ref = ray.put((tok.word_ids,
+                   bpefn.BpeTokenizer(tok.merges, tok.sym_id, {})))
 
     def enc(batch: pd.DataFrame) -> pd.DataFrame:
         import ray
 
-        wids = ray.get(ref)  # zero-copy local object-store read
+        wids, oov = ray.get(ref)  # zero-copy local object-store read
         n_toks, digests = [], []
         for t in batch["text"]:
-            ids = [i for w in bpefn.words_of(t) for i in wids[w]]
+            ids = [i for w in bpefn.words_of(t)
+                   for i in (wids.get(w) or oov.encode_word(w))]
             n_toks.append(len(ids))
             digests.append(bpefn.ids_md5(ids))
         return pd.DataFrame({"doc_id": batch["doc_id"],
@@ -4727,15 +4757,18 @@ def bpe_pack_documents(sf_dir: str) -> pd.DataFrame:
     from ..stages import packing
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    wf = bpefn.word_freq_from_dataset(ds, "text")
-    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
-    ref = ray.put({w: len(ids) for w, ids in tok.word_ids.items()})
+    tok = _gate_bpe_tokenizer(sf_dir)
+    # word -> token COUNT (one int per corpus word) plus the
+    # word_ids-free encoder for out-of-table (min_freq-floored) words
+    ref = ray.put(({w: len(ids) for w, ids in tok.word_ids.items()},
+                   bpefn.BpeTokenizer(tok.merges, tok.sym_id, {})))
 
     def count(batch: pa.Table) -> pa.Table:
         import ray
 
-        wn = ray.get(ref)
-        n = [sum(wn[w] for w in bpefn.words_of(t))
+        wn, oov = ray.get(ref)
+        n = [sum(wn.get(w) or len(oov.encode_word(w))
+                 for w in bpefn.words_of(t))
              for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
@@ -4761,9 +4794,7 @@ def bpe_merge_table_documents(sf_dir: str) -> pd.DataFrame:
     per-rank best{k} selections checks TRAINING parity directly
     (count-desc / lexicographic tie-break order), independent of the
     encode-digest gates."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    wf = bpefn.word_freq_from_dataset(ds, "text")
-    tok = bpefn.BpeTokenizer.from_word_freq(wf, GATE_BPE_MERGES)
+    tok = _gate_bpe_tokenizer(sf_dir)
     return pd.DataFrame(
         [{"rank": i + 1, "lhs": l, "rhs": r, "merged": l + r}
          for i, (l, r) in enumerate(tok.merges)],

@@ -352,7 +352,21 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     t = pa.table(cols)
     g = t.group_by(["scope"]).aggregate(spec)
     # aggregate() appends the agg fn to each output name; restore ours
-    return g.rename_columns(out_names)
+    g = g.rename_columns(out_names)
+    # an all-null (scope, block) group makes hash_sum emit a NULL
+    # partial; to_pandas would widen that int64 column to float64 via
+    # NaN and break the documented integer-exact fold past 2^53. The
+    # paired cnt partial is 0 for that group, so a typed zero is the
+    # exact contribution.
+    for j, r in enumerate(aggs):
+        name = f"a{j}_sum"
+        if r.kind in ("mean", "sum") and name in g.column_names:
+            idx = g.column_names.index(name)
+            c = g.column(idx)
+            if c.null_count:
+                g = g.set_column(
+                    idx, name, pc.fill_null(c, pa.scalar(0, c.type)))
+    return g
 
 
 def merge_partials(part: pd.DataFrame, n_local: int,
@@ -615,6 +629,12 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
     for e in spec:
         kind = e["kind"]
         col = e.get("column")  # row_count legitimately has none
+        if col is None and kind != "row_count":
+            # fail the typo'd spec at parse time, not with an opaque
+            # pyarrow error deep inside a Ray task
+            raise ValueError(
+                f"rule spec entry {e!r}: 'column' is required for "
+                f"kind {kind!r}")
         if kind == "unique" and isinstance(col, list):
             col = tuple(col)
         if kind == "in_set":

@@ -132,15 +132,20 @@ def stratified_sample(ds, key_col: str, group_col: str,
         if pa.types.is_dictionary(gtype):
             gtype = gtype.value_type
         if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
-            ok = str
+            ok = (str, np.str_)
         elif pa.types.is_integer(gtype) or pa.types.is_floating(gtype):
-            ok = (int, float)  # 2 == 2.0 maps fine either way
+            # 2 == 2.0 maps fine either way; numpy scalars hash equal
+            # to their Python counterparts, so keys from pc.unique()
+            # / df[col].unique() are valid
+            ok = (int, float, np.integer, np.floating)
         elif pa.types.is_boolean(gtype):
-            ok = bool
+            ok = (bool, np.bool_)
         else:
-            ok = object
+            ok = (object,)
+        boolish = ok == (bool, np.bool_)
         bad = [g for g in thr_map
-               if g is None or isinstance(g, bool) != (ok is bool)
+               if g is None
+               or isinstance(g, (bool, np.bool_)) != boolish
                or not isinstance(g, ok)]
         if bad:
             raise ValueError(

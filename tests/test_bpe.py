@@ -201,3 +201,38 @@ FROM rep12 ORDER BY word""")
         got = _oracle(adv_docs, sql)
         sql_syms = dict(zip(got["word"], (list(s) for s in got["s"])))
         assert sql_syms == {w: s for w, s in word_syms.items()}
+
+
+class TestMinFreqOovPath:
+    def test_floored_vocab_fallback_matches_encode(self, ray_session,
+                                                   adv_docs):
+        """The gate encode pattern — word_ids hit with a word_ids-free
+        OOV encoder as fallback — must reproduce the tokenizer's own
+        encode_word for words floored out by min_freq (the 100-TB
+        vocabulary-bounding knob)."""
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{adv_docs}/documents.parquet",
+                             columns=["text"])
+        wf_all = bpe.word_freq_from_dataset(ds, "text")
+        wf = bpe.word_freq_from_dataset(ds, "text", min_freq=2)
+        hapax = set(wf_all) - set(wf)
+        assert hapax  # the fixture has singleton words
+        tok = bpe.BpeTokenizer.from_word_freq(wf, 8)
+        oov = bpe.BpeTokenizer(tok.merges, tok.sym_id, {})
+        wids = tok.word_ids
+        for w in sorted(wf_all):
+            got = wids.get(w) or oov.encode_word(w)
+            assert tuple(got) == tok.encode_word(w)
+        for w in sorted(hapax):
+            assert w not in wids  # would have been the KeyError
+
+    def test_gate_tokenizer_memoized(self, ray_session, adv_docs):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        q._BPE_TOK_CACHE.clear()
+        t1 = q._gate_bpe_tokenizer(adv_docs)
+        t2 = q._gate_bpe_tokenizer(adv_docs)
+        assert t1 is t2  # trained once, reused by all three gates

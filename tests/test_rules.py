@@ -714,3 +714,59 @@ def test_aggregate_rules_fuzz_parity(ray_session_holder, vals, lo, hi,
                      for c in ("n_rows", "n_violations", "passed")}) \
             .sort_values(["scope", "rule_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_rules_from_spec_missing_column_raises():
+    # a typo'd CLI spec must fail at parse time, not mid-pipeline
+    with pytest.raises(ValueError, match="'column' is required"):
+        R.rules_from_spec([{"kind": "not_null"}])
+    with pytest.raises(ValueError, match="'column' is required"):
+        R.rules_from_spec([{"kind": "mean", "lo": 1}])
+    # row_count legitimately has no column
+    assert R.rules_from_spec([{"kind": "row_count", "lo": 1}])[0] \
+        .rule_id == "row_count()"
+
+
+def test_aggregate_sum_exact_with_all_null_block(ray_session):
+    """An all-null (scope, block) partial must not poison the int64
+    sum fold through float64/NaN: totals beyond 2^53 stay exact."""
+    big = (1 << 53) + 1  # not representable in float64
+    t1 = pa.table({"g": ["a", "b"],
+                   "x": pa.array([big, None], pa.int64())})
+    t2 = pa.table({"g": ["a", "b"],
+                   "x": pa.array([2, 5], pa.int64())})
+    ds = rd.from_arrow([t1, t2])  # two blocks; scope b all-null in t1
+    rules = [R.Rule("sum", "x", {"hi": big + 2}),
+             R.Rule("mean", "x", {"lo": 0})]
+    rep = R.evaluate_rules(ds, rules, partition_col="g")
+    k = rep.set_index(["scope", "rule_id"])["passed"]
+    # float64 fold would see big+2 == big+1 ties; exact fold passes
+    assert k[("a", "sum(x)")] == 1  # big + 2 <= hi exactly
+    assert k[("b", "sum(x)")] == 1  # 5 <= hi
+    # per-block partials keep the sum column int64 (no NaN widening)
+    part = R.row_local_partials(t1, [], "g", aggs=rules)
+    assert part.column("a0_sum").type == pa.int64()
+    assert part.column("a0_sum").null_count == 0
+
+
+def test_stratified_sample_numpy_scalar_keys(ray_session):
+    """Keys taken from pc.unique()/df.unique() arrive as numpy
+    scalars; they hash equal to Python ints and must pass the guard."""
+    from opengauss_tools_datachecker_performance_ray.stages import sampling
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "year": pa.array([2020, 2021, 2020], pa.int32())})
+    out = sampling.stratified_sample(
+        rd.from_arrow(t), "k", "year",
+        {np.int64(2020): 1.0}, 0.0).to_pandas()
+    assert sorted(out["year"].tolist()) == [2020, 2020]
+    ts = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "lang": pa.array(["en", "fr"])})
+    out = sampling.stratified_sample(
+        rd.from_arrow(ts), "k", "lang",
+        {np.str_("en"): 1.0}, 0.0).to_pandas()
+    assert out["lang"].tolist() == ["en"]
+    # numpy bool on an int column is still a mismatch
+    with pytest.raises(ValueError, match="can never select a row"):
+        sampling.stratified_sample(rd.from_arrow(t), "k", "year",
+                                   {np.bool_(True): 0.5})
