@@ -3834,6 +3834,37 @@ RULES_AGGREGATE_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_AGG_RULES, partition_col="lang")
 
 
+# dispersion + cardinality constraints (round-5 aggregate kinds):
+# stddev evaluates the same explicit double expression on both
+# engines over exactly-folded int partials; distinct_count is the
+# exact bucketed distinct-pair shuffle
+GATE_DOC_AGG_V2_RULES = [
+    rulesmod.Rule("stddev", "n_chars", {"hi": 2000.0}),
+    rulesmod.Rule("distinct_count", "source", {"lo": 2}),
+    rulesmod.Rule("mean", "n_chars", {"lo": 1.0}),
+    rulesmod.Rule("null_rate", "text", {"hi": 0.5}),
+]
+
+
+def rules_aggregate_v2_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language dispersion/cardinality constraint verdicts:
+    stddev(n_chars) and mean(n_chars)/null_rate(text) ride ONE fused
+    partials scan (sum + checked sum-of-squares + counts per lang);
+    distinct_count(source) adds one bucketed distinct-pair shuffle
+    (`checks.scoped_distinct_counts` — one row per distinct
+    (lang, source) pair per block, never the data). The oracle
+    recomputes stddev with the identical sqrt(greatest(...)) double
+    expression, so integer-column verdicts are bit-parity."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "source",
+                                     "n_chars"])
+    return rulesmod.evaluate_rules(ds, GATE_DOC_AGG_V2_RULES,
+                                   partition_col="lang")
+
+
+RULES_AGGREGATE_V2_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_DOC_AGG_V2_RULES, partition_col="lang")
+
+
 def rule_violations_events(sf_dir: str) -> pd.DataFrame:
     """Violation-row emission for one declared rule (the engine's
     `Difference` analog): events whose value falls outside the declared

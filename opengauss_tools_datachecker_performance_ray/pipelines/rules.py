@@ -17,9 +17,11 @@ Ray-Data-first:
   integer counts, never the data itself. However many rules you add,
   the input is scanned exactly once.
 - **Aggregate-class rules** (``row_count``, ``null_rate``, ``mean``,
-  ``sum``, ``min``, ``max`` with inclusive ``[lo, hi]`` bounds) ride
-  the SAME fused pass: each adds tiny typed partial columns (null
-  count, exact sum+count, min, max) to the per-block grouped fold,
+  ``sum``, ``min``, ``max``, ``stddev`` with inclusive ``[lo, hi]``
+  bounds; ``distinct_count`` adds one bucketed distinct-pair shuffle
+  per rule) ride the SAME fused pass: each adds tiny typed partial
+  columns (null count, exact sum+count+sumsq, min, max) to the
+  per-block grouped fold,
   and the per-scope verdict is recomputed on the driver exactly as
   the generated GROUP BY oracle computes it — the reference's
   table-level precondition checks
@@ -64,9 +66,24 @@ _CROSS_ROW = ("unique", "foreign_key")
 # `check/service/CheckTableStructureService.java:65-80`). The verdict
 # is per scope: the aggregate either satisfies the inclusive [lo, hi]
 # bounds (passed=1, n_violations=0) or not (passed=0, n_violations=1).
-# An empty aggregate (zero non-null values for mean/min/max/sum)
-# passes vacuously, mirroring how domain rules skip nulls.
-_AGGREGATE = ("row_count", "null_rate", "mean", "sum", "min", "max")
+# An empty aggregate (zero non-null values for mean/min/max/sum/
+# stddev) passes vacuously, mirroring how domain rules skip nulls;
+# distinct_count of an all-null scope is 0 (SQL COUNT DISTINCT), so
+# its bounds still apply.
+# - ``stddev`` is the population standard deviation computed by the
+#   explicit formula sqrt(max((sumsq - sum*sum/n)/n, 0)) over
+#   exactly-folded integer partials — the SQL oracle spells out the
+#   identical double expression (not DuckDB's stddev_pop), so
+#   integer-column rules are bit-parity. Per-row squares fold in
+#   int64 with checked multiply: |v| beyond ~3.0e9 (or a sum of
+#   squares beyond 2^63) raises loudly on BOTH engines instead of
+#   silently diverging.
+# - ``distinct_count`` is exact, via one extra bucketed
+#   distinct-pair shuffle per rule (checks.scoped_distinct_counts);
+#   it cannot ride the one-pass partials because distinctness does
+#   not fold by summation.
+_AGGREGATE = ("row_count", "null_rate", "mean", "sum", "min", "max",
+              "stddev", "distinct_count")
 
 # cross-field transform registry: every entry must behave identically
 # in Arrow compute and DuckDB SQL (that's why it's a closed registry,
@@ -97,13 +114,18 @@ class Rule:
       non-null value with no match)
     - ``foreign_key``: ``{"parent": Dataset, "parent_key": str}``
     - aggregate kinds (``row_count`` / ``null_rate`` / ``mean`` /
-      ``sum`` / ``min`` / ``max``): ``{"lo": x | None, "hi": y |
-      None}`` inclusive bounds on the per-scope aggregate value;
+      ``sum`` / ``min`` / ``max`` / ``stddev`` /
+      ``distinct_count``): ``{"lo": x | None, "hi": y | None}``
+      inclusive bounds on the per-scope aggregate value;
       ``row_count`` takes ``column=None``. Exact cross-engine parity
-      holds for integer columns (sums fold exactly on both sides) and
-      for min/max/row_count/null_rate on any type; a float-column
-      ``mean``/``sum`` is summation-order-dependent and may differ
-      from SQL in the last ULP at a bounds boundary.
+      holds for integer columns (sums and sums-of-squares fold
+      exactly on both sides; ``stddev`` evaluates the identical
+      double expression) and for min/max/row_count/null_rate/
+      distinct_count on integer/string/bool types; a float-column
+      ``mean``/``sum``/``stddev`` is summation-order-dependent and
+      may differ from SQL in the last ULP at a bounds boundary, and
+      float ``distinct_count`` differs on ``-0.0`` (see
+      ``checks.scoped_distinct_counts``).
     """
 
     kind: str
@@ -287,12 +309,16 @@ def agg_partial_plan(aggs: list[Rule]) -> list[tuple[str, str]]:
     agree column-for-column."""
     plan: list[tuple[str, str]] = []
     for j, r in enumerate(aggs):
-        if r.kind == "row_count":
-            continue  # n_rows already carries it
+        if r.kind in ("row_count", "distinct_count"):
+            continue  # n_rows carries row_count; distinct has own pass
         if r.kind == "null_rate":
             plan.append((f"a{j}_nul", "sum"))
         elif r.kind in ("mean", "sum"):
             plan.append((f"a{j}_sum", "sum"))
+            plan.append((f"a{j}_cnt", "sum"))
+        elif r.kind == "stddev":
+            plan.append((f"a{j}_sum", "sum"))
+            plan.append((f"a{j}_sq", "sum"))
             plan.append((f"a{j}_cnt", "sum"))
         elif r.kind == "min":
             plan.append((f"a{j}_min", "min"))
@@ -327,7 +353,7 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     spec = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
     out_names = ["scope", "n_rows"] + list(vcols)
     for j, r in enumerate(aggs):
-        if r.kind == "row_count":
+        if r.kind in ("row_count", "distinct_count"):
             continue
         col = batch.column(r.column)
         if pa.types.is_null(col.type):
@@ -339,11 +365,18 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
             cols[f"a{j}_nul"] = pc.cast(pc.is_null(col), pa.int64())
             spec.append((f"a{j}_nul", "sum"))
             out_names.append(f"a{j}_nul")
-        elif r.kind in ("mean", "sum"):
+        elif r.kind in ("mean", "sum", "stddev"):
             cols[f"a{j}_sum"] = col  # Arrow hash_sum skips nulls
             cols[f"a{j}_cnt"] = pc.cast(pc.is_valid(col), pa.int64())
             spec += [(f"a{j}_sum", "sum"), (f"a{j}_cnt", "sum")]
             out_names += [f"a{j}_sum", f"a{j}_cnt"]
+            if r.kind == "stddev":
+                # checked multiply: int64 overflow raises here exactly
+                # where DuckDB's BIGINT c*c errors — never a silent
+                # wrap diverging from the oracle
+                cols[f"a{j}_sq"] = pc.multiply_checked(col, col)
+                spec.append((f"a{j}_sq", "sum"))
+                out_names.append(f"a{j}_sq")
         else:  # min / max
             name = f"a{j}_{r.kind}"
             cols[name] = col
@@ -359,8 +392,11 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     # paired cnt partial is 0 for that group, so a typed zero is the
     # exact contribution.
     for j, r in enumerate(aggs):
-        name = f"a{j}_sum"
-        if r.kind in ("mean", "sum") and name in g.column_names:
+        if r.kind not in ("mean", "sum", "stddev"):
+            continue
+        for name in (f"a{j}_sum", f"a{j}_sq"):
+            if name not in g.column_names:
+                continue
             idx = g.column_names.index(name)
             c = g.column(idx)
             if c.null_count:
@@ -386,11 +422,18 @@ def merge_partials(part: pd.DataFrame, n_local: int,
 
 
 def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
-                          ids: list[str]) -> list[dict]:
+                          ids: list[str],
+                          distinct_vals: dict[int, dict] | None = None,
+                          ) -> list[dict]:
     """Per-(scope, aggregate-rule) verdict rows from the merged
     partials. The aggregate value is recomputed exactly as the SQL
-    oracle does (one float division over exactly-folded integer
-    partials), so integer-column rules are bit-parity with DuckDB."""
+    oracle does (the identical float expression over exactly-folded
+    integer partials), so integer-column rules are bit-parity with
+    DuckDB. ``distinct_vals`` maps an aggs index to that
+    distinct_count rule's {scope: n_distinct} (from
+    ``checks.scoped_distinct_counts``); absent scopes count 0, like
+    SQL COUNT DISTINCT over an all-null scope."""
+    distinct_vals = distinct_vals or {}
     rows = []
     for _, row in merged.iterrows():
         n = int(row["n_rows"])
@@ -399,9 +442,23 @@ def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
             hi = rule.params.get("hi")
             if rule.kind == "row_count":
                 val = n
+            elif rule.kind == "distinct_count":
+                val = int(distinct_vals.get(j, {}).get(row["scope"], 0))
             elif rule.kind == "null_rate":
                 val = float(np.float64(int(row[f"a{j}_nul"]))
                             / np.float64(n))
+            elif rule.kind == "stddev":
+                cnt = int(row[f"a{j}_cnt"])
+                if cnt == 0:
+                    val = None  # vacuous: no non-null values in scope
+                else:
+                    # the oracle's expression verbatim:
+                    # sqrt(greatest((sumsq - sum*sum/n)/n, 0))
+                    q = np.float64(row[f"a{j}_sq"])
+                    s = np.float64(row[f"a{j}_sum"])
+                    m = np.float64(cnt)
+                    val = float(np.sqrt(np.maximum(
+                        (q - s * s / m) / m, np.float64(0.0))))
             elif rule.kind in ("mean", "sum"):
                 cnt = int(row[f"a{j}_cnt"])
                 s = row[f"a{j}_sum"]
@@ -480,8 +537,16 @@ def evaluate_rules(ds, rules: list[Rule],
                               batch_size=batch_size).to_pandas()
         merged = merge_partials(part, len(local), aggs=aggr)
         total_rows = int(merged["n_rows"].sum())
+        # each distinct_count rule needs its own bucketed
+        # distinct-pair shuffle (distinctness does not fold by sum)
+        distinct_vals = {
+            j: checks.scoped_distinct_counts(
+                ds, r.column, partition_col, batch_size=batch_size,
+                null_scope=NULL_SCOPE)
+            for j, r in enumerate(aggr) if r.kind == "distinct_count"}
         out_rows.extend(partials_to_report(merged, local, local_ids))
-        out_rows.extend(aggregate_report_rows(merged, aggr, aggr_ids))
+        out_rows.extend(aggregate_report_rows(
+            merged, aggr, aggr_ids, distinct_vals=distinct_vals))
 
     if cross:
         if total_rows is None:
@@ -567,6 +632,17 @@ FROM {table} GROUP BY 1""")
             elif r.kind == "mean":
                 agg = (f"(CASE WHEN count({c}) = 0 THEN NULL ELSE "
                        f"CAST(sum({c}) AS DOUBLE) / count({c}) END)")
+            elif r.kind == "stddev":
+                # the engine's expression verbatim (NOT stddev_pop,
+                # whose streaming update order differs in floats):
+                # population sd over exactly-folded integer partials
+                agg = (f"(CASE WHEN count({c}) = 0 THEN NULL ELSE "
+                       f"sqrt(greatest((CAST(sum({c} * {c}) AS DOUBLE)"
+                       f" - CAST(sum({c}) AS DOUBLE) * CAST(sum({c}) "
+                       f"AS DOUBLE) / CAST(count({c}) AS DOUBLE)) / "
+                       f"CAST(count({c}) AS DOUBLE), 0e0)) END)")
+            elif r.kind == "distinct_count":
+                agg = f"count(DISTINCT {c})"
             else:  # sum / min / max — NULL when the scope is all-null
                 agg = f"{r.kind}({c})"
             lo, hi = r.params.get("lo"), r.params.get("hi")

@@ -126,7 +126,8 @@ def test_dup_span_histogram_repeated_span_within_doc(ray_session):
 @pytest.mark.parametrize("name", ["dup_spans_documents",
                                   "pattern_scan_documents",
                                   "span_dup_scores_documents",
-                                  "corpus_curation_v3"])
+                                  "corpus_curation_v3",
+                                  "rules_aggregate_v2_documents"])
 def test_gate_parity_sf0001(ray_session, sf_dir, name):
     """Driver-gate simulation for the two new entries at sf0.001."""
     import __ray_entry__ as e

@@ -770,3 +770,91 @@ def test_stratified_sample_numpy_scalar_keys(ray_session):
     with pytest.raises(ValueError, match="can never select a row"):
         sampling.stratified_sample(rd.from_arrow(t), "k", "year",
                                    {np.bool_(True): 0.5})
+
+
+def test_stddev_and_distinct_count_semantics(ray_session):
+    """stddev: identical double expression both sides, vacuous on
+    all-null scopes; distinct_count: exact per-scope cardinality, 0
+    (not vacuous) on all-null scopes, nulls skipped."""
+    df = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "b", None, "a", "c"],
+        "x": pd.array([1, None, 3, 4, 100, 7, 9, None], dtype="Int64"),
+        "s": ["u", "v", "u", None, "w", "w", "u", None],
+    })
+    rules = [
+        R.Rule("stddev", "x", {"hi": 40.0}),
+        R.Rule("distinct_count", "s", {"lo": 2}),
+        R.Rule("mean", "x", {"lo": 0}),      # fused alongside
+        R.Rule("not_null", "s"),             # row-local alongside
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "g"):
+        rep = R.evaluate_rules(rd.from_pandas(df), rules,
+                               partition_col=part)
+        ora = con.execute(
+            R.rules_report_sql("t", rules, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, ora)
+    k = R.evaluate_rules(rd.from_pandas(df), rules, partition_col="g") \
+        .set_index(["scope", "rule_id"])["passed"]
+    assert k[("b", "stddev(x)")] == 0    # sd(3,4,100) ~ 45.6 > 40
+    assert k[("c", "stddev(x)")] == 1    # all-null: vacuous pass
+    assert k[("c", "distinct_count(s)")] == 0  # 0 distinct < lo=2
+    assert k[("a", "distinct_count(s)")] == 1  # {u, v}
+
+
+def test_scoped_distinct_counts_primitive(ray_session):
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        checks,
+    )
+
+    t1 = pa.table({"g": ["a", "a", "b", None],
+                   "s": ["x", "x", "y", "z"]})
+    t2 = pa.table({"g": ["a", "b", "b", None],
+                   "s": ["x", "y", None, "z"]})
+    got = checks.scoped_distinct_counts(
+        rd.from_arrow([t1, t2]), "s", "g", num_buckets=4)
+    assert got == {"a": 1, "b": 1, "<null>": 1}
+    # no partition: one table-level scope ''
+    got = checks.scoped_distinct_counts(
+        rd.from_arrow([t1, t2]), "s", None, num_buckets=4)
+    assert got == {"": 3}
+    # all-null value column (NULL-type block) contributes nothing
+    tn = pa.table({"g": ["a"], "s": pa.array([None], pa.null())})
+    got = checks.scoped_distinct_counts(
+        rd.from_arrow([tn]), "s", "g")
+    assert got == {}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       lo=st.integers(-40, 0), hi=st.integers(1, 40),
+       grp_null=st.booleans())
+def test_stddev_distinct_fuzz_parity(ray_session_holder, vals, lo, hi,
+                                     grp_null):
+    """Hypothesis: stddev + distinct_count verdicts match the
+    generated GROUP BY oracle bit-for-bit over adversarial
+    null/dup-heavy integer columns."""
+    n = len(vals)
+    grp = ["g1" if i % 3 else ("g2" if not grp_null else None)
+           for i in range(n)]
+    df = pd.DataFrame({"grp": grp, "val": pd.array(vals, dtype="Int64")})
+    ruleset = [
+        R.Rule("stddev", "val", {"lo": float(lo) / 7, "hi": float(hi)}),
+        R.Rule("distinct_count", "val", {"lo": 1, "hi": hi}),
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        oracle = con.execute(
+            R.rules_report_sql("t", ruleset, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
