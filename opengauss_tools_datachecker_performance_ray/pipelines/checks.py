@@ -178,70 +178,92 @@ def exact_distinct_count(ds, col: str, num_buckets: int = 64,
     return int(out["n"].sum()) if len(out) else 0
 
 
-def scoped_distinct_counts(ds, column: str, partition_col: str | None,
+def scoped_distinct_counts(ds, columns: list[str] | str,
+                           partition_col: str | None,
                            num_buckets: int = 64,
                            batch_size: int | None = None,
-                           null_scope: str = "<null>") -> dict[str, int]:
-    """EXACT per-scope count-distinct (SQL ``count(DISTINCT col) ...
-    GROUP BY scope``) — the scoped sibling of ``exact_distinct_count``.
+                           null_scope: str = "<null>",
+                           ) -> dict[str, dict[str, int]]:
+    """EXACT per-scope count-distinct for SEVERAL columns in ONE pass
+    (SQL ``count(DISTINCT col) ... GROUP BY scope`` per column) — the
+    scoped sibling of ``exact_distinct_counts``.
 
-    Two-phase: each block dedupes its (scope, value) pairs in one
-    Arrow group_by (the combiner) and tags each pair ``bucket =
-    (hash(scope) ^ hash(value)) % B``; ONE bucketed groupby dedupes
-    pairs globally (a pair lands in exactly one bucket) and counts per
-    scope inside its bucket; the driver folds the B x scopes tiny
-    count rows additively. The shuffle moves one row per distinct
-    (scope, value) per block — bounded by cardinality, never row
-    count — and a hot scope's values spread across ALL buckets, so
-    skew cannot concentrate on one task.
+    Two-phase: each block dedupes its (column, scope, value) triples
+    in one Arrow group_by per column (the combiner) and tags each
+    triple ``bucket = (hash(col) ^ hash(scope) ^ hash(value)) % B``;
+    ONE bucketed groupby dedupes triples globally (a triple lands in
+    exactly one bucket) and counts per (column, scope) inside its
+    bucket; the driver folds the B x columns x scopes tiny count rows
+    additively. However many columns you check, the input is scanned
+    once (the per-column-scan smell ``exact_distinct_counts`` fixed in
+    round 4, kept fixed here); the shuffle moves one row per distinct
+    triple per block — bounded by cardinality, never row count — and
+    a hot scope's values spread across ALL buckets, so skew cannot
+    concentrate on one task. Pass a projected ``ds`` (only the checked
+    columns + partition col) so unchecked wide columns never decode.
 
     Null values are skipped (SQL COUNT DISTINCT semantics); null
     scopes map to ``null_scope``. Values compare via their canonical
     Arrow string cast (distinct-preserving for integer/string/bool
     columns; for float columns prefer range/stddev rules — ``-0.0``
     vs ``0.0`` casts to two strings where SQL DISTINCT sees one).
-    Returns ``{scope: n_distinct}``; scopes whose values are all null
-    are absent (their count is 0)."""
+    Returns ``{column: {scope: n_distinct}}``; scopes whose values
+    are all null are absent (their count is 0)."""
     from ..functions import hashing
 
+    cols = [columns] if isinstance(columns, str) else list(columns)
+
+    def _empty() -> pa.Table:
+        return pa.table({"col": pa.array([], pa.large_string()),
+                         "scope": pa.array([], pa.large_string()),
+                         "v": pa.array([], pa.large_string()),
+                         "bucket": pa.array([], pa.int32())})
+
     def part(batch: pa.Table) -> pa.Table:
-        col = batch.column(column)
         if partition_col is not None:
             scope = pc.fill_null(
                 batch.column(partition_col).cast(pa.large_string()),
                 null_scope)
         else:
             scope = pa.array([""] * len(batch), pa.large_string())
-        empty = pa.table({"scope": pa.array([], pa.large_string()),
-                          "v": pa.array([], pa.large_string()),
-                          "bucket": pa.array([], pa.int32())})
-        if pa.types.is_null(col.type):
-            return empty  # all-null block: nothing distinct
-        vs = col if pa.types.is_large_string(col.type) else \
-            col.cast(pa.string()).cast(pa.large_string())
-        t = pa.table({"scope": scope, "v": vs}).filter(pc.is_valid(vs))
-        if not len(t):
-            return empty
-        t = t.group_by(["scope", "v"]).aggregate([])  # block dedup
-        kh = hashing.hash64(t.column("scope")) ^ \
-            hashing.hash64(t.column("v"))
-        return t.append_column("bucket", pa.array(
-            (kh % np.uint64(num_buckets)).astype(np.int32)))
+        outs = []
+        for colname in cols:
+            col = batch.column(colname)
+            if pa.types.is_null(col.type):
+                continue  # all-null block: nothing distinct
+            vs = col if pa.types.is_large_string(col.type) else \
+                col.cast(pa.string()).cast(pa.large_string())
+            t = pa.table({"scope": scope, "v": vs}) \
+                .filter(pc.is_valid(vs))
+            if not len(t):
+                continue
+            t = t.group_by(["scope", "v"]).aggregate([])  # block dedup
+            tag = pa.array([colname] * len(t), pa.large_string())
+            kh = hashing.hash64(tag) ^ \
+                hashing.hash64(t.column("scope")) ^ \
+                hashing.hash64(t.column("v"))
+            outs.append(pa.table({
+                "col": tag, "scope": t.column("scope"),
+                "v": t.column("v"),
+                "bucket": pa.array(
+                    (kh % np.uint64(num_buckets)).astype(np.int32))}))
+        return pa.concat_tables(outs) if outs else _empty()
 
     partials = ds.map_batches(part, batch_format="pyarrow",
                               batch_size=batch_size)
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates(["scope", "v"])
-        return (u.groupby("scope", sort=False).size()
+        u = g.drop_duplicates(["col", "scope", "v"])
+        return (u.groupby(["col", "scope"], sort=False).size()
                  .reset_index(name="n"))
 
     out = partials.groupby("bucket").map_groups(
         reduce, batch_format="pandas").to_pandas()
-    if not len(out):
-        return {}
-    return {str(s): int(n)
-            for s, n in out.groupby("scope")["n"].sum().items()}
+    res: dict[str, dict[str, int]] = {c: {} for c in cols}
+    if len(out):
+        for (c, s), n in out.groupby(["col", "scope"])["n"].sum().items():
+            res[str(c)][str(s)] = int(n)
+    return res
 
 
 # ---------------------------------------------------------------------------

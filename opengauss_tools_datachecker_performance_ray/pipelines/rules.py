@@ -75,9 +75,10 @@ _CROSS_ROW = ("unique", "foreign_key")
 #   exactly-folded integer partials — the SQL oracle spells out the
 #   identical double expression (not DuckDB's stddev_pop), so
 #   integer-column rules are bit-parity. Per-row squares fold in
-#   int64 with checked multiply: |v| beyond ~3.0e9 (or a sum of
-#   squares beyond 2^63) raises loudly on BOTH engines instead of
-#   silently diverging.
+#   int64 with checked multiply (|v| beyond ~3.0e9 raises on BOTH
+#   engines); a float64 shadow sum guards the FOLD — a sum of
+#   squares past 2^62 raises on the driver instead of silently
+#   wrapping where DuckDB promotes to HUGEINT.
 # - ``distinct_count`` is exact, via one extra bucketed
 #   distinct-pair shuffle per rule (checks.scoped_distinct_counts);
 #   it cannot ride the one-pass partials because distinctness does
@@ -317,9 +318,12 @@ def agg_partial_plan(aggs: list[Rule]) -> list[tuple[str, str]]:
             plan.append((f"a{j}_sum", "sum"))
             plan.append((f"a{j}_cnt", "sum"))
         elif r.kind == "stddev":
+            # same order row_local_partials emits (column-for-column
+            # contract with the empty-schema fallback)
             plan.append((f"a{j}_sum", "sum"))
-            plan.append((f"a{j}_sq", "sum"))
             plan.append((f"a{j}_cnt", "sum"))
+            plan.append((f"a{j}_sq", "sum"))
+            plan.append((f"a{j}_sqf", "sum"))
         elif r.kind == "min":
             plan.append((f"a{j}_min", "min"))
         else:  # max
@@ -371,12 +375,22 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
             spec += [(f"a{j}_sum", "sum"), (f"a{j}_cnt", "sum")]
             out_names += [f"a{j}_sum", f"a{j}_cnt"]
             if r.kind == "stddev":
-                # checked multiply: int64 overflow raises here exactly
-                # where DuckDB's BIGINT c*c errors — never a silent
-                # wrap diverging from the oracle
-                cols[f"a{j}_sq"] = pc.multiply_checked(col, col)
-                spec.append((f"a{j}_sq", "sum"))
-                out_names.append(f"a{j}_sq")
+                # checked multiply: an int64 PER-ROW overflow raises
+                # here exactly where DuckDB's BIGINT c*c errors. The
+                # FOLD can still wrap silently (Arrow hash_sum is
+                # modular where DuckDB promotes to HUGEINT), so a
+                # float64 shadow of the same squares rides along —
+                # immune to wrapping, accurate to 1 ulp — and the
+                # driver raises when it shows the true sum of squares
+                # near 2^63 (aggregate_report_rows)
+                sq = pc.multiply_checked(col, col)
+                cols[f"a{j}_sq"] = sq
+                # unsafe cast: the shadow needs magnitude, not the
+                # 2^53-exact range a safe int->float cast enforces
+                cols[f"a{j}_sqf"] = pc.cast(sq, pa.float64(),
+                                            safe=False)
+                spec += [(f"a{j}_sq", "sum"), (f"a{j}_sqf", "sum")]
+                out_names += [f"a{j}_sq", f"a{j}_sqf"]
         else:  # min / max
             name = f"a{j}_{r.kind}"
             cols[name] = col
@@ -394,7 +408,7 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     for j, r in enumerate(aggs):
         if r.kind not in ("mean", "sum", "stddev"):
             continue
-        for name in (f"a{j}_sum", f"a{j}_sq"):
+        for name in (f"a{j}_sum", f"a{j}_sq", f"a{j}_sqf"):
             if name not in g.column_names:
                 continue
             idx = g.column_names.index(name)
@@ -415,8 +429,16 @@ def merge_partials(part: pd.DataFrame, n_local: int,
         part = pd.DataFrame(columns=["scope", "n_rows"]
                             + [f"v{i}" for i in range(n_local)]
                             + [c for c, _ in plan])
-    fold = {c: "sum" for c in part.columns if c != "scope"}
-    fold.update(dict(plan))
+
+    def _sum_keep_nan(s: pd.Series):
+        # pandas' named "sum" skips NaN; after the block-side typed
+        # zero fill the only NaN left in a float sum partial is a
+        # GENUINE data NaN, which must propagate (DuckDB's sum does)
+        return s.sum(skipna=False) if s.dtype.kind == "f" else s.sum()
+
+    fold = {c: _sum_keep_nan for c in part.columns if c != "scope"}
+    fold.update({c: (f if f != "sum" else _sum_keep_nan)
+                 for c, f in plan})
     return (part.groupby("scope", sort=True).agg(fold)
                 .reset_index())
 
@@ -452,6 +474,15 @@ def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
                 if cnt == 0:
                     val = None  # vacuous: no non-null values in scope
                 else:
+                    if abs(float(row[f"a{j}_sqf"])) > float(2 ** 62):
+                        # the int64 sum-of-squares fold would have
+                        # wrapped (DuckDB promotes to HUGEINT) — the
+                        # float shadow sees the true magnitude; fail
+                        # loudly instead of silently diverging
+                        raise ValueError(
+                            f"stddev({rule.column}): sum of squares "
+                            f"exceeds the int64 fold range in scope "
+                            f"{row['scope']!r}; rescale the column")
                     # the oracle's expression verbatim:
                     # sqrt(greatest((sumsq - sum*sum/n)/n, 0))
                     q = np.float64(row[f"a{j}_sq"])
@@ -473,9 +504,17 @@ def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
                 val = None if v is None or (isinstance(v, float)
                                             and np.isnan(v)) else \
                     (v.item() if hasattr(v, "item") else v)
-            viol = val is not None and (
-                (lo is not None and val < lo)
-                or (hi is not None and val > hi))
+            if isinstance(val, float) and np.isnan(val):
+                # DuckDB orders NaN greater than every value (its
+                # float totally-ordered comparison), so a NaN
+                # aggregate violates any hi bound and never a lo
+                # bound; Python's 'NaN > hi' is False, which would
+                # silently pass where the oracle fails
+                viol = hi is not None
+            else:
+                viol = val is not None and (
+                    (lo is not None and val < lo)
+                    or (hi is not None and val > hi))
             rows.append({"scope": row["scope"], "rule_id": rid,
                          "n_rows": n, "n_violations": int(viol),
                          "passed": int(not viol)})
@@ -537,13 +576,21 @@ def evaluate_rules(ds, rules: list[Rule],
                               batch_size=batch_size).to_pandas()
         merged = merge_partials(part, len(local), aggs=aggr)
         total_rows = int(merged["n_rows"].sum())
-        # each distinct_count rule needs its own bucketed
-        # distinct-pair shuffle (distinctness does not fold by sum)
-        distinct_vals = {
-            j: checks.scoped_distinct_counts(
-                ds, r.column, partition_col, batch_size=batch_size,
-                null_scope=NULL_SCOPE)
-            for j, r in enumerate(aggr) if r.kind == "distinct_count"}
+        # all distinct_count rules share ONE extra bucketed
+        # distinct-triple shuffle (distinctness does not fold by sum),
+        # over a projection of just the checked + partition columns
+        dcols = sorted({r.column for r in aggr
+                        if r.kind == "distinct_count"})
+        distinct_vals = {}
+        if dcols:
+            proj = sorted(set(dcols)
+                          | ({partition_col} if partition_col else set()))
+            per_col = checks.scoped_distinct_counts(
+                ds.select_columns(proj), dcols, partition_col,
+                batch_size=batch_size, null_scope=NULL_SCOPE)
+            distinct_vals = {j: per_col[r.column]
+                             for j, r in enumerate(aggr)
+                             if r.kind == "distinct_count"}
         out_rows.extend(partials_to_report(merged, local, local_ids))
         out_rows.extend(aggregate_report_rows(
             merged, aggr, aggr_ids, distinct_vals=distinct_vals))

@@ -129,7 +129,8 @@ def test_dup_span_histogram_repeated_span_within_doc(ray_session):
                                   "corpus_curation_v3",
                                   "rules_aggregate_v2_documents"])
 def test_gate_parity_sf0001(ray_session, sf_dir, name):
-    """Driver-gate simulation for the two new entries at sf0.001."""
+    """Driver-gate simulation at sf0.001 for entries whose oracles
+    need only the documents view."""
     import __ray_entry__ as e
 
     res = e.queries()[name](sf_dir)

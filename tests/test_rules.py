@@ -812,21 +812,66 @@ def test_scoped_distinct_counts_primitive(ray_session):
     )
 
     t1 = pa.table({"g": ["a", "a", "b", None],
-                   "s": ["x", "x", "y", "z"]})
+                   "s": ["x", "x", "y", "z"],
+                   "k": pa.array([1, 2, 2, None], pa.int64())})
     t2 = pa.table({"g": ["a", "b", "b", None],
-                   "s": ["x", "y", None, "z"]})
-    got = checks.scoped_distinct_counts(
-        rd.from_arrow([t1, t2]), "s", "g", num_buckets=4)
-    assert got == {"a": 1, "b": 1, "<null>": 1}
-    # no partition: one table-level scope ''
-    got = checks.scoped_distinct_counts(
-        rd.from_arrow([t1, t2]), "s", None, num_buckets=4)
-    assert got == {"": 3}
+                   "s": ["x", "y", None, "z"],
+                   "k": pa.array([1, 7, 7, 9], pa.int64())})
+    ds = rd.from_arrow([t1, t2])
+    # several columns in ONE pass
+    got = checks.scoped_distinct_counts(ds, ["s", "k"], "g",
+                                        num_buckets=4)
+    assert got["s"] == {"a": 1, "b": 1, "<null>": 1}
+    assert got["k"] == {"a": 2, "b": 2, "<null>": 1}
+    # single-column str shorthand; no partition -> table scope ''
+    got = checks.scoped_distinct_counts(ds, "s", None, num_buckets=4)
+    assert got == {"s": {"": 3}}
     # all-null value column (NULL-type block) contributes nothing
     tn = pa.table({"g": ["a"], "s": pa.array([None], pa.null())})
-    got = checks.scoped_distinct_counts(
-        rd.from_arrow([tn]), "s", "g")
-    assert got == {}
+    got = checks.scoped_distinct_counts(rd.from_arrow([tn]), "s", "g")
+    assert got == {"s": {}}
+
+
+def test_stddev_fold_overflow_guard(ray_session):
+    """Per-row squares that pass multiply_checked but whose SUM would
+    wrap the int64 fold must raise loudly (DuckDB promotes to HUGEINT
+    there — silence would be a verdict divergence)."""
+    v = 3_000_000_000  # v*v ~ 9e18 < 2^63; two of them overflow
+    df = pd.DataFrame({"g": ["a", "a"],
+                       "x": pd.array([v, v], dtype="Int64")})
+    with pytest.raises(ValueError, match="sum of squares exceeds"):
+        R.evaluate_rules(rd.from_pandas(df),
+                         [R.Rule("stddev", "x", {"hi": 1e12})],
+                         partition_col="g")
+
+
+def test_nan_aggregate_matches_duckdb_ordering(ray_session, tmp_path):
+    """A NaN aggregate (float column with a genuine NaN VALUE, e.g.
+    from parquet — NOT a pandas NaN, which registration maps to NULL)
+    violates any hi bound and never a lo bound, matching DuckDB's
+    NaN-greatest ordering; the fold must propagate the NaN, not skip
+    it like pandas' named 'sum'."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({"g": ["a", "a"],
+                  "x": pa.array([1.0, float("nan")], pa.float64())})
+    p = str(tmp_path / "nan.parquet")
+    pq.write_table(t, p)
+    rules = [R.Rule("sum", "x", {"hi": 100.0}),
+             R.Rule("mean", "x", {"lo": 0.0})]
+    rep = R.evaluate_rules(rd.read_parquet(p), rules,
+                           partition_col="g")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+    ora = con.execute(
+        R.rules_report_sql("t", rules, partition_col="g")).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, ora)
+    k = rep.set_index("rule_id")["passed"]
+    assert k["sum(x)"] == 0   # NaN > hi on both engines
+    assert k["mean(x)"] == 1  # NaN < lo is false on both engines
 
 
 @settings(max_examples=15, deadline=None,
