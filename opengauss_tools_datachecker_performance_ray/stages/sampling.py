@@ -75,20 +75,45 @@ def cap_per_group(ds, group_col: str, key_col: str, k: int):
     between (the partial is idempotent).
     """
     import pandas as pd
+    import pyarrow.compute as pc
 
-    def order(df):
-        u = knuth_u32(df[key_col].to_numpy())
-        return df.assign(_u=u.astype(np.int64)) \
-            .sort_values(["_u", key_col], kind="stable")
-
-    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
-        return order(df).groupby(group_col, sort=False,
-                                 dropna=False).head(k)
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow/numpy-native grouped head(k): the full-input scan never
+        # converts to pandas. One lexsort by (group, u, key), then a
+        # vectorized within-group rank; ≤k surviving rows per
+        # (batch, group), original row order preserved by take().
+        n = batch.num_rows
+        if n <= k:
+            return batch
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        u = knuth_u32(keys)
+        grp = batch.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        # per-chunk dictionaries would not be comparable; a combined
+        # array gets ONE dictionary. Null group stays its own group
+        # (index -1 can never collide with a real dictionary index).
+        if not pa.types.is_dictionary(grp.type):
+            grp = pc.dictionary_encode(grp)
+        gidx = grp.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, u, gidx))
+        g = gidx[order]
+        pos = np.arange(n)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = g[1:] != g[:-1]
+        rank = pos - np.maximum.accumulate(np.where(boundary, pos, 0))
+        sel = order[rank < k]
+        sel.sort()
+        return batch.take(pa.array(sel))
 
     def final(g: "pd.DataFrame") -> "pd.DataFrame":
-        return order(g).head(k).drop(columns=["_u"])
+        u = knuth_u32(g[key_col].to_numpy())
+        return g.assign(_u=u.astype(np.int64)) \
+            .sort_values(["_u", key_col], kind="stable") \
+            .head(k).drop(columns=["_u"])
 
-    return ds.map_batches(partial, batch_format="pandas") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(final, batch_format="pandas")
 
 

@@ -46,6 +46,27 @@ def test_cap_per_group_under_cap_keeps_all(ray_session):
     assert sorted(got["key"]) == list(range(6))
 
 
+def test_cap_per_group_null_and_integer_groups(ray_session):
+    # integer-typed groups exercise the dictionary-encode path; NaN
+    # rows must form their own capped group (index -1), not vanish
+    rng = np.random.default_rng(5)
+    grp = rng.integers(0, 4, 60).astype("float64")
+    grp[::7] = np.nan
+    df = pd.DataFrame({"key": np.arange(60, dtype=np.int64) * 7 + 1,
+                       "grp": grp})
+    u = sampling.knuth_u32(df["key"].to_numpy()).astype(np.int64)
+    want = df.assign(_u=u).sort_values(["_u", "key"]) \
+        .groupby("grp", sort=False, dropna=False).head(5) \
+        .drop(columns=["_u"])
+    for parts in (1, 4):
+        got = sampling.cap_per_group(
+            rd.from_pandas(df).repartition(parts), "grp", "key", 5) \
+            .to_pandas()
+        a = got.sort_values("key").reset_index(drop=True)
+        b = want.sort_values("key").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_pack_chunks_matches_brute_force(ray_session):
     rng = np.random.default_rng(11)
     # sparse, shuffled, non-contiguous ids spanning many range buckets
