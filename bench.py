@@ -288,9 +288,27 @@ def _wait_for_quiet(deadline: float) -> list[dict]:
 def run_bench_quiet_gated() -> dict:
     deadline = time.time() + QUIET_WAIT_SEC
     attempts: list[dict] = []
+    errors: list[str] = []
     for i in range(QUIET_RETRIES + 1):
         trail = _wait_for_quiet(deadline)
-        out = run_bench()
+        try:
+            out = run_bench()
+        except Exception:  # noqa: BLE001 — shared-VM pressure can kill
+            # a single attempt (~1/50 runs observed); tear the Ray
+            # session down and spend a retry instead of losing the
+            # whole official record to one transient
+            import traceback
+
+            errors.append(traceback.format_exc(limit=4))
+            try:
+                import ray
+
+                ray.shutdown()
+            except Exception:  # noqa: BLE001
+                pass
+            if attempts or i < QUIET_RETRIES:
+                continue
+            raise
         cals = out.get("host_calibration_sec", [])
         quiet = bool(cals) and all(c["t16"] <= QUIET_T16 for c in cals)
         out["quiet_gated"] = {
@@ -306,6 +324,9 @@ def run_bench_quiet_gated() -> dict:
     best["quiet_gated"]["attempts_total"] = len(attempts)
     best["quiet_gated"]["all_attempt_totals"] = [
         a["total_sec"] for a in attempts]
+    if errors:
+        best["quiet_gated"]["attempt_errors"] = [
+            e.strip().splitlines()[-1] for e in errors]
     return best
 
 
@@ -313,11 +334,19 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_BENCH_HEADLINES_ONLY="1")
-        p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--once"],
-                           env=env, capture_output=True, text=True, check=True,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(p.stdout.strip().splitlines()[-1])
+        last_err = ""
+        for attempt in range(2):  # one retry: a transient subprocess
+            # failure must not void the whole scaling report
+            p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--once"],
+                               env=env, capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            if p.returncode == 0:
+                return json.loads(p.stdout.strip().splitlines()[-1])
+            last_err = p.stderr[-2000:]
+        raise RuntimeError(
+            f"bench subprocess at {ncpu} cpus failed twice; last stderr "
+            f"tail:\n{last_err}")
 
     def best_of(ncpu: int, trials: int) -> dict:
         """Min-total trial per CPU level: this shared VM wobbles +-30%

@@ -50,7 +50,13 @@ def run_once(ncpu: int, headlines_only: bool) -> dict:
     if headlines_only:
         env["GRAFT_BENCH_HEADLINES_ONLY"] = "1"
     p = subprocess.run([sys.executable, "bench.py", "--once"], env=env,
-                       capture_output=True, text=True, cwd=REPO, check=True)
+                       capture_output=True, text=True, cwd=REPO)
+    if p.returncode != 0:
+        # surface the subprocess stderr — a bare CalledProcessError
+        # hides WHY the attempt died (learned the hard way)
+        raise RuntimeError(
+            f"bench.py --once at {ncpu} cpus exited {p.returncode}; "
+            f"stderr tail:\n{p.stderr[-1500:]}")
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
