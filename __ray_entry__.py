@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 additions (inside the driver window) ---
         "rules_aggregate_documents": q.rules_aggregate_documents,
         "rules_aggregate_v2_documents": q.rules_aggregate_v2_documents,
+        "rules_aggregate_v3_documents": q.rules_aggregate_v3_documents,
         "bpe_tokenize_documents": q.bpe_tokenize_documents,
         "bpe_pack_documents": q.bpe_pack_documents,
         "bpe_merge_table_documents": q.bpe_merge_table_documents,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_events": q.RULES_EVENTS_SQL,
         "rules_aggregate_documents": q.RULES_AGGREGATE_DOCUMENTS_SQL,
         "rules_aggregate_v2_documents": q.RULES_AGGREGATE_V2_DOCUMENTS_SQL,
+        "rules_aggregate_v3_documents": q.RULES_AGGREGATE_V3_DOCUMENTS_SQL,
         "bpe_tokenize_documents": q.BPE_TOKENIZE_DOCUMENTS_SQL,
         "bpe_pack_documents": q.BPE_PACK_DOCUMENTS_SQL,
         "bpe_merge_table_documents": q.BPE_MERGE_TABLE_DOCUMENTS_SQL,

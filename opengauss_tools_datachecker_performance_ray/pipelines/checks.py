@@ -991,8 +991,11 @@ def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
     for blk, targets in want.items():
         # .item() -> plain Python scalars: numpy 2.x reprs as
         # "np.float64(3.5)", which the expression parser cannot read
-        lo = summaries["vmin"].iloc[blk].item()
-        hi = summaries["vmax"].iloc[blk].item()
+        # (string columns arrive as plain str — no .item there)
+        lo = summaries["vmin"].iloc[blk]
+        hi = summaries["vmax"].iloc[blk]
+        lo = lo.item() if hasattr(lo, "item") else lo
+        hi = hi.item() if hasattr(hi, "item") else hi
         rows = per_value.filter(
             expr=f"{value_col} >= {lo!r} and {value_col} <= {hi!r}") \
             .to_pandas().sort_values(value_col)
@@ -1000,7 +1003,8 @@ def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
         local_cum = rows["n"].cumsum().to_numpy()
         vals = rows[value_col].to_numpy()
         for q, r in targets:
-            out[q] = vals[int(np.searchsorted(local_cum, r - base))].item()
+            v = vals[int(np.searchsorted(local_cum, r - base))]
+            out[q] = v.item() if hasattr(v, "item") else v
     return out
 
 
@@ -1179,8 +1183,10 @@ def exact_quantiles_by_group(ds, group_col: str, value_col: str,
                     "remaining groups return None", max_fetches)
                 break
             fetches += 1
-            lo = s["vmin"].iloc[blk].item()
-            hi = s["vmax"].iloc[blk].item()
+            lo = s["vmin"].iloc[blk]
+            hi = s["vmax"].iloc[blk]
+            lo = lo.item() if hasattr(lo, "item") else lo
+            hi = hi.item() if hasattr(hi, "item") else hi
             # numpy>=2 scalars repr as np.int64(5) — unparseable by the
             # Ray expression grammar; normalize like lo/hi above
             gkey = grp.item() if hasattr(grp, "item") else grp
@@ -1192,8 +1198,8 @@ def exact_quantiles_by_group(ds, group_col: str, value_col: str,
             local_cum = sub["n"].cumsum().to_numpy()
             vals = sub[value_col].to_numpy()
             for q, r in targets:
-                got[q] = vals[int(np.searchsorted(local_cum,
-                                                  r - base))].item()
+                v = vals[int(np.searchsorted(local_cum, r - base))]
+                got[q] = v.item() if hasattr(v, "item") else v
         for q in qs:
             rows.append({group_col: grp, "q": q, "value": got.get(q)})
     return pd.DataFrame(rows)

@@ -3865,6 +3865,41 @@ RULES_AGGREGATE_V2_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_AGG_V2_RULES, partition_col="lang")
 
 
+# exact-quantile constraints (round-5 third wave): per-scope
+# distribution-shape gates — "the median document must sit in this
+# band, the p90 tail must not blow out, the p10 floor must hold".
+# Thresholds chosen so sf0.001 AND sf0.01 both exercise pass and fail
+# verdicts for every rule (p50 ranges 293..352 / 294..323, p90
+# 473..514 / 424..500, p10 93..135 / 89..132 per lang).
+GATE_DOC_AGG_V3_RULES = [
+    rulesmod.Rule("quantile", "n_chars", {"q": 0.5, "lo": 260,
+                                          "hi": 310}),
+    rulesmod.Rule("quantile", "n_chars", {"q": 0.9, "hi": 490}),
+    rulesmod.Rule("quantile", "n_chars", {"q": 0.1, "lo": 100}),
+    rulesmod.Rule("row_count", None, {"lo": 75}),  # fused partials
+]
+
+
+def rules_aggregate_v3_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-language EXACT-quantile constraint verdicts (p10/p50/p90 of
+    n_chars in declared bands): all three quantile rules over one
+    column share ONE distributed exact-quantile pass
+    (``checks.exact_quantiles_by_group`` — distinct (scope, value)
+    count partials, one grouped sort, one range-filtered block fetch
+    per (scope, rank); the driver never sees the distribution), and
+    the row_count rule rides the fused partials scan. The quantile is
+    an ELEMENT of the column, so the verdict is parity-exact with the
+    ``quantile_disc`` oracle for any column type — no summation-order
+    caveat. 20 verdict rows at any corpus size."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return rulesmod.evaluate_rules(ds, GATE_DOC_AGG_V3_RULES,
+                                   partition_col="lang")
+
+
+RULES_AGGREGATE_V3_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_DOC_AGG_V3_RULES, partition_col="lang")
+
+
 def rule_violations_events(sf_dir: str) -> pd.DataFrame:
     """Violation-row emission for one declared rule (the engine's
     `Difference` analog): events whose value falls outside the declared

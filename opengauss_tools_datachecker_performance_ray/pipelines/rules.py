@@ -83,8 +83,18 @@ _CROSS_ROW = ("unique", "foreign_key")
 #   distinct-pair shuffle per rule (checks.scoped_distinct_counts);
 #   it cannot ride the one-pass partials because distinctness does
 #   not fold by summation.
+# - ``quantile`` is the exact per-scope discrete quantile (DuckDB
+#   ``quantile_disc`` semantics: the element at 1-indexed rank
+#   ceil(q*n) under the DECIMAL value of q). Like distinct_count it
+#   cannot fold by summation, so all quantile rules over one column
+#   share ONE extra distributed pass (checks.exact_quantiles_by_group:
+#   distinct (scope, value) count partials, one grouped sort, one
+#   range-filtered block fetch per (scope, rank) — the driver never
+#   sees the distribution). Because the quantile is an ELEMENT of the
+#   column, not an arithmetic combination, the verdict is exactly
+#   cross-engine even for float columns — no summation-order caveat.
 _AGGREGATE = ("row_count", "null_rate", "mean", "sum", "min", "max",
-              "stddev", "distinct_count")
+              "stddev", "distinct_count", "quantile")
 
 # cross-field transform registry: every entry must behave identically
 # in Arrow compute and DuckDB SQL (that's why it's a closed registry,
@@ -116,9 +126,15 @@ class Rule:
     - ``foreign_key``: ``{"parent": Dataset, "parent_key": str}``
     - aggregate kinds (``row_count`` / ``null_rate`` / ``mean`` /
       ``sum`` / ``min`` / ``max`` / ``stddev`` /
-      ``distinct_count``): ``{"lo": x | None, "hi": y | None}``
-      inclusive bounds on the per-scope aggregate value;
-      ``row_count`` takes ``column=None``. Exact cross-engine parity
+      ``distinct_count`` / ``quantile``): ``{"lo": x | None,
+      "hi": y | None}`` inclusive bounds on the per-scope aggregate
+      value; ``row_count`` takes ``column=None``; ``quantile`` adds
+      ``{"q": float in (0, 1]}`` (exact discrete quantile,
+      ``quantile_disc`` semantics — parity-exact for ANY orderable
+      column type since the result is an element, with non-finite
+      floats excluded on both engines; set ``finite_only=False``
+      only for string columns, where the SQL isfinite guard cannot
+      bind and is unnecessary). Exact cross-engine parity
       holds for integer columns (sums and sums-of-squares fold
       exactly on both sides; ``stddev`` evaluates the identical
       double expression) and for min/max/row_count/null_rate/
@@ -145,6 +161,15 @@ class Rule:
                     raise ValueError("row_count takes column=None")
             elif not isinstance(self.column, str):
                 raise ValueError(f"{self.kind} needs one column name")
+            if self.kind == "quantile":
+                q = self.params.get("q")
+                if not isinstance(q, float) or not 0.0 < q <= 1.0:
+                    # rank = ceil(q*n) needs 0 < q <= 1; a float (not
+                    # int/str) keeps str(q) a decimal literal that
+                    # DuckDB parses to the same DECIMAL the engine's
+                    # Fraction(str(q)) rank uses
+                    raise ValueError(
+                        "quantile rule needs a float q in (0, 1]")
             return
         # reject silently-vacuous rules at construction (a bounds-less
         # range passes everything on the Ray side and generates
@@ -178,6 +203,10 @@ class Rule:
             return f"compare({lhs}{op}{rhs})"
         col = (",".join(self.column) if isinstance(self.column, tuple)
                else (self.column or ""))
+        if self.kind == "quantile":
+            # the q is part of the identity: p50 and p90 rules on one
+            # column must not collide into a #2 suffix
+            return f"quantile[{self.params['q']}]({col})"
         return f"{self.kind}({col})"
 
     @property
@@ -310,8 +339,9 @@ def agg_partial_plan(aggs: list[Rule]) -> list[tuple[str, str]]:
     agree column-for-column."""
     plan: list[tuple[str, str]] = []
     for j, r in enumerate(aggs):
-        if r.kind in ("row_count", "distinct_count"):
-            continue  # n_rows carries row_count; distinct has own pass
+        if r.kind in ("row_count", "distinct_count", "quantile"):
+            continue  # n_rows carries row_count; the other two have
+            # their own non-foldable passes
         if r.kind == "null_rate":
             plan.append((f"a{j}_nul", "sum"))
         elif r.kind in ("mean", "sum"):
@@ -357,7 +387,7 @@ def row_local_partials(batch: pa.Table, local: list[Rule],
     spec = [("n_rows", "sum")] + [(v, "sum") for v in vcols]
     out_names = ["scope", "n_rows"] + list(vcols)
     for j, r in enumerate(aggs):
-        if r.kind in ("row_count", "distinct_count"):
+        if r.kind in ("row_count", "distinct_count", "quantile"):
             continue
         col = batch.column(r.column)
         if pa.types.is_null(col.type):
@@ -446,6 +476,7 @@ def merge_partials(part: pd.DataFrame, n_local: int,
 def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
                           ids: list[str],
                           distinct_vals: dict[int, dict] | None = None,
+                          quantile_vals: dict[int, dict] | None = None,
                           ) -> list[dict]:
     """Per-(scope, aggregate-rule) verdict rows from the merged
     partials. The aggregate value is recomputed exactly as the SQL
@@ -454,8 +485,12 @@ def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
     DuckDB. ``distinct_vals`` maps an aggs index to that
     distinct_count rule's {scope: n_distinct} (from
     ``checks.scoped_distinct_counts``); absent scopes count 0, like
-    SQL COUNT DISTINCT over an all-null scope."""
+    SQL COUNT DISTINCT over an all-null scope. ``quantile_vals`` maps
+    an aggs index to that quantile rule's {scope: element}; an absent
+    scope (all values null/non-finite there) passes vacuously, like
+    SQL ``quantile_disc`` returning NULL."""
     distinct_vals = distinct_vals or {}
+    quantile_vals = quantile_vals or {}
     rows = []
     for _, row in merged.iterrows():
         n = int(row["n_rows"])
@@ -466,6 +501,8 @@ def aggregate_report_rows(merged: pd.DataFrame, aggs: list[Rule],
                 val = n
             elif rule.kind == "distinct_count":
                 val = int(distinct_vals.get(j, {}).get(row["scope"], 0))
+            elif rule.kind == "quantile":
+                val = quantile_vals.get(j, {}).get(row["scope"])
             elif rule.kind == "null_rate":
                 val = float(np.float64(int(row[f"a{j}_nul"]))
                             / np.float64(n))
@@ -591,9 +628,55 @@ def evaluate_rules(ds, rules: list[Rule],
             distinct_vals = {j: per_col[r.column]
                              for j, r in enumerate(aggr)
                              if r.kind == "distinct_count"}
+        # quantile rules: one exact distributed pass per checked
+        # column, all that column's q's fetched together (quantiles
+        # don't fold by summation — same reasoning as distinct_count)
+        quantile_vals: dict[int, dict] = {}
+        qcols = sorted({r.column for r in aggr if r.kind == "quantile"})
+        for col in qcols:
+            qs = sorted({r.params["q"] for r in aggr
+                         if r.kind == "quantile" and r.column == col})
+            if partition_col is None:
+                got = checks.exact_quantiles(
+                    ds.select_columns([col]), col, qs)
+                per_scope = {q: ({} if v is None else {"": v})
+                             for q, v in got.items()}
+            else:
+                proj = sorted({col, partition_col})
+
+                def add_scope(batch: pa.Table,
+                              _p=partition_col) -> pa.Table:
+                    s = pc.fill_null(
+                        batch.column(_p).cast(pa.large_string()),
+                        NULL_SCOPE)
+                    return batch.append_column("__scope__", s)
+
+                qdf = checks.exact_quantiles_by_group(
+                    ds.select_columns(proj).map_batches(
+                        add_scope, batch_format="pyarrow",
+                        batch_size=batch_size),
+                    "__scope__", col, qs, max_fetches=4096)
+                present = qdf[qdf["value"].notna()]
+                if len(present) != len(qdf):
+                    # a scope present in qdf has >=1 non-null value, so
+                    # every rank resolves — a None there means the
+                    # fetch budget truncated it; a silent vacuous PASS
+                    # would be a false verdict
+                    raise ValueError(
+                        f"quantile({col}): scope count exceeds the "
+                        f"exact-quantile fetch budget; reduce the "
+                        f"partition cardinality or use the t-digest "
+                        f"drift profile instead")
+                per_scope = {
+                    q: dict(zip(sub["__scope__"], sub["value"]))
+                    for q, sub in present.groupby("q", sort=False)}
+            for j, r in enumerate(aggr):
+                if r.kind == "quantile" and r.column == col:
+                    quantile_vals[j] = per_scope.get(r.params["q"], {})
         out_rows.extend(partials_to_report(merged, local, local_ids))
         out_rows.extend(aggregate_report_rows(
-            merged, aggr, aggr_ids, distinct_vals=distinct_vals))
+            merged, aggr, aggr_ids, distinct_vals=distinct_vals,
+            quantile_vals=quantile_vals))
 
     if cross:
         if total_rows is None:
@@ -690,6 +773,17 @@ FROM {table} GROUP BY 1""")
                        f"CAST(count({c}) AS DOUBLE), 0e0)) END)")
             elif r.kind == "distinct_count":
                 agg = f"count(DISTINCT {c})"
+            elif r.kind == "quantile":
+                # str(q) is a DECIMAL literal — DuckDB's quantile rank
+                # uses the decimal value of q, exactly the engine's
+                # Fraction(str(q)) rank (checks.exact_quantiles). The
+                # engine drops non-finite floats, so the oracle guards
+                # with isfinite (binds on numeric/temporal; for string
+                # columns pass finite_only=False to skip the guard,
+                # which strings don't need).
+                expr = (f"CASE WHEN isfinite({c}) THEN {c} END"
+                        if r.params.get("finite_only", True) else c)
+                agg = f"quantile_disc({expr}, {r.params['q']})"
             else:  # sum / min / max — NULL when the scope is all-null
                 agg = f"{r.kind}({c})"
             lo, hi = r.params.get("lo"), r.params.get("hi")
@@ -762,6 +856,10 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
             col = tuple(col)
         if kind == "in_set":
             params = {"values": e["values"]}
+        elif kind == "quantile":
+            params = {"q": e["q"], "lo": e.get("lo"),
+                      "hi": e.get("hi"),
+                      "finite_only": e.get("finite_only", True)}
         elif kind == "range" or kind in _AGGREGATE:
             params = {"lo": e.get("lo"), "hi": e.get("hi")}
         elif kind == "regex":

@@ -903,3 +903,150 @@ def test_stddev_distinct_fuzz_parity(ray_session_holder, vals, lo, hi,
                      for c in ("n_rows", "n_violations", "passed")}) \
             .sort_values(["scope", "rule_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(rep, oracle)
+
+
+# exact-quantile rules (round 5, third wave)
+
+
+def test_quantile_rule_construction():
+    r = R.Rule("quantile", "x", {"q": 0.5, "lo": 1})
+    assert r.rule_id == "quantile[0.5](x)"
+    # two quantiles on one column keep distinct ids (no #2 suffix)
+    ids = R.rule_ids([r, R.Rule("quantile", "x", {"q": 0.9, "hi": 5})])
+    assert ids == ["quantile[0.5](x)", "quantile[0.9](x)"]
+    for bad in ({"lo": 1},                 # q missing
+                {"q": 0.0, "lo": 1},       # rank ceil(0*n) = 0 invalid
+                {"q": 1.5, "lo": 1},       # q > 1
+                {"q": 1, "lo": 1},         # int: str(q) isn't DECIMAL
+                {"q": "0.5", "lo": 1}):    # str
+        with pytest.raises(ValueError):
+            R.Rule("quantile", "x", bad)
+    with pytest.raises(ValueError):        # bounds-less
+        R.Rule("quantile", "x", {"q": 0.5})
+
+
+def test_quantile_rule_semantics(ray_session):
+    """quantile_disc semantics (rank = ceil(q*n) over the DECIMAL q),
+    vacuous on all-null scopes, fused beside row-local/foldable rules,
+    and exact parity including a string column (finite_only=False)."""
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "a", "b", "b", None, "c"],
+        "x": pd.array([1, 2, 3, 10, 5, None, 7, None], dtype="Int64"),
+        "s": ["u", "v", "u", "w", "u", None, "w", None],
+    })
+    rules = [
+        R.Rule("quantile", "x", {"q": 0.5, "lo": 2, "hi": 4}),
+        R.Rule("quantile", "x", {"q": 1.0, "hi": 9}),
+        R.Rule("quantile", "s", {"q": 0.5, "lo": "u", "hi": "u",
+                                 "finite_only": False}),
+        R.Rule("row_count", None, {"lo": 2}),  # fused partials
+        R.Rule("not_null", "s"),               # row-local alongside
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "g"):
+        rep = R.evaluate_rules(rd.from_pandas(df), rules,
+                               partition_col=part)
+        ora = con.execute(
+            R.rules_report_sql("t", rules, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, ora)
+    k = R.evaluate_rules(rd.from_pandas(df), rules, partition_col="g") \
+        .set_index(["scope", "rule_id"])["passed"]
+    # scope a: x = 1,2,3,10 -> p50 = rank ceil(0.5*4)=2 -> 2 in [2,4]
+    assert k[("a", "quantile[0.5](x)")] == 1
+    # scope a: max = 10 > 9
+    assert k[("a", "quantile[1.0](x)")] == 0
+    # scope c: all-null x -> vacuous pass on both quantile rules
+    assert k[("c", "quantile[0.5](x)")] == 1
+    assert k[("c", "quantile[1.0](x)")] == 1
+    # scope b: s = {u} -> p50 = 'u' within ['u','u']
+    assert k[("b", "quantile[0.5](s)")] == 1
+
+
+def test_quantile_nonfinite_excluded(ray_session, tmp_path):
+    """Non-finite floats are dropped on BOTH engines (engine: is_finite
+    filter in the exact-quantile pass; oracle: the isfinite CASE
+    guard), so a NaN/inf never becomes the quantile element."""
+    import pyarrow.parquet as pq
+
+    t = pa.table({"g": ["a", "a", "a", "a"],
+                  "x": pa.array([1.0, float("nan"), float("inf"), 2.0],
+                                pa.float64())})
+    p = str(tmp_path / "q.parquet")
+    pq.write_table(t, p)
+    rules = [R.Rule("quantile", "x", {"q": 1.0, "hi": 5.0})]
+    rep = R.evaluate_rules(rd.read_parquet(p), rules, partition_col="g")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+    ora = con.execute(
+        R.rules_report_sql("t", rules, partition_col="g")).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, ora)
+    assert rep["passed"].tolist() == [1]  # max over finite {1.0, 2.0}
+
+
+def test_quantile_fetch_budget_raises(ray_session, monkeypatch):
+    """A capped exact-quantile fetch (None value for a PRESENT scope)
+    must raise, not silently pass vacuously — a false PASS verdict is
+    worse than an error."""
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        checks,
+    )
+
+    def fake(ds, group_col, value_col, qs, max_fetches=64):
+        return pd.DataFrame({group_col: ["a", "b"], "q": [0.5, 0.5],
+                             "value": [1, None]})
+
+    monkeypatch.setattr(checks, "exact_quantiles_by_group", fake)
+    df = pd.DataFrame({"g": ["a", "b"], "x": [1, 2]})
+    with pytest.raises(ValueError, match="fetch budget"):
+        R.evaluate_rules(rd.from_pandas(df),
+                         [R.Rule("quantile", "x", {"q": 0.5, "lo": 0})],
+                         partition_col="g")
+
+
+def test_quantile_spec_roundtrip():
+    rules = R.rules_from_spec([
+        {"kind": "quantile", "column": "x", "q": 0.9, "hi": 10},
+        {"kind": "quantile", "column": "s", "q": 0.5, "lo": "a",
+         "finite_only": False},
+    ])
+    assert rules[0].params == {"q": 0.9, "lo": None, "hi": 10,
+                               "finite_only": True}
+    assert rules[1].params["finite_only"] is False
+    assert R.columns_needed(rules, "g") == ["g", "s", "x"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       q=st.sampled_from([0.07, 0.25, 0.5, 0.75, 0.9, 1.0]),
+       lo=st.integers(-40, 0), hi=st.integers(1, 40),
+       grp_null=st.booleans())
+def test_quantile_rule_fuzz_parity(ray_session_holder, vals, q, lo, hi,
+                                   grp_null):
+    """Hypothesis: exact-quantile verdicts match the quantile_disc
+    oracle bit-for-bit over adversarial null/dup-heavy integer
+    columns, at every sampled rank including the FP-hostile q=0.07
+    (where fl(q)*n rounds above the integer rank)."""
+    n = len(vals)
+    grp = ["g1" if i % 3 else ("g2" if not grp_null else None)
+           for i in range(n)]
+    df = pd.DataFrame({"grp": grp, "val": pd.array(vals, dtype="Int64")})
+    ruleset = [R.Rule("quantile", "val", {"q": q, "lo": lo, "hi": hi})]
+    con = duckdb.connect()
+    con.register("t", df)
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        oracle = con.execute(
+            R.rules_report_sql("t", ruleset, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
