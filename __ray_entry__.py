@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_aggregate_documents": q.rules_aggregate_documents,
         "rules_aggregate_v2_documents": q.rules_aggregate_v2_documents,
         "rules_aggregate_v3_documents": q.rules_aggregate_v3_documents,
+        "lang_diversity_by_source": q.lang_diversity_by_source,
         "bpe_tokenize_documents": q.bpe_tokenize_documents,
         "bpe_pack_documents": q.bpe_pack_documents,
         "bpe_merge_table_documents": q.bpe_merge_table_documents,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "rules_aggregate_documents": q.RULES_AGGREGATE_DOCUMENTS_SQL,
         "rules_aggregate_v2_documents": q.RULES_AGGREGATE_V2_DOCUMENTS_SQL,
         "rules_aggregate_v3_documents": q.RULES_AGGREGATE_V3_DOCUMENTS_SQL,
+        "lang_diversity_by_source": q.LANG_DIVERSITY_BY_SOURCE_SQL,
         "bpe_tokenize_documents": q.BPE_TOKENIZE_DOCUMENTS_SQL,
         "bpe_pack_documents": q.BPE_PACK_DOCUMENTS_SQL,
         "bpe_merge_table_documents": q.BPE_MERGE_TABLE_DOCUMENTS_SQL,

@@ -1092,6 +1092,57 @@ GROUP BY t.source
 """
 
 
+def lang_diversity_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source language-diversity profile: Shannon entropy (nats)
+    and Herfindahl concentration (HHI) of each source's lang
+    distribution, plus docs/langs counts — the corpus-MIX diagnostic
+    (a source whose entropy collapses is feeding a monoculture; HHI
+    near 1 means one language dominates). Same shuffle shape as the
+    PSI drift statistic: counts aggregate distributed and exactly,
+    only the tiny (source, lang) crosstab reaches the driver; the
+    float entropy sum's category order differs from SQL's hash agg at
+    ~1e-16, under the gate's rounded value-hash (PSI convention).
+    NULL source/lang dropped on both sides up front."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source", "lang"]) \
+        .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    cnt = ds.groupby(["source", "lang"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    rows = []
+    for src, g in cnt.groupby("source", sort=True):
+        # fixed (lang-sorted) summation order: deterministic across
+        # runs even where the groupby's arrival order is not
+        n = g.sort_values("lang")["n"].to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        rows.append((src, int(tot), len(g),
+                     float(-(p * np.log(p)).sum()),
+                     float((p * p).sum())))
+    return pd.DataFrame(
+        rows, columns=["source", "n_docs", "n_langs", "entropy", "hhi"]
+    ).astype({"n_docs": np.int64, "n_langs": np.int64}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+LANG_DIVERSITY_BY_SOURCE_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*)::DOUBLE AS n FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT source, sum(n) AS tot, count(*) AS n_langs FROM c GROUP BY 1
+)
+SELECT c.source,
+       CAST(any_value(t.tot) AS BIGINT) AS n_docs,
+       CAST(any_value(t.n_langs) AS BIGINT) AS n_langs,
+       sum(-(c.n / t.tot) * ln(c.n / t.tot)) AS entropy,
+       sum((c.n / t.tot) * (c.n / t.tot)) AS hhi
+FROM c JOIN t USING (source)
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
 def ks_exact_events(sf_dir: str) -> pd.DataFrame:
     """EXACT two-sample KS (click vs view on events.value) through the
     distributed integer kernel ``checks.ks_exact_counts`` — the precise

@@ -603,3 +603,47 @@ def test_curation_v6_mix_before_cap(ray_session, tmp_path, monkeypatch):
     assert mix_survivors > 15  # corpus constructed so the cap binds
     hot = mine[mine["source"] == "hot"]
     assert len(hot) == 1 and int(hot["n_docs"].iloc[0]) == 15
+
+
+class TestLangDiversityOracle:
+    """lang_diversity_by_source vs LANG_DIVERSITY_BY_SOURCE_SQL on an
+    adversarial mix: a monoculture source (entropy 0, HHI 1), a
+    perfectly uniform one (entropy ln 2, HHI 0.5), and nulls on both
+    grouping columns (dropped on both engines)."""
+
+    def test_parity_and_invariants(self, ray_session, tmp_path):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        tbl = pa.table({
+            "source": ["mono", "mono", "mono",
+                       "uni", "uni", "uni", "uni",
+                       "skew", "skew", "skew", "skew",
+                       None, "mono"],
+            "lang": ["en", "en", "en",
+                     "en", "en", "de", "de",
+                     "en", "en", "en", "fr",
+                     "en", None],
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        mine = q.lang_diversity_by_source(str(tmp_path))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = con.execute(q.LANG_DIVERSITY_BY_SOURCE_SQL).df()
+        assert list(mine["source"]) == list(oracle["source"])
+        for c in ("n_docs", "n_langs"):
+            assert list(mine[c]) == list(oracle[c])
+        for c in ("entropy", "hhi"):
+            assert np.allclose(mine[c], oracle[c], rtol=0, atol=1e-12)
+        m = mine.set_index("source")
+        # null source row and null lang row both dropped: mono keeps 3
+        assert m.loc["mono", "n_docs"] == 3
+        assert m.loc["mono", "entropy"] == 0.0
+        assert m.loc["mono", "hhi"] == 1.0
+        assert abs(m.loc["uni", "entropy"] - np.log(2.0)) < 1e-12
+        assert m.loc["uni", "hhi"] == 0.5
+        # skew sits strictly between monoculture and uniform
+        assert 0.0 < m.loc["skew", "entropy"] < np.log(2.0)
+        assert 0.5 < m.loc["skew", "hhi"] < 1.0
