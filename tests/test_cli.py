@@ -278,6 +278,26 @@ class TestRulesCli:
         assert list(viol.columns) == ["id", "v"]
         assert viol["id"].tolist() == [2]
 
+    def test_rules_quantile_kind_via_spec(self, ray_session, tmp_path,
+                                          capsys):
+        """The quantile aggregate kind flows through the JSON spec +
+        CLI unchanged: p50(v) per grp against a declared band."""
+        t = pa.table({
+            "grp": ["a", "a", "a", "b", "b"],
+            "v": pa.array([1, 2, 30, 5, 6], pa.int64()),
+        })
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"partition_col": "grp", "rules": [
+            {"kind": "quantile", "column": "v", "q": 0.5,
+             "lo": 0, "hi": 4}]}))
+        rc = main(["rules", "--input", str(inp), "--spec", str(sp)])
+        out = json.loads(capsys.readouterr().out.strip())
+        # p50(a) = 2 in [0,4]; p50(b) = 5 > 4 -> failed
+        assert rc == 1 and out["result"] == "failed"
+        assert out["failed_rules"] == ["quantile[0.5](v)"]
+
     def test_rules_clean_table_exit_zero(self, ray_session, tmp_path,
                                          capsys):
         t = pa.table({"id": pa.array([1, 2], pa.int64()),
