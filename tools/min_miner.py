@@ -49,8 +49,16 @@ def run_once(ncpu: int, headlines_only: bool) -> dict:
     env = dict(os.environ, GRAFT_SF_DIR=SF_DIR, RAY_GRAFT_CPUS=str(ncpu))
     if headlines_only:
         env["GRAFT_BENCH_HEADLINES_ONLY"] = "1"
-    p = subprocess.run([sys.executable, "bench.py", "--once"], env=env,
-                       capture_output=True, text=True, cwd=REPO)
+    try:
+        p = subprocess.run([sys.executable, "bench.py", "--once"], env=env,
+                           capture_output=True, text=True, cwd=REPO,
+                           timeout=2400)
+    except subprocess.TimeoutExpired as e:
+        # a raylet-socket hang ate a 95-minute mining window once; a
+        # stuck attempt is worth less than the next attempt
+        raise RuntimeError(
+            f"bench.py --once at {ncpu} cpus hung past 2400s; "
+            f"stderr tail:\n{(e.stderr or '')[-1500:]}") from None
     if p.returncode != 0:
         # surface the subprocess stderr — a bare CalledProcessError
         # hides WHY the attempt died (learned the hard way)
