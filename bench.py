@@ -285,6 +285,29 @@ def _wait_for_quiet(deadline: float) -> list[dict]:
         time.sleep(QUIET_POLL_SEC)
 
 
+ATTEMPT_TIMEOUT_SEC = int(os.environ.get("GRAFT_ATTEMPT_TIMEOUT_SEC",
+                                         "2700"))
+
+
+def _run_once_subprocess() -> dict:
+    """One ungated suite attempt in a FRESH subprocess with a hard
+    timeout. Isolation matters twice on this host: a raylet-socket
+    hang (client parked in unix_stream_data_wait after its Ray session
+    died under co-tenant pressure) is un-interruptible in-process and
+    once ate a 95-minute window; and a crashed attempt can leave a
+    half-up Ray session that poisons the retry."""
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once"],
+        env=dict(os.environ), capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=ATTEMPT_TIMEOUT_SEC)
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"bench attempt exited {p.returncode}; stderr tail:\n"
+            f"{p.stderr[-2000:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
 def run_bench_quiet_gated() -> dict:
     deadline = time.time() + QUIET_WAIT_SEC
     attempts: list[dict] = []
@@ -292,20 +315,13 @@ def run_bench_quiet_gated() -> dict:
     for i in range(QUIET_RETRIES + 1):
         trail = _wait_for_quiet(deadline)
         try:
-            out = run_bench()
+            out = _run_once_subprocess()
         except Exception:  # noqa: BLE001 — shared-VM pressure can kill
-            # a single attempt (~1/50 runs observed); tear the Ray
-            # session down and spend a retry instead of losing the
-            # whole official record to one transient
+            # or HANG a single attempt (~1/50 runs observed); spend a
+            # retry instead of losing the whole official record
             import traceback
 
             errors.append(traceback.format_exc(limit=4))
-            try:
-                import ray
-
-                ray.shutdown()
-            except Exception:  # noqa: BLE001
-                pass
             if attempts or i < QUIET_RETRIES:
                 continue
             raise
