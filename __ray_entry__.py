@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize_documents": q.bpe_tokenize_documents,
         "bpe_pack_documents": q.bpe_pack_documents,
         "bpe_merge_table_documents": q.bpe_merge_table_documents,
+        "reconcile_orders_pair": q.reconcile_orders_pair,
+        "compare_orders_sampled": q.compare_orders_sampled,
+        "volume_anomaly_events": q.volume_anomaly_events,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -268,6 +271,15 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize_documents": q.BPE_TOKENIZE_DOCUMENTS_SQL,
         "bpe_pack_documents": q.BPE_PACK_DOCUMENTS_SQL,
         "bpe_merge_table_documents": q.BPE_MERGE_TABLE_DOCUMENTS_SQL,
+        # aggregate reconciliation: long verdict table, all values
+        # rendered VARCHAR (int via CAST, float via DuckDB's
+        # shortest-round-trip == Python repr, ts via epoch_us)
+        "reconcile_orders_pair": q.RECONCILE_ORDERS_PAIR_SQL,
+        # Knuth-hash sample applied per side, then the full diff
+        # classification — integer-exact threshold on both engines
+        "compare_orders_sampled": q.COMPARE_ORDERS_SAMPLED_SQL,
+        # integer-exact volume flag (no float mean / variance)
+        "volume_anomaly_events": q.VOLUME_ANOMALY_EVENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

@@ -4920,3 +4920,189 @@ def bpe_merge_table_documents(sf_dir: str) -> pd.DataFrame:
 
 
 BPE_MERGE_TABLE_DOCUMENTS_SQL = bpefn.oracle_vocab_sql(GATE_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: aggregate reconciliation ("quick verify"),
+# sampled digest compare, volume-by-day anomaly profile
+# ---------------------------------------------------------------------------
+
+from . import reconcile as reconcilemod  # noqa: E402  (late import keeps header tidy)
+
+
+def reconcile_orders_pair(sf_dir: str) -> pd.DataFrame:
+    """Aggregate reconciliation of the orders pair — the triage step
+    that runs BEFORE the Merkle digest compare: one streaming scan per
+    side computing per-column count/nulls/sum/min/max partials (one
+    tiny row per block, no shuffle), diffed on the driver into a long
+    per-(column, metric) verdict table. The sink carries the same
+    deletes/updates/inserts as ``compare_orders_pair``, so n_rows and
+    the mutated columns' aggregates mismatch while untouched columns
+    reconcile — localizing the damage to columns for the cost of a
+    scan. (Reference analog: the row-count/structure preconditions of
+    CheckTableStructureService generalized to content aggregates.)"""
+    source = _read(sf_dir, "orders", ORDER_COLS)
+    sink = _read(sf_dir, "orders", ORDER_COLS) \
+        .map_batches(_orders_sink_batch, batch_format="pyarrow")
+    return reconcilemod.reconcile_aggregates(source, sink)
+
+
+def _reconcile_oracle_sql() -> str:
+    """Generate the reconcile oracle: same sink CTE as
+    COMPARE_ORDERS_PAIR_SQL, one aggregate row per side, unioned into
+    the engine's long (col, metric, src_val, snk_val, is_match)
+    verdict shape. All values rendered as VARCHAR: integers via CAST
+    (== str(int)), floats via DuckDB's shortest-round-trip rendering
+    (== Python repr — verified for the float min/max values),
+    timestamps via integer epoch_us."""
+    spec = [("_table", "n_rows", "count(*)")]
+    for c in ("o_orderkey", "o_custkey"):
+        spec += [(c, "nulls", f"count(*) - count({c})"),
+                 (c, "sum", f"sum({c})"),
+                 (c, "min", f"min({c})"), (c, "max", f"max({c})")]
+    for c in ("o_orderstatus", "o_orderpriority", "o_totalprice"):
+        spec += [(c, "nulls", f"count(*) - count({c})"),
+                 (c, "min", f"min({c})"), (c, "max", f"max({c})")]
+    spec += [("o_orderdate", "nulls", "count(*) - count(o_orderdate)"),
+             ("o_orderdate", "min", "epoch_us(min(o_orderdate))"),
+             ("o_orderdate", "max", "epoch_us(max(o_orderdate))")]
+    cols = ", ".join(
+        f"COALESCE(CAST({expr} AS VARCHAR), '<null>') AS m{i}"
+        for i, (_, _, expr) in enumerate(spec))
+    pairs = "\nUNION ALL ".join(
+        f"SELECT '{col}' AS col, '{metric}' AS metric, "
+        f"s.m{i} AS src_val, k.m{i} AS snk_val FROM s, k"
+        for i, (col, metric, _) in enumerate(spec))
+    sink_cte = """
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+    """
+    return (f"WITH sink AS ({sink_cte}),\n"
+            f"s AS (SELECT {cols} FROM orders),\n"
+            f"k AS (SELECT {cols} FROM sink),\n"
+            f"pairs AS (\n{pairs}\n)\n"
+            f"SELECT col, metric, src_val, snk_val, "
+            f"src_val = snk_val AS is_match FROM pairs")
+
+
+RECONCILE_ORDERS_PAIR_SQL = _reconcile_oracle_sql()
+
+SAMPLED_COMPARE_RATE = 0.25
+
+
+def compare_orders_sampled(sf_dir: str) -> pd.DataFrame:
+    """Sampled digest compare — the fast pre-check between the
+    aggregate reconcile and the full compare: both sides keep a
+    deterministic ~25% Knuth-hash sample BY THEIR OWN PK (stateless
+    map_batches filter, no shuffle), then the standard Merkle digest
+    compare runs on the sample. Which rows are checked is a pure
+    function of the key — identical on both sides, on any cluster
+    size — so a diff found here is a real diff, and expected diff
+    coverage is exactly the sample rate. At 10^12 rows this turns the
+    "did last night's load drift?" question into a quarter-cost run
+    with the same machinery."""
+    from ..stages import sampling
+
+    rate = SAMPLED_COMPARE_RATE
+    source = sampling.stable_sample(
+        _read(sf_dir, "orders", ORDER_COLS), "o_orderkey", rate)
+    sink = sampling.stable_sample(
+        _read(sf_dir, "orders", ORDER_COLS)
+        .map_batches(_orders_sink_batch, batch_format="pyarrow"),
+        "o_orderkey", rate)
+    n = max(1, int(_num_rows(sf_dir, "orders") * rate))
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=64)
+    res = cmp.compare_tables(source, sink, cfg, table="orders_sampled")
+    v = res.violations[["key", "kind"]].sort_values(["key", "kind"])
+    return v.reset_index(drop=True)
+
+
+COMPARE_ORDERS_SAMPLED_SQL = """
+WITH sink_full AS (
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+),
+src AS (
+    SELECT * FROM orders
+    WHERE ((CAST(o_orderkey AS UBIGINT) % 4294967296) * 2654435761)
+          % 4294967296 < 1073741824
+),
+snk AS (
+    SELECT * FROM sink_full
+    WHERE ((CAST(o_orderkey AS UBIGINT) % 4294967296) * 2654435761)
+          % 4294967296 < 1073741824
+)
+SELECT CAST(COALESCE(s.o_orderkey, k.o_orderkey) AS VARCHAR) AS key,
+       CASE WHEN k.o_orderkey IS NULL THEN 'insert'
+            WHEN s.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS kind
+FROM src s FULL OUTER JOIN snk k ON s.o_orderkey = k.o_orderkey
+WHERE k.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR s.o_custkey <> k.o_custkey
+   OR s.o_orderstatus <> k.o_orderstatus
+   OR s.o_totalprice <> k.o_totalprice
+   OR s.o_orderdate <> k.o_orderdate
+   OR s.o_orderpriority <> k.o_orderpriority
+"""
+
+VOLUME_GAP_DAY = "2024-01-03"
+
+
+def volume_anomaly_events(sf_dir: str) -> pd.DataFrame:
+    """Row-volume-by-day anomaly profile over events, with a synthetic
+    feed gap injected on one day (90% of its rows dropped,
+    deterministically by user_id) so the flag path is exercised: the
+    starved day must flag anomalous, healthy days must not. The flag
+    is evaluated in pure integer arithmetic (count under half / over
+    double the all-days mean) — bit-reproducible in SQL with no float
+    mean or variance estimator. Scale shape: per-batch day
+    value_counts partials, one tiny groupby over ~10^3-10^4 distinct
+    days even at 10^12 rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def starve(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        hit = (pc.equal(day, VOLUME_GAP_DAY)
+               .to_numpy(zero_copy_only=False) & (uid % 10 != 0))
+        return batch.filter(pa.array(~hit))
+
+    return reconcilemod.daily_volume_profile(
+        ds.map_batches(starve, batch_format="pyarrow"), "ts")
+
+
+VOLUME_ANOMALY_EVENTS_SQL = f"""
+WITH ev AS (
+    SELECT ts FROM events
+    WHERE NOT (strftime(ts, '%Y-%m-%d') = '{VOLUME_GAP_DAY}'
+               AND user_id % 10 <> 0)
+),
+per_day AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows
+    FROM ev GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS t, count(*) AS d FROM per_day)
+SELECT day, CAST(n_rows AS BIGINT) AS n_rows,
+       (2 * n_rows * d < t OR n_rows * d > 2 * t) AS anomaly
+FROM per_day, tot
+"""
