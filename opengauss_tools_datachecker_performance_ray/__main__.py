@@ -67,7 +67,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="JSON rule-spec file (same format as the "
                         "`rules` subcommand) evaluated against the "
                         "SOURCE side as part of the validation run")
+    v.add_argument("--sample-rate", type=float, default=1.0,
+                   help="< 1.0 = sampled pre-check: digest compare + "
+                        "uniqueness over a deterministic Knuth-hash "
+                        "key sample of both sides (single integer key "
+                        "required); drift/rules still see full data")
     v.add_argument("--num-cpus", type=int, default=None)
+
+    rec = sub.add_parser(
+        "reconcile",
+        help="aggregate quick-verify of a table pair: per-column "
+             "count/nulls/sum/min/max on both sides, diffed — one "
+             "streaming scan per side, no shuffle")
+    rec.add_argument("--source", required=True)
+    rec.add_argument("--sink", required=True)
+    rec.add_argument("--report-out", default=None,
+                     help="write the (col, metric, src_val, snk_val, "
+                          "is_match) verdict table as parquet here")
+    rec.add_argument("--num-cpus", type=int, default=None)
 
     i = sub.add_parser(
         "increment",
@@ -241,6 +258,20 @@ def _run(args) -> int:
                       file=sys.stderr)
                 return 2
             vrules_part = spec.get("partition_col")
+        if args.sample_rate < 1.0 and args.format == "csv":
+            # the CSV shard reader has no sampled path — fail loudly
+            # instead of silently validating everything
+            print(json.dumps({
+                "result": "error",
+                "error": "--sample-rate is not supported with "
+                         "--format csv"}), file=sys.stderr)
+            return 2
+        if not 0.0 < args.sample_rate <= 1.0:
+            print(json.dumps({
+                "result": "error",
+                "error": f"--sample-rate must be in (0, 1], got "
+                         f"{args.sample_rate}"}), file=sys.stderr)
+            return 2
         cfg = ValidationConfig(
             key_columns=tuple(args.keys.split("+")),
             check_uniqueness=not args.no_uniqueness,
@@ -250,7 +281,8 @@ def _run(args) -> int:
             emit_repair=args.emit_repair,
             repair_update_style=args.repair_update_style,
             repair_batch_delete=args.repair_batch_delete,
-            rules=vrules, rules_partition_col=vrules_part)
+            rules=vrules, rules_partition_col=vrules_part,
+            sample_rate=args.sample_rate)
         if args.format == "csv":
             from .pipelines.validate import validate_csv_pair
 
@@ -261,6 +293,26 @@ def _run(args) -> int:
                                       table=args.table)
         print(json.dumps(res.summary, default=str))
         return 0 if res.summary.get("result") == "success" else 1
+    if args.cmd == "reconcile":
+        import ray.data as rd
+
+        from .pipelines.reconcile import reconcile_aggregates
+
+        df = reconcile_aggregates(rd.read_parquet(args.source),
+                                  rd.read_parquet(args.sink))
+        bad = df[~df["is_match"]]
+        if args.report_out:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           args.report_out)
+        print(json.dumps({
+            "result": "success" if bad.empty else "failed",
+            "metrics": int(len(df)),
+            "mismatched": int(len(bad)),
+            "mismatchedColumns": sorted(set(bad["col"]))}))
+        return 0 if bad.empty else 1
     if args.cmd == "increment":
         import ray.data as rd
 

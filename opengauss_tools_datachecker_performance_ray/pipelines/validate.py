@@ -121,6 +121,14 @@ class ValidationConfig:
     # any failing rule fails the run like a compare diff would
     rules: list | None = None
     rules_partition_col: str | None = None
+    # sampled pre-check: < 1.0 runs the digest compare + uniqueness
+    # over a deterministic Knuth-hash key sample of BOTH sides (same
+    # kernel as stages/sampling — which rows are checked is a pure
+    # function of the key, so a sampled diff is a real diff). Drift
+    # and rules still see the full population: their sketches cost one
+    # cheap pass and sampling them would only add estimator noise.
+    # Requires a single integer key column (non-negative).
+    sample_rate: float = 1.0
 
 
 @dataclass
@@ -176,6 +184,21 @@ def validate_table_pair(src_path: str, snk_path: str,
         return result
 
     approx = max(src_meta.num_rows, snk_meta.num_rows)
+    if cfg.sample_rate < 1.0:
+        import pyarrow as pa
+
+        kcol = cfg.key_columns[0]
+        ktype = next(f.type for f in src_meta.schema if f.name == kcol)
+        if len(cfg.key_columns) != 1 or not pa.types.is_integer(ktype):
+            result.summary = {
+                "table": table, "result": "failed",
+                "message": "sample_rate requires a single integer key "
+                           f"column, got {cfg.key_columns} "
+                           f"({ktype})"}
+            if writer:
+                writer.structure_failed(result.summary)
+            return result
+        approx = max(1, int(approx * cfg.sample_rate))
     dcfg = DigestConfig.for_rows(cfg.key_columns, approx,
                                  compare_columns=cfg.compare_columns,
                                  partition_capacity=cfg.partition_capacity,
@@ -184,14 +207,23 @@ def validate_table_pair(src_path: str, snk_path: str,
     read_cols = columns
     src = pqsrc.read_table(src_path, columns=read_cols)
     snk = pqsrc.read_table(snk_path, columns=read_cols)
+    if cfg.sample_rate < 1.0:
+        from ..stages import sampling
+
+        src = sampling.stable_sample(src, cfg.key_columns[0],
+                                     cfg.sample_rate)
+        snk = sampling.stable_sample(snk, cfg.key_columns[0],
+                                     cfg.sample_rate)
 
     # checkpointed signature computation (resume path)
     store = None
     if cfg.checkpoint_dir:
         from ..functions.hashing import DIGEST_VERSION
 
-        lin = lineage_id(src_meta.paths + snk_meta.paths,
-                         f"{dcfg}|{read_cols}|{DIGEST_VERSION}")
+        lin_desc = f"{dcfg}|{read_cols}|{DIGEST_VERSION}"
+        if cfg.sample_rate < 1.0:  # sampled runs get their own lineage
+            lin_desc += f"|sr={cfg.sample_rate}"
+        lin = lineage_id(src_meta.paths + snk_meta.paths, lin_desc)
         store = CheckpointStore(cfg.checkpoint_dir, lin)
 
     # Tagged digest materialization, reused by the signature pass, the
@@ -388,6 +420,8 @@ def validate_table_pair(src_path: str, snk_path: str,
     if result.rules is not None:
         result.summary["ruleViolations"] = n_rule_viol
         result.summary["rulesFailed"] = n_rules_failed
+    if cfg.sample_rate < 1.0:
+        result.summary["sampleRate"] = cfg.sample_rate
     if store:
         store.save_verdicts(result.compare.partitions)
     if writer:

@@ -437,3 +437,78 @@ class TestRulesSpecEdges:
         assert len(dirs) == 1  # compare_cols rule exported its rows
         rows = pd.read_parquet(dirs[0])
         assert rows["id"].tolist() == [2]
+
+
+class TestReconcileCli:
+    def test_reconcile_clean_pair_exit_zero(self, ray_session, tmp_path,
+                                            capsys):
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "v": ["a", "b", "c"]})
+        src, snk = _pair(tmp_path, t, t)
+        rc = main(["reconcile", "--source", src, "--sink", snk])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        assert out["mismatched"] == 0 and out["metrics"] > 0
+
+    def test_reconcile_mismatch_exit_one_and_report(self, ray_session,
+                                                    tmp_path, capsys):
+        src_t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                          "v": ["a", "b", "c"]})
+        snk_t = pa.table({"k": pa.array([1, 2, 9], pa.int64()),
+                          "v": ["a", "b", "c"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        report = str(tmp_path / "reconcile.parquet")
+        rc = main(["reconcile", "--source", src, "--sink", snk,
+                   "--report-out", report])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["mismatchedColumns"] == ["k"]
+        rep = pq.read_table(report).to_pandas()
+        assert set(rep.columns) == {"col", "metric", "src_val",
+                                    "snk_val", "is_match"}
+        bad = rep[~rep["is_match"]]
+        assert set(bad["metric"]) == {"sum", "max"}
+
+    def test_validate_sample_rate_detects_subset(self, ray_session,
+                                                 tmp_path, capsys):
+        """Sampled validate flags diffs whose key lands in the sample
+        and stays deterministic about which rows it checks."""
+        n = 400
+        ks = pa.array(range(n), pa.int64())
+        src_t = pa.table({"k": ks, "v": [str(i) for i in range(n)]})
+        snk_t = pa.table({"k": ks,
+                          "v": [("X" if i % 5 == 0 else str(i))
+                                for i in range(n)]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift", "--sample-rate", "0.5"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert out["sampleRate"] == 0.5
+        # the sample holds ~half the rows, so ~half the diffs
+        assert 0 < out["updateTotal"] < 80
+        # sampled rowCount is well under the full 2n
+        assert out["rowCount"] < int(2 * n * 0.75)
+
+    def test_validate_sample_rate_requires_integer_key(self, ray_session,
+                                                       tmp_path, capsys):
+        t = pa.table({"k": ["a", "b"], "v": ["1", "2"]})
+        src, snk = _pair(tmp_path, t, t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift", "--sample-rate", "0.5"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        assert "integer key" in out["message"]
+
+    def test_validate_sample_rate_rejects_csv_and_bad_rate(
+            self, ray_session, tmp_path, capsys):
+        t = pa.table({"k": pa.array([1], pa.int64())})
+        src, snk = _pair(tmp_path, t, t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--format", "csv",
+                   "--sample-rate", "0.5"])
+        assert rc == 2
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--sample-rate", "0.0"])
+        assert rc == 2
+        capsys.readouterr()

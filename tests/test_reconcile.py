@@ -179,3 +179,36 @@ def test_sampled_compare_subset_of_full(ray_session, sf_dir):
     f = set(map(tuple, full.values))
     assert s <= f
     assert len(s) > 0  # the 25% sample does catch diffs on testdata
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cells = st.one_of(st.none(),
+                   st.integers(min_value=-2**40, max_value=2**40))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_cells, min_size=1, max_size=40), st.data())
+def test_reconcile_property(ray_session_holder, ks, data):
+    """Self-pair always reconciles clean regardless of block split;
+    dropping a row or shifting a non-null value is always detected."""
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(ks, pa.int64())})
+    nblocks = data.draw(st.integers(min_value=1, max_value=4))
+    ds = rd.from_arrow(t).repartition(nblocks)
+    same = rc.reconcile_aggregates(ds, rd.from_arrow(t))
+    assert same["is_match"].all()
+
+    df = rc.reconcile_aggregates(ds, rd.from_arrow(t.slice(1)))
+    assert not _row(df, "_table", "n_rows")["is_match"]
+
+    nn = [v for v in ks if v is not None]
+    if nn:
+        i = ks.index(nn[0])
+        mut = ks.copy()
+        mut[i] = nn[0] + 1
+        df = rc.reconcile_aggregates(
+            ds, rd.from_arrow(pa.table({"k": pa.array(mut, pa.int64())})))
+        assert not _row(df, "k", "sum")["is_match"]
