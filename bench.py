@@ -159,6 +159,11 @@ def run_bench() -> dict:
             # round-4 verdict #8: CDC events/s through parse -> window
             # -> broadcast re-extract -> digest compare (two-phase)
             "cdc_window_throughput": q.cdc_window_throughput_scaled,
+            # round-5 continuation: aggregate reconciliation (the
+            # quick-verify triage scan) over the same scaled shards as
+            # the flagship compare — two streaming scans, no shuffle
+            "reconcile_orders_scaled":
+                lambda sf: q.reconcile_orders_scaled(sf, repeat=repeat),
         })
         # CDC change-log fixture is setup, not workload — build outside
         # the timers (pages-fixture convention)

@@ -5106,3 +5106,15 @@ SELECT day, CAST(n_rows AS BIGINT) AS n_rows,
        (2 * n_rows * d < t OR n_rows * d > 2 * t) AS anomaly
 FROM per_day, tot
 """
+
+
+def reconcile_orders_scaled(sf_dir: str, repeat: int = 16) -> pd.DataFrame:
+    """Bench-only scaled aggregate reconciliation: the quick-verify
+    triage scan over ``repeat`` key-remapped copies of orders per side
+    (same shard builder as the flagship compare). Measures the mode's
+    whole cost at scale — two streaming scans emitting ONE partial row
+    per block, no shuffle, driver fold over O(blocks) rows — i.e. the
+    cheapest "are these 10^12 rows plausibly equal?" answer the engine
+    offers."""
+    side = _scaled_orders_side_builder(sf_dir, repeat)
+    return reconcilemod.reconcile_aggregates(side(), side())

@@ -44,18 +44,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 def _side_partials(ds) -> list[dict]:
-    """One streaming pass: a single partial row per block."""
-    schema = ds.schema()
-    names = list(schema.names)
-    types = list(schema.types)
+    """One streaming pass: a single partial row per block.
 
+    Column names/types come from each BATCH's own schema (not
+    ``ds.schema()``, which on a derived dataset would trigger an extra
+    partial execution just to infer metadata)."""
     def partial(batch: pa.Table) -> pa.Table:
         out: dict[str, list] = {"n_rows": [batch.num_rows]}
-        for name, typ in zip(names, types):
+        for name, typ in zip(batch.schema.names, batch.schema.types):
             col = batch.column(name)
             out[f"{name}__nulls"] = [col.null_count]
             if pa.types.is_null(typ):
                 continue  # all-null column: nulls row is the whole story
+            if pa.types.is_dictionary(typ):
+                # no min_max/sum kernels on dictionary arrays; decode
+                # to the value space (per-batch cost, exact result)
+                typ = typ.value_type
+                col = col.cast(typ)
             mm = pc.min_max(col)
             mn, mx = mm["min"], mm["max"]
             if pa.types.is_integer(typ):
