@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reconcile_orders_pair": q.reconcile_orders_pair,
         "compare_orders_sampled": q.compare_orders_sampled,
         "volume_anomaly_events": q.volume_anomaly_events,
+        "reconcile_orders_by_status": q.reconcile_orders_by_status,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -280,6 +281,9 @@ def oracle_sql() -> dict[str, str]:
         "compare_orders_sampled": q.COMPARE_ORDERS_SAMPLED_SQL,
         # integer-exact volume flag (no float mean / variance)
         "volume_anomaly_events": q.VOLUME_ANOMALY_EVENTS_SQL,
+        # per-group reconcile: grouped aggregates + FULL OUTER JOIN
+        # on the group key, same long verdict shape
+        "reconcile_orders_by_status": q.RECONCILE_ORDERS_BY_STATUS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

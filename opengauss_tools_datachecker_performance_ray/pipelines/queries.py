@@ -5118,3 +5118,70 @@ def reconcile_orders_scaled(sf_dir: str, repeat: int = 16) -> pd.DataFrame:
     offers."""
     side = _scaled_orders_side_builder(sf_dir, repeat)
     return reconcilemod.reconcile_aggregates(side(), side())
+
+
+def reconcile_orders_by_status(sf_dir: str) -> pd.DataFrame:
+    """Per-group aggregate reconciliation of the orders pair, grouped
+    by o_orderstatus over o_custkey — the quick-verify triage at
+    partition granularity: the same sink mutations as
+    ``compare_orders_pair`` shift each status group's row count and
+    custkey sum while leaving min/max/nulls intact, so the verdict
+    localizes the damage to (partition, metric) pairs for the cost of
+    two partial-row shuffles."""
+    source = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                      "o_custkey", "o_totalprice",
+                                      "o_orderdate", "o_orderpriority"])
+    sink = _read(sf_dir, "orders", ORDER_COLS) \
+        .map_batches(_orders_sink_batch, batch_format="pyarrow")
+    return reconcilemod.reconcile_aggregates_by_group(
+        source, sink, "o_orderstatus", "o_custkey")
+
+
+def _reconcile_by_group_oracle_sql() -> str:
+    """Per-group reconcile oracle: grouped aggregates per side, FULL
+    OUTER JOIN on the group key, long (grp, metric, src_val, snk_val,
+    is_match) verdict rows. Groups keep SQL semantics via the house
+    '<null>' mapping; a group on one side only renders '<absent>'."""
+    side = ("SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '<null>') "
+            "AS g, count(*) AS n, "
+            "count(*) - count(o_custkey) AS nulls, "
+            "sum(o_custkey) AS sm, min(o_custkey) AS mn, "
+            "max(o_custkey) AS mx FROM {src} GROUP BY 1")
+    metrics = [("n_rows", "n"), ("nulls", "nulls"), ("sum", "sm"),
+               ("min", "mn"), ("max", "mx")]
+    legs = "\nUNION ALL ".join(
+        f"SELECT grp, '{m}' AS metric, "
+        f"CASE WHEN has_s THEN COALESCE(CAST(s_{c} AS VARCHAR), "
+        f"'<null>') ELSE '<absent>' END AS src_val, "
+        f"CASE WHEN has_k THEN COALESCE(CAST(k_{c} AS VARCHAR), "
+        f"'<null>') ELSE '<absent>' END AS snk_val FROM j"
+        for m, c in metrics)
+    sink_cte = """
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+    """
+    return (f"WITH sink AS ({sink_cte}),\n"
+            f"s AS ({side.format(src='orders')}),\n"
+            f"k AS ({side.format(src='sink')}),\n"
+            f"j AS (SELECT COALESCE(s.g, k.g) AS grp,\n"
+            f"  s.g IS NOT NULL AS has_s, k.g IS NOT NULL AS has_k,\n"
+            f"  s.n AS s_n, s.nulls AS s_nulls, s.sm AS s_sm,\n"
+            f"  s.mn AS s_mn, s.mx AS s_mx,\n"
+            f"  k.n AS k_n, k.nulls AS k_nulls, k.sm AS k_sm,\n"
+            f"  k.mn AS k_mn, k.mx AS k_mx\n"
+            f"  FROM s FULL OUTER JOIN k ON s.g = k.g),\n"
+            f"legs AS (\n{legs}\n)\n"
+            f"SELECT grp, metric, src_val, snk_val, "
+            f"src_val = snk_val AS is_match FROM legs")
+
+
+RECONCILE_ORDERS_BY_STATUS_SQL = _reconcile_by_group_oracle_sql()

@@ -201,3 +201,75 @@ def daily_volume_profile(ds, ts_col: str) -> pd.DataFrame:
     per_day["anomaly"] = ((2 * n * d < t) | (n * d > 2 * t))
     return (per_day.sort_values("day").reset_index(drop=True)
             [["day", "n_rows", "anomaly"]])
+
+
+def reconcile_aggregates_by_group(src, snk, group_col: str,
+                                  column: str) -> pd.DataFrame:
+    """Per-group aggregate reconciliation — the quick-verify mode at
+    partition granularity (the north rule's per-partition verdict
+    applied to the triage step): per group, row count / null count /
+    sum / min / max of one INTEGER column, both sides, diffed. A
+    mismatch localizes damage to a (partition, metric) pair before any
+    digest compare runs.
+
+    Scale shape: per-batch ``pyarrow`` group_by partials (one row per
+    distinct group per block), then ONE Ray groupby over the partials
+    — at 10^12 rows x 10^4 partitions the shuffle moves partial rows
+    only. Values travel as exact integers end-to-end (``take_all`` on
+    the tiny per-group table, never a pandas float coercion), so the
+    text rendering matches SQL. Groups keep SQL semantics: a NULL
+    group key reconciles as ``'<null>'`` (house convention); a group
+    present on only one side reports ``'<absent>'`` on the other.
+
+    Float columns are rejected loudly for sums (same rationale as
+    :func:`reconcile_aggregates` — IEEE addition is non-associative).
+    """
+    def side(ds) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.column(group_col)
+            if pa.types.is_dictionary(g.type):
+                g = g.cast(g.type.value_type)
+            g = pc.fill_null(pc.cast(g, pa.string()), "<null>")
+            c = batch.column(column)
+            if pa.types.is_dictionary(c.type):
+                c = c.cast(c.type.value_type)
+            if not pa.types.is_integer(c.type):
+                raise TypeError(
+                    f"reconcile_aggregates_by_group needs an integer "
+                    f"column, got {column!r}: {c.type} (float sums "
+                    f"are not distributable exactly)")
+            t = pa.table({"g": g, "c": c})
+            r = t.group_by("g").aggregate(
+                [("c", "sum"), ("c", "min"), ("c", "max"),
+                 ("c", "count"), ([], "count_all")])
+            return pa.table({
+                "g": r.column("g"),
+                "n": r.column("count_all"),
+                "nulls": pc.subtract(r.column("count_all"),
+                                     r.column("c_count")),
+                "sum": r.column("c_sum"),
+                "min": r.column("c_min"),
+                "max": r.column("c_max"),
+            })
+
+        from ray.data.aggregate import Max, Min, Sum
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("g")
+                  .aggregate(Sum("n"), Sum("nulls"), Sum("sum"),
+                             Min("min"), Max("max"))
+                  .take_all())  # one row per group — tiny by contract
+        return {r["g"]: r for r in rows}
+
+    a, b = side(src), side(snk)
+    metrics = [("n_rows", "sum(n)"), ("nulls", "sum(nulls)"),
+               ("sum", "sum(sum)"), ("min", "min(min)"),
+               ("max", "max(max)")]
+    out = []
+    for g in sorted(set(a) | set(b)):
+        for mname, mcol in metrics:
+            va = _render(a[g].get(mcol)) if g in a else "<absent>"
+            vb = _render(b[g].get(mcol)) if g in b else "<absent>"
+            out.append((g, mname, va, vb, va == vb))
+    return pd.DataFrame(out, columns=["grp", "metric", "src_val",
+                                      "snk_val", "is_match"])

@@ -212,3 +212,50 @@ def test_reconcile_property(ray_session_holder, ks, data):
         df = rc.reconcile_aggregates(
             ds, rd.from_arrow(pa.table({"k": pa.array(mut, pa.int64())})))
         assert not _row(df, "k", "sum")["is_match"]
+
+
+class TestReconcileByGroup:
+    def test_self_pair_clean_and_groups_sorted(self, ray_session, sf_dir):
+        df = rc.reconcile_aggregates_by_group(
+            _orders(sf_dir), _orders(sf_dir), "o_orderstatus",
+            "o_custkey")
+        assert df["is_match"].all()
+        assert list(df["grp"]) == sorted(df["grp"])
+        assert set(df["metric"]) == {"n_rows", "nulls", "sum", "min",
+                                     "max"}
+
+    def test_localizes_to_group(self, ray_session, sf_dir):
+        """Mutating only one status group's rows flags only it."""
+        import ray.data as rd
+
+        def mut(batch: pa.Table) -> pa.Table:
+            st = batch.column("o_orderstatus").to_pandas()
+            k = batch.column("o_orderkey").to_numpy()
+            return batch.filter(pa.array(~((st == "F").values
+                                           & (k % 7 == 0))))
+
+        snk = _orders(sf_dir).map_batches(mut, batch_format="pyarrow")
+        df = rc.reconcile_aggregates_by_group(
+            _orders(sf_dir), snk, "o_orderstatus", "o_custkey")
+        bad_groups = set(df.loc[~df["is_match"], "grp"])
+        assert bad_groups == {"F"}
+
+    def test_null_group_and_absent_group(self, ray_session):
+        import ray.data as rd
+
+        a = pa.table({"g": ["x", None, "y"],
+                      "c": pa.array([1, 2, 3], pa.int64())})
+        b = pa.table({"g": ["x", None],
+                      "c": pa.array([1, 2], pa.int64())})
+        df = rc.reconcile_aggregates_by_group(
+            rd.from_arrow(a), rd.from_arrow(b), "g", "c")
+        null_rows = df[df["grp"] == "<null>"]
+        assert len(null_rows) == 5 and null_rows["is_match"].all()
+        y = df[(df["grp"] == "y") & (df["metric"] == "sum")].iloc[0]
+        assert y["snk_val"] == "<absent>" and not y["is_match"]
+
+    def test_float_column_rejected(self, ray_session, sf_dir):
+        with pytest.raises(Exception, match="integer column"):
+            rc.reconcile_aggregates_by_group(
+                _orders(sf_dir), _orders(sf_dir), "o_orderstatus",
+                "o_totalprice")
