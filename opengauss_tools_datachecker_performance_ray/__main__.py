@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
                         "uniqueness over a deterministic Knuth-hash "
                         "key sample of both sides (single integer key "
                         "required); drift/rules still see full data")
+    v.add_argument("--quick-reconcile", action="store_true",
+                   help="also run the aggregate quick-verify "
+                        "(per-column count/nulls/sum/min/max both "
+                        "sides) as an overlapped phase; any mismatch "
+                        "fails the run")
     v.add_argument("--num-cpus", type=int, default=None)
 
     rec = sub.add_parser(
@@ -282,7 +287,8 @@ def _run(args) -> int:
             repair_update_style=args.repair_update_style,
             repair_batch_delete=args.repair_batch_delete,
             rules=vrules, rules_partition_col=vrules_part,
-            sample_rate=args.sample_rate)
+            sample_rate=args.sample_rate,
+            quick_reconcile=args.quick_reconcile)
         if args.format == "csv":
             from .pipelines.validate import validate_csv_pair
 

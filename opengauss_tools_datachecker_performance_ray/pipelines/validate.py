@@ -129,6 +129,12 @@ class ValidationConfig:
     # cheap pass and sampling them would only add estimator noise.
     # Requires a single integer key column (non-negative).
     sample_rate: float = 1.0
+    # aggregate quick-verify (pipelines/reconcile.py) as a fourth
+    # overlapped phase: per-column count/nulls/sum/min/max both sides
+    # diffed into a long verdict table; any mismatch fails the run.
+    # Under sample_rate < 1.0 it reconciles the same sample the
+    # compare sees, so the phases agree on the population.
+    quick_reconcile: bool = False
 
 
 @dataclass
@@ -139,6 +145,7 @@ class ValidationResult:
     uniqueness: pd.DataFrame | None = None
     drift: pd.DataFrame | None = None
     rules: pd.DataFrame | None = None
+    reconcile: pd.DataFrame | None = None
     summary: dict[str, Any] = field(default_factory=dict)
 
 
@@ -301,11 +308,30 @@ def validate_table_pair(src_path: str, snk_path: str,
             pqsrc.read_table(src_path, columns=need), cfg.rules,
             partition_col=cfg.rules_partition_col)
 
-    bg = ThreadPoolExecutor(max_workers=3)
+    def _reconcile_phase() -> pd.DataFrame:
+        # aggregate quick-verify over its own pruned reads (the digest
+        # datasets carry hashes, not values); under sampling it sees
+        # the same key sample as the compare
+        from . import reconcile as reconcilemod
+
+        a = pqsrc.read_table(src_path, columns=read_cols)
+        b = pqsrc.read_table(snk_path, columns=read_cols)
+        if cfg.sample_rate < 1.0:
+            from ..stages import sampling
+
+            a = sampling.stable_sample(a, cfg.key_columns[0],
+                                       cfg.sample_rate)
+            b = sampling.stable_sample(b, cfg.key_columns[0],
+                                       cfg.sample_rate)
+        return reconcilemod.reconcile_aggregates(a, b)
+
+    bg = ThreadPoolExecutor(max_workers=4)
     uniq_fut = (bg.submit(_uniqueness_phase) if cfg.check_uniqueness
                 else None)
     drift_fut = bg.submit(_drift_phase) if cfg.check_drift else None
     rules_fut = bg.submit(_rules_phase) if cfg.rules else None
+    recon_fut = (bg.submit(_reconcile_phase) if cfg.quick_reconcile
+                 else None)
 
     src_sigs = store.load_signatures("source") if store else None
     snk_sigs = store.load_signatures("sink") if store else None
@@ -399,6 +425,8 @@ def validate_table_pair(src_path: str, snk_path: str,
         result.drift = drift_fut.result()
     if rules_fut is not None:
         result.rules = rules_fut.result()
+    if recon_fut is not None:
+        result.reconcile = recon_fut.result()
     bg.shutdown()
 
     n_unique_viol = int(len(result.uniqueness)) if result.uniqueness is not None else 0
@@ -408,8 +436,10 @@ def validate_table_pair(src_path: str, snk_path: str,
                    if result.rules is not None else 0)
     n_rules_failed = (int((result.rules["passed"] == 0).sum())
                       if result.rules is not None else 0)
+    n_recon_bad = (int((~result.reconcile["is_match"]).sum())
+                   if result.reconcile is not None else 0)
     ok = (result.compare.ok and n_unique_viol == 0 and n_drift == 0
-          and n_rules_failed == 0)
+          and n_rules_failed == 0 and n_recon_bad == 0)
     result.summary = {
         **result.compare.summary,
         "uniquenessViolations": n_unique_viol,
@@ -422,6 +452,8 @@ def validate_table_pair(src_path: str, snk_path: str,
         result.summary["rulesFailed"] = n_rules_failed
     if cfg.sample_rate < 1.0:
         result.summary["sampleRate"] = cfg.sample_rate
+    if result.reconcile is not None:
+        result.summary["reconcileMismatched"] = n_recon_bad
     if store:
         store.save_verdicts(result.compare.partitions)
     if writer:

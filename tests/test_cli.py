@@ -512,3 +512,32 @@ class TestReconcileCli:
                    "--keys", "k", "--sample-rate", "0.0"])
         assert rc == 2
         capsys.readouterr()
+
+
+class TestQuickReconcilePhase:
+    def test_validate_quick_reconcile_clean(self, ray_session, tmp_path,
+                                            capsys):
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "v": ["a", "b", "c"]})
+        src, snk = _pair(tmp_path, t, t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift", "--quick-reconcile"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        assert out["reconcileMismatched"] == 0
+
+    def test_validate_quick_reconcile_counts_mismatches(
+            self, ray_session, tmp_path, capsys):
+        src_t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                          "v": ["a", "b", "c"]})
+        snk_t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                          "v": ["a", "b"]})
+        src, snk = _pair(tmp_path, src_t, snk_t)
+        rc = main(["validate", "--source", src, "--sink", snk,
+                   "--keys", "k", "--no-drift", "--quick-reconcile"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        # n_rows + k sum/max + v max all shift
+        assert out["reconcileMismatched"] >= 3
+        # compare phase agrees: the row missing at sink needs an INSERT
+        assert out["insertTotal"] == 1
