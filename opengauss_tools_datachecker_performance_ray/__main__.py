@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     rec.add_argument("--report-out", default=None,
                      help="write the (col, metric, src_val, snk_val, "
                           "is_match) verdict table as parquet here")
+    rec.add_argument("--group-col", default=None,
+                     help="per-group variant: reconcile per value of "
+                          "this column (requires --column)")
+    rec.add_argument("--column", default=None,
+                     help="integer column whose per-group "
+                          "sum/min/max/nulls are reconciled (with "
+                          "--group-col)")
     rec.add_argument("--num-cpus", type=int, default=None)
 
     i = sub.add_parser(
@@ -302,10 +309,25 @@ def _run(args) -> int:
     if args.cmd == "reconcile":
         import ray.data as rd
 
-        from .pipelines.reconcile import reconcile_aggregates
+        from .pipelines.reconcile import (
+            reconcile_aggregates, reconcile_aggregates_by_group,
+        )
 
-        df = reconcile_aggregates(rd.read_parquet(args.source),
-                                  rd.read_parquet(args.sink))
+        if bool(args.group_col) != bool(args.column):
+            print(json.dumps({
+                "result": "error",
+                "error": "--group-col and --column go together"}),
+                file=sys.stderr)
+            return 2
+        if args.group_col:
+            df = reconcile_aggregates_by_group(
+                rd.read_parquet(args.source),
+                rd.read_parquet(args.sink),
+                args.group_col, args.column)
+            df = df.rename(columns={"grp": "col"})  # shared report shape
+        else:
+            df = reconcile_aggregates(rd.read_parquet(args.source),
+                                      rd.read_parquet(args.sink))
         bad = df[~df["is_match"]]
         if args.report_out:
             import pyarrow as pa

@@ -541,3 +541,20 @@ class TestQuickReconcilePhase:
         assert out["reconcileMismatched"] >= 3
         # compare phase agrees: the row missing at sink needs an INSERT
         assert out["insertTotal"] == 1
+
+
+def test_reconcile_cli_by_group(ray_session, tmp_path, capsys):
+    src_t = pa.table({"g": ["a", "a", "b"],
+                      "c": pa.array([1, 2, 3], pa.int64())})
+    snk_t = pa.table({"g": ["a", "a", "b"],
+                      "c": pa.array([1, 2, 9], pa.int64())})
+    src, snk = _pair(tmp_path, src_t, snk_t)
+    rc = main(["reconcile", "--source", src, "--sink", snk,
+               "--group-col", "g", "--column", "c"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 1 and out["mismatchedColumns"] == ["b"]
+    # --group-col without --column is a usage error
+    rc = main(["reconcile", "--source", src, "--sink", snk,
+               "--group-col", "g"])
+    assert rc == 2
+    capsys.readouterr()
