@@ -5128,9 +5128,10 @@ def reconcile_orders_by_status(sf_dir: str) -> pd.DataFrame:
     custkey sum while leaving min/max/nulls intact, so the verdict
     localizes the damage to (partition, metric) pairs for the cost of
     two partial-row shuffles."""
-    source = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
-                                      "o_custkey", "o_totalprice",
-                                      "o_orderdate", "o_orderpriority"])
+    # source scan prunes to the two columns reconciled; the sink side
+    # must read ORDER_COLS because the mutation fixture touches keys
+    # and prices before the group partials drop them
+    source = _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
     sink = _read(sf_dir, "orders", ORDER_COLS) \
         .map_batches(_orders_sink_batch, batch_format="pyarrow")
     return reconcilemod.reconcile_aggregates_by_group(
