@@ -278,6 +278,14 @@ def _run(args) -> int:
                 "error": "--sample-rate is not supported with "
                          "--format csv"}), file=sys.stderr)
             return 2
+        if args.quick_reconcile and args.format == "csv":
+            # validate_csv_pair has no reconcile phase — fail loudly
+            # instead of silently skipping a declared check
+            print(json.dumps({
+                "result": "error",
+                "error": "--quick-reconcile is not supported with "
+                         "--format csv"}), file=sys.stderr)
+            return 2
         if not 0.0 < args.sample_rate <= 1.0:
             print(json.dumps({
                 "result": "error",

@@ -558,3 +558,12 @@ def test_reconcile_cli_by_group(ray_session, tmp_path, capsys):
                "--group-col", "g"])
     assert rc == 2
     capsys.readouterr()
+
+
+def test_quick_reconcile_rejects_csv(ray_session, tmp_path, capsys):
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    src, snk = _pair(tmp_path, t, t)
+    rc = main(["validate", "--source", src, "--sink", snk,
+               "--keys", "k", "--format", "csv", "--quick-reconcile"])
+    assert rc == 2
+    assert "quick-reconcile" in capsys.readouterr().err
