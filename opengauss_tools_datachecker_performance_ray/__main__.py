@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     rec.add_argument("--report-out", default=None,
                      help="write the (col, metric, src_val, snk_val, "
                           "is_match) verdict table as parquet here")
+    rec.add_argument("--columns", default=None,
+                     help="comma list of columns to reconcile "
+                          "(prunes the reads; default: all columns)")
     rec.add_argument("--group-col", default=None,
                      help="per-group variant: reconcile per value of "
                           "this column (requires --column)")
@@ -327,15 +330,19 @@ def _run(args) -> int:
                 "error": "--group-col and --column go together"}),
                 file=sys.stderr)
             return 2
+        cols = args.columns.split(",") if args.columns else None
         if args.group_col:
+            # the per-group reads need exactly these two columns
+            gcols = [args.group_col, args.column]
             df = reconcile_aggregates_by_group(
-                rd.read_parquet(args.source),
-                rd.read_parquet(args.sink),
+                rd.read_parquet(args.source, columns=gcols),
+                rd.read_parquet(args.sink, columns=gcols),
                 args.group_col, args.column)
             df = df.rename(columns={"grp": "col"})  # shared report shape
         else:
-            df = reconcile_aggregates(rd.read_parquet(args.source),
-                                      rd.read_parquet(args.sink))
+            df = reconcile_aggregates(
+                rd.read_parquet(args.source, columns=cols),
+                rd.read_parquet(args.sink, columns=cols))
         bad = df[~df["is_match"]]
         if args.report_out:
             import pyarrow as pa

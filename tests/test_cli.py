@@ -567,3 +567,15 @@ def test_quick_reconcile_rejects_csv(ray_session, tmp_path, capsys):
                "--keys", "k", "--format", "csv", "--quick-reconcile"])
     assert rc == 2
     assert "quick-reconcile" in capsys.readouterr().err
+
+
+def test_reconcile_cli_pruned_columns(ray_session, tmp_path, capsys):
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": ["a", "b"], "w": ["x", "y"]})
+    src, snk = _pair(tmp_path, t, t)
+    rc = main(["reconcile", "--source", src, "--sink", snk,
+               "--columns", "k,v"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    # n_rows + k(nulls,sum,min,max) + v(nulls,min,max) — w never read
+    assert out["metrics"] == 8
