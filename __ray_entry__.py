@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_orders_sampled": q.compare_orders_sampled,
         "volume_anomaly_events": q.volume_anomaly_events,
         "reconcile_orders_by_status": q.reconcile_orders_by_status,
+        "cdc_compaction_orders": q.cdc_compaction_orders,
+        "surprisal_documents": q.surprisal_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -284,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         # per-group reconcile: grouped aggregates + FULL OUTER JOIN
         # on the group key, same long verdict shape
         "reconcile_orders_by_status": q.RECONCILE_ORDERS_BY_STATUS_SQL,
+        "cdc_compaction_orders": q.CDC_COMPACTION_ORDERS_SQL,
+        "surprisal_documents": q.SURPRISAL_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

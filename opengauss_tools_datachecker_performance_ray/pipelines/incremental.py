@@ -272,3 +272,54 @@ def incremental_stream(src_factory: Callable[[], Any],
         yield incremental_check(
             src_factory, snk_factory, list(key_columns), tail,
             table=table, cfg=cfg, dcfg=dcfg)
+
+
+def compact_changes(parsed, value_columns: list[str] | None = None,
+                    num_buckets: int = 256):
+    """Log-compaction materializer over a parsed CDC stream: the final
+    table STATE implied by the change log — keep the latest event per
+    (table, key), then drop delete tombstones. The reference stops at
+    consolidating changed KEYS for re-extraction
+    (``DataConsolidationServiceImpl.java:118-160`` dedupes to the
+    latest changed-key set, ``DebeziumDataLogs.java:84-106``); this
+    generalizes that keep-latest rule to the carried values (Kafka
+    log-compaction semantics — public), which is what a sink-less
+    verification run compares against the source directly.
+
+    Input is ``parse_change_events(..., value_columns=...)`` output;
+    offsets must order events per key (real transport offsets — Kafka
+    partition offsets are unique; ``ts_ms`` breaks residual ties).
+
+    Scale shape: keep-latest is associative, so a within-block
+    pre-reduce first collapses each block to ONE row per (table, key)
+    — a hot key's burst never leaves its block — then a bucketed fold
+    (``hash(table, key) % num_buckets``, the drift-path shape: group
+    count is fixed at ``num_buckets`` regardless of key cardinality,
+    so no per-key ``map_groups`` dispatch) picks the global latest.
+    Only (key, op, offset, stringified values) rows shuffle — the raw
+    JSON stream never moves past the parser.
+    """
+    from ..functions.hashing import hash64
+
+    vcols = [f"v_{c}" for c in (value_columns or [])]
+    keep = ["table", "key", "op", "offset", "ts_ms"] + vcols
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["table", "key", "offset", "ts_ms"],
+                            kind="stable")
+        return df.drop_duplicates(["table", "key"], keep="last")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = latest(b.select(keep).to_pandas())
+        tk = (df["table"].astype(str) + "\x1f" + df["key"].astype(str))
+        h = hash64(pa.array(tk, pa.large_string()))
+        df = df.assign(bucket=(h % np.uint64(num_buckets)).astype(np.int32))
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = latest(g)
+        out = out[out["op"] != "d"]
+        return out.drop(columns=["bucket"])
+
+    return parsed.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")

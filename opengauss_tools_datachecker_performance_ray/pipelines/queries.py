@@ -1958,6 +1958,81 @@ FROM orders WHERE o_orderkey % 97 = 0
 """
 
 
+def cdc_compaction_orders(sf_dir: str) -> pd.DataFrame:
+    """CDC log-compaction end-to-end: a synthetic Debezium stream with
+    REAL transport offsets — per order an insert (offset ``3k``), for
+    ``k % 3 == 0`` an update bumping ``o_custkey`` by 1,000,000
+    (offset ``3k+1``), for ``k % 5 == 0`` a delete tombstone (offset
+    ``3k+2``, ``before``-only payload like Debezium emits) — parses
+    with carried values (``value_columns``) and materializes the final
+    table state via ``incremental.compact_changes`` (keep-latest per
+    key, tombstones erase). Oracle = the generating predicate: keys
+    not divisible by 5 survive, custkey bumped iff divisible by 3.
+    Exercises parser value carriage, delete-before payloads, offset
+    ordering across interleaved ops, and the bucketed keep-latest fold
+    in one pipeline."""
+    import json as _json
+
+    from ..sources import debezium
+    from . import incremental
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        ks = batch.column("o_orderkey").to_numpy()
+        cs = batch.column("o_custkey").to_numpy()
+        lines: list[str] = []
+        offs: list[int] = []
+
+        def emit(payload: dict, off: int) -> None:
+            lines.append(_json.dumps({"payload": payload}))
+            offs.append(off)
+
+        src = {"table": "orders", "ts_ms": 1675319298000}
+        for k, c in zip(ks.tolist(), cs.tolist()):
+            emit({"before": None,
+                  "after": {"o_orderkey": str(k), "o_custkey": str(c)},
+                  "source": src, "op": "c", "ts_ms": 1675319299000}, 3 * k)
+            if k % 3 == 0:
+                emit({"before": None,
+                      "after": {"o_orderkey": str(k),
+                                "o_custkey": str(c + 1000000)},
+                      "source": src, "op": "u",
+                      "ts_ms": 1675319299100}, 3 * k + 1)
+            if k % 5 == 0:
+                emit({"before": {"o_orderkey": str(k),
+                                 "o_custkey": str(c)},
+                      "after": None, "source": src, "op": "d",
+                      "ts_ms": 1675319299200}, 3 * k + 2)
+        return pa.table({"text": pa.array(lines, pa.large_string()),
+                         "off": pa.array(offs, pa.int64())})
+
+    events = ds.map_batches(to_events, batch_format="pyarrow")
+    parsed = debezium.parse_change_events(
+        events, key_columns={"orders": ["o_orderkey"]},
+        offset_col="off", value_columns=["o_custkey"])
+    state = incremental.compact_changes(parsed,
+                                        value_columns=["o_custkey"])
+    df = _with_schema(state.select_columns(["key", "v_o_custkey"]),
+                      ["key", "v_o_custkey"],
+                      {"key": object, "v_o_custkey": object})
+    out = pd.DataFrame({
+        "key": df["key"].astype(str),
+        "o_custkey": df["v_o_custkey"].astype(np.int64)})
+    return out.sort_values("key").reset_index(drop=True)
+
+
+CDC_COMPACTION_ORDERS_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       CAST(o_custkey + CASE WHEN o_orderkey % 3 = 0
+                             THEN 1000000 ELSE 0 END AS BIGINT)
+           AS o_custkey
+FROM orders
+WHERE o_orderkey % 5 <> 0
+ORDER BY key
+"""
+
+
 def incremental_recheck_orders(sf_dir: str) -> pd.DataFrame:
     """Incremental (changed-key) verification: CDC batch = every 500th
     order key; re-extract both sides filtered to those keys and
@@ -3701,6 +3776,119 @@ LIMIT {top_v}
 
 
 VOCABULARY_DOCUMENTS_SQL = _vocabulary_sql()
+
+
+def surprisal_documents(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet-style perplexity
+    quality signal (Wenzek et al. 2020, "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data" — public
+    heuristic family) made integer-exact: each token scores
+    ``BL(N) - BL(tf(t))`` bits, where ``tf`` is the token's corpus
+    frequency, ``N`` the corpus token total and ``BL(n)`` the bit
+    length ``floor(log2 n) + 1`` — an integer ceiling-approximation of
+    ``log2(N / tf)``, so the per-doc sum is ORDER-FREE (no float
+    accumulation) and matches the DuckDB oracle's
+    ``length(bin(n))`` exactly. High mean surprisal = rare-token-heavy
+    (gibberish / OCR noise / boilerplate-free but also low-resource),
+    low = stopword soup; callers band it like a perplexity filter.
+
+    Scale path (100 TB): ONE explode pass ships within-block
+    pre-reduced ``(term, doc_id, c)`` rows (a term repeated in a doc
+    is one row); a term-bucketed fold (``hash(term) % 256`` — fixed
+    group count, no per-term dispatch, no vocab materialization, no
+    broadcast) computes each term's global tf and collapses to per-doc
+    partials inside the bucket; a doc-keyed groupby sums partials; the
+    scalar ``N`` folds from the same aggregate. Text never shuffles.
+    ``BL`` via ``np.frexp`` is exact below 2**53 (float conversion is
+    exact there; a 100-TB corpus is ~2**45 tokens)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    num_buckets = 256
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        toks, parent, _ = textfn._explode_tokens(batch.column("text"))
+        if not len(toks):
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype=np.int32),
+                "term": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype=np.int64),
+                "c": pd.Series(dtype=np.int64)})
+        ids = batch.column("doc_id").to_numpy()[parent]
+        g = pd.DataFrame({"term": toks, "doc_id": ids}) \
+            .groupby(["term", "doc_id"], sort=False) \
+            .size().rename("c").astype(np.int64).reset_index()
+        h = hash64(np.asarray(g["term"], dtype=object))
+        g["bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return g[["bucket", "term", "doc_id", "c"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g.groupby("term", sort=False)["c"].transform("sum") \
+            .to_numpy(np.int64)
+        bl = np.frexp(tf.astype(np.float64))[1].astype(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "part_n": c, "part_bits": c * bl})
+        return part.groupby("doc_id", sort=False).sum().reset_index()
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    per_doc = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .groupby("doc_id") \
+        .aggregate(Sum("part_n", alias_name="n_tokens"),
+                   Sum("part_bits", alias_name="sum_bl")) \
+        .materialize()  # doc-count-sized (one int row per doc); reused
+    # twice below: once for the scalar N, once for the final scores
+    total = per_doc.sum(on="n_tokens", ignore_nulls=True) or 0
+    bl_tot = int(np.frexp(np.float64(total))[1]) if total else 0
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_tokens").to_numpy().astype(np.int64)
+        s = b.column("sum_bl").to_numpy().astype(np.int64)
+        bits = n * bl_tot - s
+        mean = np.where(n > 0, (bits * 1000) // np.maximum(n, 1), 0)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n),
+            "surprisal_bits": pa.array(bits),
+            "mean_millibits": pa.array(mean.astype(np.int64))})
+
+    cols = ["doc_id", "n_tokens", "surprisal_bits", "mean_millibits"]
+    df = _with_schema(per_doc.map_batches(finish, batch_format="pyarrow"),
+                      cols, {c: np.int64 for c in cols})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _surprisal_sql() -> str:
+    tok = TOKEN_RE.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '{tok}'))
+             AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin(tot.n)) - length(bin(tf.c))) AS BIGINT)
+             AS surprisal_bits
+  FROM toks t JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, surprisal_bits,
+       CAST((surprisal_bits * 1000) // n_tokens AS BIGINT)
+           AS mean_millibits
+FROM scored
+ORDER BY doc_id
+"""
+
+
+SURPRISAL_DOCUMENTS_SQL = _surprisal_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -138,7 +138,8 @@ def make_event_parser(key_columns: dict[str, list[str]],
                       date_columns: dict[str, list[str]] | None = None,
                       line_col: str = "text",
                       offset_col: str | None = None,
-                      avro: bool | None = None):
+                      avro: bool | None = None,
+                      value_columns: list[str] | None = None):
     """map_batches fn: raw-JSON-line batch -> (table, key, op, offset,
     ts_ms) rows. ``key_columns`` maps table -> PK column list (the
     catalog's primaryMetas analog); events for unknown tables pass
@@ -147,8 +148,15 @@ def make_event_parser(key_columns: dict[str, list[str]],
     ``offset_col`` when the transport carries real offsets; the
     fallback numbers events batch-locally, which is globally monotone
     ONLY for single-block inputs (``read_change_log`` reads that way).
+
+    ``value_columns`` additionally carries those payload fields
+    through as stringified ``v_<name>`` columns (CDC transport form —
+    the same ``str()`` rendering the key splice uses; absent fields
+    and delete tombstones surface as null). This is what a downstream
+    materializer (``pipelines.incremental.compact_changes``) consumes.
     """
     date_cols = {t: set(c) for t, c in (date_columns or {}).items()}
+    vcols = list(value_columns or [])
 
     def parse(batch: pa.Table) -> pa.Table:
         lines = batch.column(line_col).to_pylist()
@@ -156,6 +164,7 @@ def make_event_parser(key_columns: dict[str, list[str]],
                    if offset_col and offset_col in batch.column_names
                    else range(len(lines)))
         out = {"table": [], "key": [], "op": [], "offset": [], "ts_ms": []}
+        vals_out: dict[str, list] = {c: [] for c in vcols}
         for off, line in zip(offsets, lines):
             ev = parse_event(line, avro=avro)
             if ev is None:
@@ -172,13 +181,19 @@ def make_event_parser(key_columns: dict[str, list[str]],
             out["op"].append(ev["op"])
             out["offset"].append(int(off) if off is not None else -1)
             out["ts_ms"].append(ev["ts_ms"])
-        return pa.table({
+            for c in vcols:
+                v = data.get(c)
+                vals_out[c].append(None if v is None else str(v))
+        cols = {
             "table": pa.array(out["table"], pa.large_string()),
             "key": pa.array(out["key"], pa.large_string()),
             "op": pa.array(out["op"], pa.large_string()),
             "offset": pa.array(out["offset"], pa.int64()),
             "ts_ms": pa.array(out["ts_ms"], pa.int64()),
-        })
+        }
+        for c in vcols:
+            cols[f"v_{c}"] = pa.array(vals_out[c], pa.large_string())
+        return pa.table(cols)
 
     return parse
 
@@ -187,11 +202,12 @@ def parse_change_events(ds, key_columns: dict[str, list[str]],
                         date_columns: dict[str, list[str]] | None = None,
                         line_col: str = "text",
                         offset_col: str | None = None,
-                        avro: bool | None = None):
+                        avro: bool | None = None,
+                        value_columns: list[str] | None = None):
     """Dataset of raw JSON lines -> Dataset of parsed change-key rows."""
     return ds.map_batches(
         make_event_parser(key_columns, date_columns, line_col, offset_col,
-                          avro),
+                          avro, value_columns),
         batch_format="pyarrow")
 
 

@@ -385,3 +385,109 @@ class TestCdcStreaming:
         results = list(gen)
         th.join()
         assert sum(r.checked_keys for r in results) == 1
+
+
+class TestCompaction:
+    """compact_changes: log-compaction materializer (keep-latest per
+    key by offset, delete tombstones erase) + parser value carriage."""
+
+    def _stream(self):
+        # key 1: insert -> update (survives with updated value)
+        # key 2: insert -> delete (erased)
+        # key 3: insert only (survives)
+        # key 4: insert -> update -> delete -> re-insert (survives,
+        #        re-inserted value wins by offset)
+        evs = [
+            (0, _plain("t", "c", after={"id": "1", "v": "10"})),
+            (1, _plain("t", "c", after={"id": "2", "v": "20"})),
+            (2, _plain("t", "c", after={"id": "3", "v": "30"})),
+            (3, _plain("t", "u", after={"id": "1", "v": "11"})),
+            (4, _plain("t", "d", before={"id": "2", "v": "20"})),
+            (5, _plain("t", "c", after={"id": "4", "v": "40"})),
+            (6, _plain("t", "u", after={"id": "4", "v": "41"})),
+            (7, _plain("t", "d", before={"id": "4", "v": "41"})),
+            (8, _plain("t", "c", after={"id": "4", "v": "42"})),
+        ]
+        return evs
+
+    def test_parser_carries_values(self, ray_session):
+        import ray.data as rd
+
+        evs = self._stream()
+        ds = rd.from_items([{"text": line, "off": off}
+                            for off, line in evs])
+        parsed = debezium.parse_change_events(
+            ds, key_columns={"t": ["id"]}, offset_col="off",
+            value_columns=["v", "missing"]).to_pandas()
+        assert list(parsed.columns) == [
+            "table", "key", "op", "offset", "ts_ms", "v_v", "v_missing"]
+        byoff = parsed.set_index("offset")
+        assert byoff.loc[3, "v_v"] == "11"
+        # delete carries the before image's value
+        assert byoff.loc[4, "v_v"] == "20"
+        # absent payload field -> null, not a crash
+        assert parsed["v_missing"].isna().all()
+
+    def test_keep_latest_and_tombstones(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            incremental,
+        )
+
+        evs = self._stream()
+        # shuffle delivery order AND split across blocks: compaction
+        # must depend only on offsets, not arrival order / blocking
+        items = [{"text": line, "off": off} for off, line in evs]
+        items = [items[i] for i in (5, 0, 7, 2, 8, 1, 4, 6, 3)]
+        ds = rd.from_items(items).repartition(3)
+        parsed = debezium.parse_change_events(
+            ds, key_columns={"t": ["id"]}, offset_col="off",
+            value_columns=["v"])
+        state = incremental.compact_changes(parsed, value_columns=["v"]) \
+            .to_pandas().sort_values("key").reset_index(drop=True)
+        assert list(state["key"]) == ["1", "3", "4"]
+        assert list(state["v_v"]) == ["11", "30", "42"]
+        assert list(state["op"]) == ["u", "c", "c"]
+
+    def test_multi_table_streams_stay_separate(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            incremental,
+        )
+
+        evs = [
+            (0, _plain("a", "c", after={"id": "1", "v": "1"})),
+            (1, _plain("b", "c", after={"id": "1", "v": "2"})),
+            (2, _plain("a", "d", before={"id": "1", "v": "1"})),
+        ]
+        ds = rd.from_items([{"text": line, "off": off}
+                            for off, line in evs])
+        parsed = debezium.parse_change_events(
+            ds, key_columns={"a": ["id"], "b": ["id"]}, offset_col="off",
+            value_columns=["v"])
+        state = incremental.compact_changes(parsed, value_columns=["v"]) \
+            .to_pandas()
+        # table a's key 1 deleted; table b's SAME key value survives
+        assert list(state["table"]) == ["b"]
+        assert list(state["v_v"]) == ["2"]
+
+    def test_gate_query_matches_predicate(self, ray_session):
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        out = q.cdc_compaction_orders("/root/testdata/sf0.001")
+        import pyarrow.parquet as pq
+
+        orders = pq.read_table(
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_orderkey", "o_custkey"]).to_pandas()
+        keep = orders[orders["o_orderkey"] % 5 != 0].copy()
+        keep["key"] = keep["o_orderkey"].astype(str)
+        keep["o_custkey"] = keep["o_custkey"] + \
+            (keep["o_orderkey"] % 3 == 0) * 1000000
+        exp = keep[["key", "o_custkey"]].sort_values("key") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp)

@@ -442,3 +442,45 @@ def test_top_bigrams_boundary_masking(ray_session, tmp_path):
                 f"read_parquet('{d}/documents.parquet')")
     oracle = con.execute(q.TOP_BIGRAMS_BY_LANG_SQL).df()
     pd.testing.assert_frame_equal(out, oracle.astype({"n": "int64"}))
+
+
+class TestSurprisal:
+    """Unigram-LM surprisal scoring: integer bit-length formulation
+    (order-free sums) vs the DuckDB oracle and a from-first-principles
+    recomputation."""
+
+    def test_matches_oracle(self, ray_session, docs_path, con):
+        q = _q()
+        got = q.surprisal_documents(docs_path)
+        exp = con.execute(q.SURPRISAL_DOCUMENTS_SQL).df()
+        assert got.reset_index(drop=True).equals(
+            exp.astype(got.dtypes.to_dict()).reset_index(drop=True))
+
+    def test_formula_from_first_principles(self, ray_session, tmp_path):
+        import re
+        from collections import Counter
+
+        q = _q()
+        texts = ["the cat sat", "the the dog", "", None, "zebra"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), str(tmp_path / "documents.parquet"))
+
+        toks = {i: re.findall(r"[A-Za-z0-9_']+", (t or "").lower())
+                for i, t in enumerate(texts)}
+        tf = Counter(w for ws in toks.values() for w in ws)
+        n = sum(tf.values())
+        exp_rows = []
+        for i, ws in toks.items():
+            if not ws:
+                continue  # zero-token docs are absent on both engines
+            bits = sum(n.bit_length() - tf[w].bit_length() for w in ws)
+            exp_rows.append((i, len(ws), bits,
+                             (bits * 1000) // len(ws)))
+        got = q.surprisal_documents(str(tmp_path))
+        assert [tuple(r) for r in got.to_numpy()] == exp_rows
+        # sanity on the example: 'zebra' (tf=1) is the rarest token,
+        # so doc 4 has the highest mean surprisal
+        assert got.loc[got["doc_id"] == 4, "mean_millibits"].iloc[0] \
+            == got["mean_millibits"].max()
