@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_anomaly_events": q.volume_anomaly_events,
         "reconcile_orders_by_status": q.reconcile_orders_by_status,
         "cdc_compaction_orders": q.cdc_compaction_orders,
+        "cdc_state_verify_orders": q.cdc_state_verify_orders,
         "surprisal_documents": q.surprisal_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         # on the group key, same long verdict shape
         "reconcile_orders_by_status": q.RECONCILE_ORDERS_BY_STATUS_SQL,
         "cdc_compaction_orders": q.CDC_COMPACTION_ORDERS_SQL,
+        "cdc_state_verify_orders": q.CDC_STATE_VERIFY_ORDERS_SQL,
         "surprisal_documents": q.SURPRISAL_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm

@@ -2033,6 +2033,92 @@ ORDER BY key
 """
 
 
+def cdc_state_verify_orders(sf_dir: str) -> pd.DataFrame:
+    """Sinkless CDC verification capstone: does REPLAYING the change
+    log reproduce the source table? Compact the stream into the
+    materialized state (``incremental.compact_changes``), cast the
+    transport strings back to the source schema, and run the standard
+    Merkle digest compare against the source itself — no sink database
+    needed, the log IS the sink. This closes the loop the reference
+    leaves to the replication tool: its increment mode trusts the CDC
+    feed and re-extracts both databases; here the feed itself is the
+    verified artifact.
+
+    Injected transport faults (oracle = the fault predicates): every
+    key gets an insert with a STALE value then an update delivering
+    the true value, but the update for ``k % 11 == 0`` is LOST (stale
+    state -> 'update' diff) and a SPURIOUS delete arrives for
+    ``k % 13 == 0`` (missing key -> 'insert' diff, which wins when
+    both faults hit). Scale shape: compaction's bucketed keep-latest
+    fold feeds the streaming digest compare directly — the raw JSON
+    never moves past the parser, and clean partitions Merkle-prune as
+    usual."""
+    import json as _json
+
+    from ..sources import debezium
+    from . import incremental
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        ks = batch.column("o_orderkey").to_numpy()
+        cs = batch.column("o_custkey").to_numpy()
+        lines: list[str] = []
+        offs: list[int] = []
+        src = {"table": "orders", "ts_ms": 1675319298000}
+        for k, c in zip(ks.tolist(), cs.tolist()):
+            lines.append(_json.dumps({"payload": {
+                "before": None,
+                "after": {"o_orderkey": str(k), "o_custkey": str(c - 1)},
+                "source": src, "op": "c", "ts_ms": 1675319299000}}))
+            offs.append(3 * k)
+            if k % 11 != 0:  # the true-value update; LOST for k%11==0
+                lines.append(_json.dumps({"payload": {
+                    "before": None,
+                    "after": {"o_orderkey": str(k), "o_custkey": str(c)},
+                    "source": src, "op": "u", "ts_ms": 1675319299100}}))
+                offs.append(3 * k + 1)
+            if k % 13 == 0:  # spurious delete
+                lines.append(_json.dumps({"payload": {
+                    "before": {"o_orderkey": str(k), "o_custkey": str(c)},
+                    "after": None, "source": src, "op": "d",
+                    "ts_ms": 1675319299200}}))
+                offs.append(3 * k + 2)
+        return pa.table({"text": pa.array(lines, pa.large_string()),
+                         "off": pa.array(offs, pa.int64())})
+
+    parsed = debezium.parse_change_events(
+        ds.map_batches(to_events, batch_format="pyarrow"),
+        key_columns={"orders": ["o_orderkey"]},
+        offset_col="off", value_columns=["o_custkey"])
+    state = incremental.compact_changes(parsed,
+                                        value_columns=["o_custkey"])
+
+    def to_schema(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("key"), pa.int64()),
+            "o_custkey": pc.cast(b.column("v_o_custkey"), pa.int64())})
+
+    sink = state.map_batches(to_schema, batch_format="pyarrow")
+    n = _num_rows(sf_dir, "orders")
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=64)
+    res = cmp.compare_tables(ds, sink, cfg, table="orders")
+    v = res.violations[["key", "kind"]].sort_values(["key", "kind"])
+    return v.reset_index(drop=True)
+
+
+CDC_STATE_VERIFY_ORDERS_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'insert'
+            ELSE 'update' END AS kind
+FROM orders
+WHERE o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+ORDER BY key, kind
+"""
+
+
 def incremental_recheck_orders(sf_dir: str) -> pd.DataFrame:
     """Incremental (changed-key) verification: CDC batch = every 500th
     order key; re-extract both sides filtered to those keys and

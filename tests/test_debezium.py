@@ -491,3 +491,22 @@ class TestCompaction:
         exp = keep[["key", "o_custkey"]].sort_values("key") \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(out, exp)
+
+    def test_state_verify_classifies_transport_faults(self, ray_session):
+        """Sinkless CDC verification: lost updates surface as 'update'
+        diffs, spurious deletes as 'insert' diffs, everything else
+        Merkle-prunes clean."""
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+
+        out = q.cdc_state_verify_orders("/root/testdata/sf0.001")
+        import pyarrow.parquet as pq
+
+        keys = pq.read_table(
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_orderkey"]).column("o_orderkey").to_pylist()
+        exp = sorted(
+            (str(k), "insert" if k % 13 == 0 else "update")
+            for k in keys if k % 11 == 0 or k % 13 == 0)
+        assert [tuple(r) for r in out.to_numpy()] == exp
