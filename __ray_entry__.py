@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compaction_orders": q.cdc_compaction_orders,
         "cdc_state_verify_orders": q.cdc_state_verify_orders,
         "surprisal_documents": q.surprisal_documents,
+        "rules_fd_documents": q.rules_fd_documents,
+        "monotonic_audit_events": q.monotonic_audit_events,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -290,6 +292,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_compaction_orders": q.CDC_COMPACTION_ORDERS_SQL,
         "cdc_state_verify_orders": q.CDC_STATE_VERIFY_ORDERS_SQL,
         "surprisal_documents": q.SURPRISAL_DOCUMENTS_SQL,
+        # FD rules: SQL generated from the same Rule objects
+        # (GROUP BY det HAVING count(DISTINCT dep) > 1)
+        "rules_fd_documents": q.RULES_FD_DOCUMENTS_SQL,
+        # running-max window audit; deterministic (ts, event_id) order
+        "monotonic_audit_events": q.MONOTONIC_AUDIT_EVENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

@@ -98,6 +98,78 @@ def uniqueness_violations(ds, key_columns: list[str],
         reduce, batch_format="pandas").select_columns(cols + ["n"])
 
 
+def fd_violating_groups(ds, determinant, dependent: str,
+                        num_buckets: int = 64,
+                        batch_size: int | None = None) -> int:
+    """EXACT count of determinant groups violating the functional
+    dependency ``determinant -> dependent`` (the FD constraint every
+    profiling engine ships; the reference assumes its PK -> row FD by
+    construction — `extract/util/HashHandler.java:37-97` keys every
+    row digest by the PK — this is that assumption made checkable for
+    arbitrary column pairs).
+
+    A group violates when its (all-non-null) determinant value maps
+    to MORE than one distinct non-null dependent value — SQL
+    ``GROUP BY det HAVING count(DISTINCT dep) > 1`` with an explicit
+    ``det IS NOT NULL`` filter (both engines state the null handling,
+    so parity is by construction; dep nulls are skipped like SQL
+    COUNT DISTINCT).
+
+    Shuffle shape: each block dedupes its (det..., dep) pairs in one
+    Arrow group_by (the combiner) and tags them with
+    ``hash(det) % num_buckets``, so ONE bucketed groupby co-locates
+    each determinant's pairs; the in-bucket reduce counts distinct
+    deps per det vectorized and emits ONE integer row per bucket —
+    the driver folds ``num_buckets`` tiny rows. The shuffle moves one
+    row per distinct pair per block, bounded by pair cardinality,
+    never row count. Skew note: a determinant with a huge distinct-
+    dependent cardinality concentrates in one bucket (same envelope
+    as ``uniqueness_violations``); values compare via their canonical
+    Arrow string cast (distinct-preserving for integer/string/bool
+    columns — for float dependents prefer range/stddev rules, the
+    ``scoped_distinct_counts`` caveat)."""
+    from ..functions import hashing
+
+    det = [determinant] if isinstance(determinant, str) \
+        else list(determinant)
+    pair_cols = det + [dependent]
+
+    def _canon(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        if pa.types.is_large_string(col.type):
+            return col
+        return col.cast(pa.string()).cast(pa.large_string())
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        sub = batch.select(pair_cols)
+        m = pc.is_valid(sub.column(pair_cols[0]))
+        for c in pair_cols[1:]:
+            m = pc.and_(m, pc.is_valid(sub.column(c)))
+        sub = sub.filter(m)
+        if any(pa.types.is_null(sub.column(c).type) for c in pair_cols):
+            sub = sub.slice(0, 0)  # all-null column: no checkable pair
+        sub = pa.table({c: _canon(sub.column(c)) for c in pair_cols})
+        gb = sub.group_by(pair_cols).aggregate([])  # block pair dedup
+        kh = hashing.hash64(gb.column(det[0]))
+        for c in det[1:]:
+            kh = kh ^ hashing.hash64(gb.column(c))
+        return gb.append_column(
+            "fbucket",
+            pa.array((kh % np.uint64(num_buckets)).astype(np.int32)))
+
+    partials = ds.map_batches(partial_pairs, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(pair_cols)  # global pair dedup
+        nv = int((pairs.groupby(det, sort=False)[dependent]
+                  .nunique() > 1).sum())
+        return pd.DataFrame({"n_viol": [np.int64(nv)]})
+
+    out = partials.groupby("fbucket").map_groups(
+        reduce, batch_format="pandas").to_pandas()
+    return int(out["n_viol"].sum()) if len(out) else 0
+
+
 def exact_distinct_counts(ds, cols: list[str], num_buckets: int = 64,
                           batch_size: int | None = None) -> dict[str, int]:
     """EXACT count-distinct for SEVERAL columns in ONE pass: per batch,

@@ -2577,6 +2577,79 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def monotonic_audit_events(sf_dir: str) -> pd.DataFrame:
+    """Monotonicity audit per user: count events whose ``value``
+    REGRESSES below the running maximum of any earlier event, ordered
+    by (ts, event_id) — a deterministic total order since event_id is
+    unique. This is the "monotonic counter" constraint (cumulative
+    metrics, version columns, log offsets must not decrease): the
+    reference's incremental path assumes exactly this of its change
+    stream (Kafka offsets consumed in commit order; our
+    ``sources/debezium.py`` keep-latest-by-offset compaction makes
+    the same assumption) — here the assumption becomes a checkable
+    per-key audit, one row per user with the event and regression
+    counts.
+
+    Partitioning: one user per group (hash-partitioned by user_id,
+    the sessionization envelope); the in-group kernel is pure numpy —
+    lexsort + running max + one comparison, ~3 arrays of the group.
+    Null user_id/ts/event_id rows and null/non-finite values are
+    excluded on BOTH engines (stated; DuckDB orders NaN above every
+    double where numpy comparisons return False, so non-finite
+    values cannot be allowed to reach the running max)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def drop_bad(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch.column("user_id")),
+                            pc.is_valid(batch.column("ts"))),
+                    pc.is_valid(batch.column("event_id")))
+        m = pc.and_(m, pc.fill_null(
+            pc.is_finite(batch.column("value")), False))
+        return batch.filter(m)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((g["event_id"].to_numpy(), us))
+        v = g["value"].to_numpy()[order]
+        n_reg = int(np.count_nonzero(
+            v[1:] < np.maximum.accumulate(v)[:-1]))
+        if n_reg == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_regressions": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_events": [np.int64(len(v))],
+            "n_regressions": [np.int64(n_reg)]})
+
+    out = ds.map_batches(drop_bad, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(audit, batch_format="pandas")
+    return _with_schema(out, ["user_id", "n_events", "n_regressions"],
+                        {"user_id": np.int64, "n_events": np.int64,
+                         "n_regressions": np.int64})
+
+
+MONOTONIC_AUDIT_EVENTS_SQL = """
+WITH o AS (
+    SELECT user_id, value,
+           max(value) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_id IS NOT NULL
+      AND value IS NOT NULL AND isfinite(value)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value < prev_max THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_regressions
+FROM o GROUP BY user_id
+HAVING sum(CASE WHEN value < prev_max THEN 1 ELSE 0 END) > 0
+"""
+
+
 def lineitem_rollup(sf_dir: str):
     """TPC-H Q1-style pricing rollup (computed column + multi-agg
     groupby). Quantities are integral doubles in this data, so the sum
@@ -4223,6 +4296,42 @@ def rules_aggregate_v3_documents(sf_dir: str) -> pd.DataFrame:
 
 RULES_AGGREGATE_V3_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_AGG_V3_RULES, partition_col="lang")
+
+
+# functional-dependency constraints (round-5 fourth wave): "does A
+# determine B" — the FD assumption the reference bakes in (every row
+# digest is keyed by the PK, `extract/util/HashHandler.java:37-97`)
+# made checkable for arbitrary column pairs. doc_id -> lang HOLDS
+# (doc_id is the PK); source -> lang and (source, lang) -> n_chars
+# are heavily violated in the corpus, so both verdicts exercise.
+GATE_DOC_FD_RULES = [
+    rulesmod.Rule("functional_dependency", "doc_id",
+                  {"determines": "lang"}),
+    rulesmod.Rule("functional_dependency", "source",
+                  {"determines": "lang"}),
+    rulesmod.Rule("functional_dependency", ("source", "lang"),
+                  {"determines": "n_chars"}),
+    rulesmod.Rule("not_null", "lang"),  # row-local rides its own scan
+]
+
+
+def rules_fd_documents(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency constraint verdicts over documents: each
+    FD rule counts the determinant groups mapping to >1 distinct
+    dependent value via ONE bucketed distinct-pair shuffle
+    (``checks.fd_violating_groups`` — per-block pair dedup is the
+    combiner, pairs bucket by hash(determinant) so one determinant's
+    pairs co-locate, each bucket emits ONE integer row). doc_id->lang
+    passes (doc_id is the PK), source->lang and
+    (source,lang)->n_chars fail. 4 verdict rows at any corpus size."""
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "lang", "n_chars"])
+    return rulesmod.evaluate_rules(ds, GATE_DOC_FD_RULES,
+                                   partition_col=None)
+
+
+RULES_FD_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_DOC_FD_RULES, partition_col=None)
 
 
 def rule_violations_events(sf_dir: str) -> pd.DataFrame:

@@ -59,7 +59,13 @@ import pyarrow.compute as pc
 NULL_SCOPE = "<null>"  # partition-key nulls; '' is the table-level scope
 
 _ROW_LOCAL = ("not_null", "in_set", "range", "regex", "compare_cols")
-_CROSS_ROW = ("unique", "foreign_key")
+# functional_dependency: column = determinant (str or tuple), params
+# {"determines": dep_col}; violation count = number of determinant
+# groups mapping to >1 distinct non-null dependent value (SQL GROUP BY
+# det HAVING count(DISTINCT dep) > 1 with det IS NOT NULL stated on
+# both engines) — one bucketed distinct-pair shuffle per rule via
+# checks.fd_violating_groups
+_CROSS_ROW = ("unique", "foreign_key", "functional_dependency")
 # aggregate-class rules: per-scope constraints over the SAME one-pass
 # partials the row-local rules ride (the reference's table-level
 # precondition checks generalized — row counts / structure gates in
@@ -181,6 +187,21 @@ class Rule:
             raise ValueError("in_set rule needs a non-empty values list")
         if self.kind == "regex" and not self.params.get("pattern"):
             raise ValueError("regex rule needs a pattern")
+        if self.kind == "functional_dependency":
+            dep = self.params.get("determines")
+            if not isinstance(dep, str) or not dep:
+                raise ValueError(
+                    "functional_dependency needs params['determines'] "
+                    "(the dependent column name)")
+            det = (self.column,) if isinstance(self.column, str) \
+                else tuple(self.column or ())
+            if not det:
+                raise ValueError("functional_dependency needs a "
+                                 "determinant column (or tuple)")
+            if dep in det:
+                raise ValueError("functional_dependency: the dependent "
+                                 "column cannot be part of the "
+                                 "determinant (trivially holds)")
         if self.kind == "compare_cols":
             if not self.params.get("right"):
                 raise ValueError("compare_cols needs a right column")
@@ -203,6 +224,8 @@ class Rule:
             return f"compare({lhs}{op}{rhs})"
         col = (",".join(self.column) if isinstance(self.column, tuple)
                else (self.column or ""))
+        if self.kind == "functional_dependency":
+            return f"fd({col}->{self.params['determines']})"
         if self.kind == "quantile":
             # the q is part of the identity: p50 and p90 rules on one
             # column must not collide into a #2 suffix
@@ -218,6 +241,8 @@ class Rule:
             else {self.column}
         if self.kind == "compare_cols":
             cols.add(self.params["right"])
+        if self.kind == "functional_dependency":
+            cols.add(self.params["determines"])
         return cols
 
     def violation_mask_batch(self, batch: pa.Table) -> pa.Array:
@@ -689,6 +714,10 @@ def evaluate_rules(ds, rules: list[Rule],
                 viol = checks.uniqueness_violations(ds, key_cols)
                 vdf = viol.to_pandas()  # one row per duplicated key
                 nv = int(vdf["n"].sum()) if len(vdf) else 0
+            elif rule.kind == "functional_dependency":
+                nv = checks.fd_violating_groups(
+                    ds, rule.column, rule.params["determines"],
+                    batch_size=batch_size)
             else:  # foreign_key
                 nv = checks.referential_violations(
                     ds, rule.column, rule.params["parent"],
@@ -818,6 +847,23 @@ SELECT '' AS scope, '{rid}' AS rule_id,
        CAST({dup} AS BIGINT) AS n_violations,
        CAST(CASE WHEN {dup} = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS passed""")
+        elif r.kind == "functional_dependency":
+            det = (list(r.column) if isinstance(r.column, tuple)
+                   else [r.column])
+            dep = r.params["determines"]
+            notnull = " AND ".join(f"{c} IS NOT NULL" for c in det)
+            # dep nulls are skipped by count(DISTINCT) itself; the
+            # determinant null filter is stated (the engine drops
+            # null-det rows — a NULL never determines anything)
+            fdv = (f"(SELECT count(*) FROM (SELECT 1 FROM {table} "
+                   f"WHERE {notnull} GROUP BY {', '.join(det)} "
+                   f"HAVING count(DISTINCT {dep}) > 1))")
+            selects.append(f"""
+SELECT '' AS scope, '{rid}' AS rule_id,
+       CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
+       CAST({fdv} AS BIGINT) AS n_violations,
+       CAST(CASE WHEN {fdv} = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS passed""")
         else:  # foreign_key
             ptab, pkey = (fk_tables or {})[rid]
             dangling = (f"(SELECT count(*) FROM {table} ch WHERE "
@@ -852,7 +898,8 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
             raise ValueError(
                 f"rule spec entry {e!r}: 'column' is required for "
                 f"kind {kind!r}")
-        if kind == "unique" and isinstance(col, list):
+        if kind in ("unique", "functional_dependency") \
+                and isinstance(col, list):
             col = tuple(col)
         if kind == "in_set":
             params = {"values": e["values"]}
@@ -864,6 +911,8 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
             params = {"lo": e.get("lo"), "hi": e.get("hi")}
         elif kind == "regex":
             params = {"pattern": e["pattern"]}
+        elif kind == "functional_dependency":
+            params = {"determines": e["determines"]}
         elif kind == "compare_cols":
             params = {"right": e["right"], "op": e.get("op", "=="),
                       "left_fn": e.get("left_fn"),

@@ -182,3 +182,68 @@ class TestSessionization:
         # user 1: [0,10] [2000,2010] [5000]; user 2: [0] [4000]
         assert list(out["user_id"]) == [1, 1, 1, 2, 2]
         assert list(out["n_events"]) == [2, 2, 1, 1, 1]
+
+
+class TestMonotonicAudit:
+    def test_known_regressions_and_nan_exclusion(self, ray_session,
+                                                 tmp_path):
+        """user 1: values 5, 3, 7, 6 in ts order -> regressions at 3
+        and 6; user 2 monotone -> no row; NaN / null values and a
+        null-ts row are excluded on both engines."""
+        import duckdb
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2, 2, 1, 1, 2],
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00", "2024-01-01 00:01",
+                "2024-01-01 00:02", "2024-01-01 00:03",
+                "2024-01-01 00:00", "2024-01-01 00:05",
+                "2024-01-01 00:04", None, "2024-01-01 00:06"]),
+            "event_id": [10, 11, 12, 13, 20, 21, 14, 15, 22],
+            "value": [5.0, 3.0, 7.0, 6.0, 1.0, 2.0,
+                      float("nan"), 0.0, None],
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+        out = q.monotonic_audit_events(str(sf)) \
+            .sort_values("user_id").reset_index(drop=True)
+        assert out.to_dict("records") == [
+            {"user_id": 1, "n_events": 4, "n_regressions": 2}]
+        con = duckdb.connect()
+        con.register("events", df)
+        oracle = con.execute(q.MONOTONIC_AUDIT_EVENTS_SQL).df() \
+            .sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out.astype({"n_events": "int64",
+                        "n_regressions": "int64"}),
+            oracle.astype({"n_events": "int64",
+                           "n_regressions": "int64"}))
+
+    def test_tie_order_deterministic(self, ray_session, tmp_path):
+        """Equal timestamps order by event_id on both engines, so a
+        regression hidden inside a tie is counted identically."""
+        import duckdb
+
+        df = pd.DataFrame({
+            "user_id": [7, 7, 7],
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "event_id": [3, 1, 2],
+            "value": [0.5, 9.0, 1.0],  # by event_id: 9.0, 1.0, 0.5
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "events.parquet")
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+        out = q.monotonic_audit_events(str(sf))
+        assert out.to_dict("records") == [
+            {"user_id": 7, "n_events": 3, "n_regressions": 2}]
+        con = duckdb.connect()
+        con.register("events", df)
+        oracle = con.execute(q.MONOTONIC_AUDIT_EVENTS_SQL).df()
+        assert int(oracle.loc[0, "n_regressions"]) == 2

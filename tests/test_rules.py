@@ -1050,3 +1050,100 @@ def test_quantile_rule_fuzz_parity(ray_session_holder, vals, q, lo, hi,
                      for c in ("n_rows", "n_violations", "passed")}) \
             .sort_values(["scope", "rule_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(rep, oracle)
+
+
+# ---------------------------------------------------------------------------
+# functional_dependency rule kind (round-5 fourth wave)
+# ---------------------------------------------------------------------------
+
+
+def test_fd_rule_construction():
+    with pytest.raises(ValueError):
+        R.Rule("functional_dependency", "a", {})  # no determines
+    with pytest.raises(ValueError):
+        R.Rule("functional_dependency", "a", {"determines": "a"})
+    with pytest.raises(ValueError):
+        R.Rule("functional_dependency", ("a", "b"), {"determines": "b"})
+    r = R.Rule("functional_dependency", ("a", "b"), {"determines": "c"})
+    assert r.rule_id == "fd(a,b->c)"
+    assert r.input_columns == {"a", "b", "c"}
+    specd = R.rules_from_spec(
+        [{"kind": "functional_dependency", "column": ["a", "b"],
+          "determines": "c"}])
+    assert specd[0].column == ("a", "b")
+    assert specd[0].params["determines"] == "c"
+
+
+def test_fd_rule_semantics(ray_session):
+    """Known violations: a=1 -> {x, y} violates; a=2 -> {x} holds;
+    null determinant rows and null dependents are skipped (a=3 maps
+    only to nulls -> no checkable pair -> holds vacuously)."""
+    df = pd.DataFrame({
+        "a": pd.array([1, 1, 1, 2, 2, None, 3], dtype="Int64"),
+        "b": ["x", "y", "x", "x", "x", "y", None],
+    })
+    rule = R.Rule("functional_dependency", "a", {"determines": "b"})
+    rep = R.evaluate_rules(rd.from_pandas(df), [rule])
+    assert rep.loc[0, "n_violations"] == 1
+    assert rep.loc[0, "passed"] == 0
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute(R.rules_report_sql("t", [rule])).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_fd_composite_determinant(ray_session):
+    """Composite determinant: (a, g) -> b. Pairs (1, 'p') -> {x, y}
+    violate; the lone-null-part rows drop out."""
+    df = pd.DataFrame({
+        "a": pd.array([1, 1, 1, 2, None], dtype="Int64"),
+        "g": ["p", "p", "q", "p", "p"],
+        "b": ["x", "y", "x", "x", "x"],
+    })
+    rule = R.Rule("functional_dependency", ("a", "g"),
+                  {"determines": "b"})
+    rep = R.evaluate_rules(rd.from_pandas(df), [rule])
+    assert rep.loc[0, "n_violations"] == 1
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute(R.rules_report_sql("t", [rule])).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       deps=st.data(), grp_null=st.booleans())
+def test_fd_rule_fuzz_parity(ray_session_holder, vals, deps, grp_null):
+    """Hypothesis: FD verdicts match the GROUP BY/HAVING oracle over
+    adversarial null/dup-heavy tables, single and composite
+    determinants, fused alongside a row-local rule."""
+    n = len(vals)
+    dep_list = deps.draw(st.lists(_tag, min_size=n, max_size=n))
+    grp = ["g1" if i % 3 else ("g2" if not grp_null else None)
+           for i in range(n)]
+    df = pd.DataFrame({
+        "grp": grp,
+        "val": pd.array(vals, dtype="Int64"),
+        "tag": dep_list,
+    })
+    ruleset = [
+        R.Rule("functional_dependency", "val", {"determines": "tag"}),
+        R.Rule("functional_dependency", ("grp", "val"),
+               {"determines": "tag"}),
+        R.Rule("not_null", "tag"),
+    ]
+    con = duckdb.connect()
+    con.register("t", df)
+    rep = R.evaluate_rules(rd.from_pandas(df), ruleset)
+    oracle = con.execute(R.rules_report_sql("t", ruleset)).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
