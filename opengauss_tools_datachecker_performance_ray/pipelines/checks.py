@@ -100,7 +100,8 @@ def uniqueness_violations(ds, key_columns: list[str],
 
 def fd_violating_groups(ds, determinant, dependent: str,
                         num_buckets: int = 64,
-                        batch_size: int | None = None) -> int:
+                        batch_size: int | None = None,
+                        evidence_rows: bool = False):
     """EXACT count of determinant groups violating the functional
     dependency ``determinant -> dependent`` (the FD constraint every
     profiling engine ships; the reference assumes its PK -> row FD by
@@ -127,7 +128,13 @@ def fd_violating_groups(ds, determinant, dependent: str,
     as ``uniqueness_violations``); values compare via their canonical
     Arrow string cast (distinct-preserving for integer/string/bool
     columns — for float dependents prefer range/stddev rules, the
-    ``scoped_distinct_counts`` caveat)."""
+    ``scoped_distinct_counts`` caveat).
+
+    Returns the violating-group count (int); with
+    ``evidence_rows=True`` returns instead a Dataset of one
+    (det..., n_dep) row per violating determinant group — the
+    violation evidence, SQL ``GROUP BY det HAVING
+    count(DISTINCT dep) > 1`` verbatim."""
     from ..functions import hashing
 
     det = [determinant] if isinstance(determinant, str) \
@@ -165,8 +172,24 @@ def fd_violating_groups(ds, determinant, dependent: str,
                   .nunique() > 1).sum())
         return pd.DataFrame({"n_viol": [np.int64(nv)]})
 
-    out = partials.groupby("fbucket").map_groups(
-        reduce, batch_format="pandas").to_pandas()
+    def evidence(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.drop_duplicates(pair_cols)
+        nun = (pairs.groupby(det, sort=False)[dependent]
+               .nunique().reset_index(name="n_dep"))
+        nun = nun[nun["n_dep"] > 1]
+        nun["n_dep"] = nun["n_dep"].astype(np.int64)
+        return nun
+
+    grouped = partials.groupby("fbucket")
+    if evidence_rows:
+        # one row per VIOLATING determinant group with its distinct-
+        # dependent cardinality — the engine's ``Difference`` analog
+        # for FD verdicts (which groups break the dependency, not
+        # just how many); determinant values come back as their
+        # canonical string cast
+        return grouped.map_groups(evidence, batch_format="pandas") \
+            .select_columns(det + ["n_dep"])
+    out = grouped.map_groups(reduce, batch_format="pandas").to_pandas()
     return int(out["n_viol"].sum()) if len(out) else 0
 
 

@@ -4334,6 +4334,31 @@ RULES_FD_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_FD_RULES, partition_col=None)
 
 
+def fd_violations_documents(sf_dir: str) -> pd.DataFrame:
+    """FD violation EVIDENCE rows (which groups break the dependency,
+    not just how many — the engine's ``Difference`` analog for FD
+    verdicts): every source whose documents span more than one
+    language, with the distinct-language count. Same bucketed
+    distinct-pair shuffle as the verdict
+    (``checks.fd_violating_groups(evidence_rows=True)``)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    out = checks.fd_violating_groups(ds, "source", "lang",
+                                     evidence_rows=True)
+    df = _with_schema(out, ["source", "n_dep"],
+                      {"source": object, "n_dep": np.int64})
+    return df.sort_values("source").reset_index(drop=True)
+
+
+FD_VIOLATIONS_DOCUMENTS_SQL = """
+SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_dep
+FROM documents
+WHERE source IS NOT NULL
+GROUP BY source
+HAVING count(DISTINCT lang) > 1
+ORDER BY source
+"""
+
+
 def rule_violations_events(sf_dir: str) -> pd.DataFrame:
     """Violation-row emission for one declared rule (the engine's
     `Difference` analog): events whose value falls outside the declared

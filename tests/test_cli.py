@@ -579,3 +579,29 @@ def test_reconcile_cli_pruned_columns(ray_session, tmp_path, capsys):
     assert rc == 0
     # n_rows + k(nulls,sum,min,max) + v(nulls,min,max) — w never read
     assert out["metrics"] == 8
+
+
+class TestRulesFdSpec:
+    def test_fd_kind_via_spec(self, ray_session, tmp_path, capsys):
+        """The functional_dependency kind flows through the JSON spec
+        + CLI unchanged, composite determinant as a list."""
+        t = pa.table({
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "g": ["p", "p", "q", "q"],
+            "b": ["x", "y", "z", "z"],
+        })
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"rules": [
+            {"kind": "functional_dependency", "column": "a",
+             "determines": "b"},
+            {"kind": "functional_dependency", "column": ["a", "g"],
+             "determines": "b"},
+        ]}))
+        rc = main(["rules", "--input", str(inp), "--spec", str(sp)])
+        out = json.loads(capsys.readouterr().out.strip())
+        # a=1 -> {x, y} violates both; (a,g)=(1,p) likewise
+        assert rc == 1 and out["result"] == "failed"
+        assert sorted(out["failed_rules"]) == [
+            "fd(a,g->b)", "fd(a->b)"]

@@ -1147,3 +1147,20 @@ def test_fd_rule_fuzz_parity(ray_session_holder, vals, deps, grp_null):
                  for c in ("n_rows", "n_violations", "passed")}) \
         .sort_values(["scope", "rule_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_fd_evidence_rows(ray_session):
+    """evidence_rows=True returns one (det..., n_dep) row per
+    violating group, matching the verdict count; determinant values
+    come back as canonical strings."""
+    from opengauss_tools_datachecker_performance_ray.pipelines import checks
+
+    df = pd.DataFrame({
+        "a": pd.array([1, 1, 1, 2, 2, 3], dtype="Int64"),
+        "b": ["x", "y", "z", "x", "x", None],
+    })
+    ds = rd.from_pandas(df)
+    ev = checks.fd_violating_groups(ds, "a", "b", evidence_rows=True) \
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    assert ev.to_dict("records") == [{"a": "1", "n_dep": 3}]
+    assert checks.fd_violating_groups(ds, "a", "b") == len(ev)
