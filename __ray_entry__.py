@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position 51+: outside the driver's 50-row window (judge
         # replay + pytest + check_oracle cover it)
         "fd_violations_documents": q.fd_violations_documents,
+        "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -302,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "monotonic_audit_events": q.MONOTONIC_AUDIT_EVENTS_SQL,
         # FD evidence rows: GROUP BY det HAVING count(DISTINCT dep)>1
         "fd_violations_documents": q.FD_VIOLATIONS_DOCUMENTS_SQL,
+        # scoped FD: per-(lang, rule) verdicts, LEFT-JOIN-coalesced
+        "rules_fd_by_lang_documents": q.RULES_FD_BY_LANG_DOCUMENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

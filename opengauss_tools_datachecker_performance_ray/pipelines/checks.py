@@ -101,7 +101,9 @@ def uniqueness_violations(ds, key_columns: list[str],
 def fd_violating_groups(ds, determinant, dependent: str,
                         num_buckets: int = 64,
                         batch_size: int | None = None,
-                        evidence_rows: bool = False):
+                        evidence_rows: bool = False,
+                        scope_col: str | None = None,
+                        null_scope: str = "<null>"):
     """EXACT count of determinant groups violating the functional
     dependency ``determinant -> dependent`` (the FD constraint every
     profiling engine ships; the reference assumes its PK -> row FD by
@@ -134,12 +136,25 @@ def fd_violating_groups(ds, determinant, dependent: str,
     ``evidence_rows=True`` returns instead a Dataset of one
     (det..., n_dep) row per violating determinant group — the
     violation evidence, SQL ``GROUP BY det HAVING
-    count(DISTINCT dep) > 1`` verbatim."""
+    count(DISTINCT dep) > 1`` verbatim.
+
+    With ``scope_col`` the dependency is evaluated WITHIN each scope
+    (determinant groups are (scope, det) — the per-partition verdict
+    shape of the north rule): the scalar form returns
+    ``{scope: n_violating_groups}`` (scopes with zero violations
+    absent), the evidence form adds a ``scope`` column. Scope nulls
+    map to ``null_scope`` and are kept (a partition key of NULL is a
+    partition, matching the rule report's convention); determinant /
+    dependent null handling is unchanged."""
     from ..functions import hashing
 
     det = [determinant] if isinstance(determinant, str) \
         else list(determinant)
     pair_cols = det + [dependent]
+    if scope_col and "scope" in pair_cols:
+        raise ValueError("scoped FD reserves the column name 'scope'")
+    grp_cols = (["scope"] if scope_col else []) + det
+    all_cols = grp_cols + [dependent]
 
     def _canon(col: pa.ChunkedArray) -> pa.ChunkedArray:
         if pa.types.is_large_string(col.type):
@@ -147,17 +162,25 @@ def fd_violating_groups(ds, determinant, dependent: str,
         return col.cast(pa.string()).cast(pa.large_string())
 
     def partial_pairs(batch: pa.Table) -> pa.Table:
-        sub = batch.select(pair_cols)
+        sel = list(pair_cols)
+        if scope_col and scope_col not in sel:
+            sel.append(scope_col)  # scope may also be a det column
+        sub = batch.select(sel)
         m = pc.is_valid(sub.column(pair_cols[0]))
         for c in pair_cols[1:]:
             m = pc.and_(m, pc.is_valid(sub.column(c)))
         sub = sub.filter(m)
         if any(pa.types.is_null(sub.column(c).type) for c in pair_cols):
             sub = sub.slice(0, 0)  # all-null column: no checkable pair
-        sub = pa.table({c: _canon(sub.column(c)) for c in pair_cols})
-        gb = sub.group_by(pair_cols).aggregate([])  # block pair dedup
-        kh = hashing.hash64(gb.column(det[0]))
-        for c in det[1:]:
+        cols = {}
+        if scope_col:
+            cols["scope"] = pc.fill_null(
+                _canon(sub.column(scope_col)), null_scope)
+        cols.update({c: _canon(sub.column(c)) for c in pair_cols})
+        sub = pa.table(cols)
+        gb = sub.group_by(all_cols).aggregate([])  # block pair dedup
+        kh = hashing.hash64(gb.column(grp_cols[0]))
+        for c in grp_cols[1:]:
             kh = kh ^ hashing.hash64(gb.column(c))
         return gb.append_column(
             "fbucket",
@@ -167,14 +190,20 @@ def fd_violating_groups(ds, determinant, dependent: str,
                               batch_size=batch_size)
 
     def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = g.drop_duplicates(pair_cols)  # global pair dedup
-        nv = int((pairs.groupby(det, sort=False)[dependent]
-                  .nunique() > 1).sum())
-        return pd.DataFrame({"n_viol": [np.int64(nv)]})
+        pairs = g.drop_duplicates(all_cols)  # global pair dedup
+        nun = (pairs.groupby(grp_cols, sort=False)[dependent]
+               .nunique().reset_index(name="n_dep"))
+        bad = nun[nun["n_dep"] > 1]
+        if not scope_col:
+            return pd.DataFrame({"n_viol": [np.int64(len(bad))]})
+        per = bad.groupby("scope", sort=False).size() \
+            .reset_index(name="n_viol")
+        per["n_viol"] = per["n_viol"].astype(np.int64)
+        return per
 
     def evidence(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = g.drop_duplicates(pair_cols)
-        nun = (pairs.groupby(det, sort=False)[dependent]
+        pairs = g.drop_duplicates(all_cols)
+        nun = (pairs.groupby(grp_cols, sort=False)[dependent]
                .nunique().reset_index(name="n_dep"))
         nun = nun[nun["n_dep"] > 1]
         nun["n_dep"] = nun["n_dep"].astype(np.int64)
@@ -188,8 +217,13 @@ def fd_violating_groups(ds, determinant, dependent: str,
         # just how many); determinant values come back as their
         # canonical string cast
         return grouped.map_groups(evidence, batch_format="pandas") \
-            .select_columns(det + ["n_dep"])
+            .select_columns(grp_cols + ["n_dep"])
     out = grouped.map_groups(reduce, batch_format="pandas").to_pandas()
+    if scope_col:
+        if not len(out):
+            return {}
+        return {s: int(v) for s, v in
+                out.groupby("scope")["n_viol"].sum().items()}
     return int(out["n_viol"].sum()) if len(out) else 0
 
 

@@ -4334,6 +4334,33 @@ RULES_FD_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_FD_RULES, partition_col=None)
 
 
+GATE_DOC_FD_BY_LANG_RULES = [
+    rulesmod.Rule("functional_dependency", "doc_id",
+                  {"determines": "source"}),  # PK: holds per lang
+    rulesmod.Rule("functional_dependency", "source",
+                  {"determines": "n_chars"}),  # fails per lang
+    rulesmod.Rule("row_count", None, {"lo": 50}),
+]
+
+
+def rules_fd_by_lang_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-partition FD verdicts (the north rule's per-partition
+    pass/fail shape applied to dependencies): each FD is evaluated
+    WITHIN each language — (lang, det) groups through the same
+    bucketed distinct-pair shuffle, one verdict row per (lang, rule).
+    doc_id->source holds in every scope; source->n_chars fails in
+    every scope; the row_count rule rides the shared partials scan
+    that also supplies the per-scope row counts."""
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "lang", "n_chars"])
+    return rulesmod.evaluate_rules(ds, GATE_DOC_FD_BY_LANG_RULES,
+                                   partition_col="lang")
+
+
+RULES_FD_BY_LANG_DOCUMENTS_SQL = rulesmod.rules_report_sql(
+    "documents", GATE_DOC_FD_BY_LANG_RULES, partition_col="lang")
+
+
 def fd_violations_documents(sf_dir: str) -> pd.DataFrame:
     """FD violation EVIDENCE rows (which groups break the dependency,
     not just how many — the engine's ``Difference`` analog for FD

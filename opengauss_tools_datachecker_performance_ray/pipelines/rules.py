@@ -704,6 +704,26 @@ def evaluate_rules(ds, rules: list[Rule],
             quantile_vals=quantile_vals))
 
     if cross:
+        # scoped FD rows need per-scope row counts: reuse the merged
+        # partials when a fused scan already ran, else run the
+        # minimal partials pass (scope + n_rows only)
+        scope_counts: dict | None = None
+        if partition_col is not None and any(
+                r.kind == "functional_dependency" for r, _ in cross):
+            if local or aggr:
+                scope_counts = {s: int(n) for s, n in
+                                zip(merged["scope"], merged["n_rows"])}
+            else:
+                def count_partials(batch: pa.Table) -> pa.Table:
+                    return row_local_partials(batch, [], partition_col)
+
+                cp = ds.map_batches(count_partials,
+                                    batch_format="pyarrow",
+                                    batch_size=batch_size).to_pandas()
+                cm = merge_partials(cp, 0)
+                scope_counts = {s: int(n) for s, n in
+                                zip(cm["scope"], cm["n_rows"])}
+                total_rows = sum(scope_counts.values())
         if total_rows is None:
             total_rows = ds.count()
         for rule, rid in cross:
@@ -715,6 +735,24 @@ def evaluate_rules(ds, rules: list[Rule],
                 vdf = viol.to_pandas()  # one row per duplicated key
                 nv = int(vdf["n"].sum()) if len(vdf) else 0
             elif rule.kind == "functional_dependency":
+                if partition_col is not None:
+                    # per-partition verdict: the dependency is
+                    # evaluated WITHIN each scope ((scope, det)
+                    # groups), one pass/fail row per scope — unlike
+                    # unique/foreign_key, whose violating sets span
+                    # partitions by nature
+                    fdmap = checks.fd_violating_groups(
+                        ds, rule.column, rule.params["determines"],
+                        batch_size=batch_size,
+                        scope_col=partition_col,
+                        null_scope=NULL_SCOPE)
+                    for scope, n in (scope_counts or {}).items():
+                        snv = int(fdmap.get(scope, 0))
+                        out_rows.append(
+                            {"scope": scope, "rule_id": rid,
+                             "n_rows": n, "n_violations": snv,
+                             "passed": int(snv == 0)})
+                    continue
                 nv = checks.fd_violating_groups(
                     ds, rule.column, rule.params["determines"],
                     batch_size=batch_size)
@@ -855,6 +893,25 @@ SELECT '' AS scope, '{rid}' AS rule_id,
             # dep nulls are skipped by count(DISTINCT) itself; the
             # determinant null filter is stated (the engine drops
             # null-det rows — a NULL never determines anything)
+            if partition_col is not None:
+                # per-partition FD: (scope, det) groups; every scope
+                # gets a verdict row (LEFT JOIN, zero-coalesced)
+                selects.append(f"""
+SELECT s.scope, '{rid}' AS rule_id,
+       CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(coalesce(v.nv, 0) AS BIGINT) AS n_violations,
+       CAST(CASE WHEN coalesce(v.nv, 0) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS passed
+FROM (SELECT {scope_expr} AS scope, count(*) AS n_rows
+      FROM {table} GROUP BY 1) s
+LEFT JOIN (
+    SELECT scope, count(*) AS nv FROM (
+        SELECT {scope_expr} AS scope, {', '.join(det)}
+        FROM {table} WHERE {notnull}
+        GROUP BY 1, {', '.join(det)}
+        HAVING count(DISTINCT {dep}) > 1)
+    GROUP BY scope) v USING (scope)""")
+                continue
             fdv = (f"(SELECT count(*) FROM (SELECT 1 FROM {table} "
                    f"WHERE {notnull} GROUP BY {', '.join(det)} "
                    f"HAVING count(DISTINCT {dep}) > 1))")

@@ -1141,12 +1141,18 @@ def test_fd_rule_fuzz_parity(ray_session_holder, vals, deps, grp_null):
     ]
     con = duckdb.connect()
     con.register("t", df)
-    rep = R.evaluate_rules(rd.from_pandas(df), ruleset)
-    oracle = con.execute(R.rules_report_sql("t", ruleset)).df() \
-        .astype({c: np.int64
-                 for c in ("n_rows", "n_violations", "passed")}) \
-        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
-    pd.testing.assert_frame_equal(rep, oracle)
+    # partitioned: the FD is evaluated WITHIN each scope, one verdict
+    # row per scope (null scopes included); unpartitioned: one
+    # table-level row — both against the generated oracle
+    for part in (None, "grp"):
+        rep = R.evaluate_rules(rd.from_pandas(df), ruleset,
+                               partition_col=part)
+        oracle = con.execute(
+            R.rules_report_sql("t", ruleset, partition_col=part)).df() \
+            .astype({c: np.int64
+                     for c in ("n_rows", "n_violations", "passed")}) \
+            .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rep, oracle)
 
 
 def test_fd_evidence_rows(ray_session):
