@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # replay + pytest + check_oracle cover it)
         "fd_violations_documents": q.fd_violations_documents,
         "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
+        "benford_digits_orders": q.benford_digits_orders,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -305,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations_documents": q.FD_VIOLATIONS_DOCUMENTS_SQL,
         # scoped FD: per-(lang, rule) verdicts, LEFT-JOIN-coalesced
         "rules_fd_by_lang_documents": q.RULES_FD_BY_LANG_DOCUMENTS_SQL,
+        # integer-only digit extraction; expectation literals shared
+        "benford_digits_orders": q.BENFORD_DIGITS_ORDERS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

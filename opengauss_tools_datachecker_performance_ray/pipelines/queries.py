@@ -5500,6 +5500,70 @@ WHERE k.o_orderkey IS NULL OR s.o_orderkey IS NULL
    OR s.o_orderpriority <> k.o_orderpriority
 """
 
+# Benford expectation in parts-per-million, computed ONCE here and
+# inlined verbatim into the SQL oracle — both engines carry the SAME
+# integer literals, so there is no cross-engine libm question at all
+_BENFORD_PPM = {d: int(round(__import__("math").log10(1 + 1 / d) * 1e6))
+                for d in range(1, 10)}
+
+
+def benford_digits_orders(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit over o_totalprice — the classic
+    numeric-column fraud/quality screen (Newcomb 1881 / Benford 1938;
+    a standard audit in data-validation suites): the leading decimal
+    digit of naturally-occurring amounts should follow
+    P(d) = log10(1 + 1/d). Emits one row per digit with the observed
+    count and the expected parts-per-million, leaving the tolerance
+    verdict to the caller (an aggregate ``range`` rule over the
+    per-digit share fits the rule engine directly).
+
+    Exactness: the digit is extracted INTEGER-only — floor to int64,
+    then repeated //10 (max 19 whole-array passes), matching the
+    SQL's substr-of-VARCHAR on the same BIGINT; no log10 on the data
+    path. Values below 1, non-finite, or >= 2^63 are excluded on both
+    engines (stated). Shuffle: one (digit, n) partial row per block,
+    one 9-group fold."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digit_counts(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v) & (v >= 1.0) & (v < 9.2e18)]
+        i = np.floor(v).astype(np.int64)
+        while True:
+            big = i >= 10
+            if not big.any():
+                break
+            i[big] //= 10
+        digit, n = np.unique(i, return_counts=True)
+        return pa.table({"digit": pa.array(digit, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    out = ds.map_batches(digit_counts, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["expected_ppm"] = out["digit"].map(_BENFORD_PPM) \
+        .astype(np.int64)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+BENFORD_DIGITS_ORDERS_SQL = f"""
+SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+            1, 1) AS BIGINT) AS digit,
+       count(*) AS n,
+       CASE CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS BIGINT)
+{chr(10).join(f'         WHEN {d} THEN {p}'
+              for d, p in _BENFORD_PPM.items())}
+       END AS expected_ppm
+FROM orders
+WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+  AND o_totalprice >= 1 AND o_totalprice < 9.2e18
+GROUP BY 1, 3 ORDER BY digit
+"""
+
+
 VOLUME_GAP_DAY = "2024-01-03"
 
 

@@ -605,3 +605,31 @@ class TestRulesFdSpec:
         assert rc == 1 and out["result"] == "failed"
         assert sorted(out["failed_rules"]) == [
             "fd(a,g->b)", "fd(a->b)"]
+
+    def test_fd_kind_partition_scoped_via_spec(self, ray_session,
+                                               tmp_path, capsys):
+        """partition_col in the spec makes the FD per-scope: grp 'p'
+        violates (a=1 -> {x, y}), grp 'q' holds."""
+        t = pa.table({
+            "a": pa.array([1, 1, 1, 2], pa.int64()),
+            "g": ["p", "p", "q", "q"],
+            "b": ["x", "y", "z", "z"],
+        })
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        sp = tmp_path / "spec.json"
+        sp.write_text(json.dumps({"partition_col": "g", "rules": [
+            {"kind": "functional_dependency", "column": "a",
+             "determines": "b"}]}))
+        rep_out = tmp_path / "rep.parquet"
+        rc = main(["rules", "--input", str(inp), "--spec", str(sp),
+                   "--report-out", str(rep_out)])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        import pandas as pd
+        rep = pd.read_parquet(str(rep_out))
+        assert len(rep) == 2  # one verdict row per scope
+        byscope = rep.set_index("scope")
+        assert byscope.loc["p", "passed"] == 0
+        assert byscope.loc["p", "n_violations"] == 1
+        assert byscope.loc["q", "passed"] == 1

@@ -647,3 +647,39 @@ class TestLangDiversityOracle:
         # skew sits strictly between monoculture and uniform
         assert 0.0 < m.loc["skew", "entropy"] < np.log(2.0)
         assert 0.5 < m.loc["skew", "hhi"] < 1.0
+
+
+class TestBenfordDigits:
+    def test_adversarial_values(self, ray_session, tmp_path):
+        """Digit extraction is integer-only and the exclusion set is
+        stated: sub-1, negative, NaN, inf and >= 2^63 values drop on
+        both engines; exact powers of 10 and int boundaries keep
+        their true leading digit."""
+        import duckdb
+
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({"o_totalprice": [
+            1.0, 9.999, 10.0, 99.5, 100.0, 123456.789,
+            0.5, 0.0, -42.0, float("nan"), float("inf"), 9.3e18,
+            None, 8e17]})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "orders.parquet")
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            queries as q,
+        )
+        out = q.benford_digits_orders(str(sf))
+        # kept: 1.0->1, 9.999->9, 10.0->1, 99.5->9, 100.0->1,
+        # 123456.789->1, 8e17->8
+        assert dict(zip(out["digit"], out["n"])) == {1: 4, 8: 1, 9: 2}
+        con = duckdb.connect()
+        con.register("orders", df)
+        oracle = con.execute(q.BENFORD_DIGITS_ORDERS_SQL).df()
+        pd.testing.assert_frame_equal(
+            out.astype({"n": "int64"}),
+            oracle.astype({"n": "int64",
+                           "expected_ppm": "int64"}))
+        # the inlined expectation literals sum to ~1e6
+        assert abs(int(out["expected_ppm"].iloc[0]) - 301030) == 0
