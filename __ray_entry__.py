@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations_documents": q.fd_violations_documents,
         "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
         "benford_digits_orders": q.benford_digits_orders,
+        "rules_monotonic_events": q.rules_monotonic_events,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -308,6 +309,8 @@ def oracle_sql() -> dict[str, str]:
         "rules_fd_by_lang_documents": q.RULES_FD_BY_LANG_DOCUMENTS_SQL,
         # integer-only digit extraction; expectation literals shared
         "benford_digits_orders": q.BENFORD_DIGITS_ORDERS_SQL,
+        # monotonic rule kind: running-max window, generated SQL
+        "rules_monotonic_events": q.RULES_MONOTONIC_EVENTS_SQL,
         "rule_violations_events": q.RULE_VIOLATIONS_EVENTS_SQL,
         # list<float> constraint verdict: null/dim/non-finite/zero-norm
         # /label-domain/dup-id counts, DuckDB list kernels as oracle

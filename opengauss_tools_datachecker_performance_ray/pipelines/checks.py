@@ -227,6 +227,54 @@ def fd_violating_groups(ds, determinant, dependent: str,
     return int(out["n_viol"].sum()) if len(out) else 0
 
 
+def monotonic_regressions(ds, value_col: str, key_cols: list[str],
+                          order_cols: list[str],
+                          batch_size: int | None = None) -> int:
+    """EXACT count of rows whose ``value_col`` regresses below the
+    running maximum of any earlier row within its key, under the
+    ``order_cols`` order — the "monotonic counter" constraint
+    (cumulative metrics, version columns, log offsets must not
+    decrease; the commit-order assumption the reference's incremental
+    path makes of its Kafka offsets, made checkable per key).
+
+    ``order_cols`` must be a deterministic total order WITHIN each
+    key (include a unique tiebreaker column last) — with ties left
+    ambiguous, both engines would be free to count different
+    regressions. Rows with a null key part, null order part, or a
+    null/non-finite value are excluded on BOTH engines (stated; the
+    SQL oracle's isfinite binds harmlessly on integer columns).
+
+    Partitioning: one key per group (hash-partitioned — the
+    sessionization envelope applies to pathological keys); the
+    in-group kernel is pure numpy (lexsort + running max + one
+    comparison)."""
+    need = sorted(set([value_col]) | set(key_cols) | set(order_cols))
+
+    def drop_bad(batch: pa.Table) -> pa.Table:
+        sub = batch.select(need)
+        m = pc.is_valid(sub.column(need[0]))
+        for c in need[1:]:
+            m = pc.and_(m, pc.is_valid(sub.column(c)))
+        v = sub.column(value_col)
+        if pa.types.is_floating(v.type):
+            m = pc.and_(m, pc.fill_null(pc.is_finite(v), False))
+        return sub.filter(m)
+
+    def count_reg(g: pd.DataFrame) -> pd.DataFrame:
+        keys = tuple(g[c].to_numpy() for c in reversed(order_cols))
+        order = np.lexsort(keys)
+        v = g[value_col].to_numpy()[order]
+        n = int(np.count_nonzero(
+            v[1:] < np.maximum.accumulate(v)[:-1]))
+        return pd.DataFrame({"n_reg": [np.int64(n)]})
+
+    out = ds.map_batches(drop_bad, batch_format="pyarrow",
+                         batch_size=batch_size) \
+        .groupby(key_cols if len(key_cols) > 1 else key_cols[0]) \
+        .map_groups(count_reg, batch_format="pandas").to_pandas()
+    return int(out["n_reg"].sum()) if len(out) else 0
+
+
 def exact_distinct_counts(ds, cols: list[str], num_buckets: int = 64,
                           batch_size: int | None = None) -> dict[str, int]:
     """EXACT count-distinct for SEVERAL columns in ONE pass: per batch,

@@ -4334,6 +4334,33 @@ RULES_FD_DOCUMENTS_SQL = rulesmod.rules_report_sql(
     "documents", GATE_DOC_FD_RULES, partition_col=None)
 
 
+GATE_EVENT_MONO_RULES = [
+    rulesmod.Rule("monotonic", "value",
+                  {"key": "user_id", "order_by": ["ts", "event_id"]}),
+    rulesmod.Rule("monotonic", "event_id",
+                  {"key": "user_id", "order_by": ["ts", "event_id"]}),
+    rulesmod.Rule("not_null", "value"),
+]
+
+
+def rules_monotonic_events(sf_dir: str) -> pd.DataFrame:
+    """Monotonicity as a declarative rule: ``value`` regresses per
+    user (fails — random amounts), ``event_id`` does not (passes —
+    ids are assigned in event-time order), both under the
+    deterministic (ts, event_id) order via
+    ``checks.monotonic_regressions`` (per-key numpy running-max
+    kernel); a row-local rule rides its own fused scan. 3 verdict
+    rows at any corpus size."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"])
+    return rulesmod.evaluate_rules(ds, GATE_EVENT_MONO_RULES,
+                                   partition_col=None)
+
+
+RULES_MONOTONIC_EVENTS_SQL = rulesmod.rules_report_sql(
+    "events", GATE_EVENT_MONO_RULES, partition_col=None)
+
+
 GATE_DOC_FD_BY_LANG_RULES = [
     rulesmod.Rule("functional_dependency", "doc_id",
                   {"determines": "source"}),  # PK: holds per lang

@@ -65,7 +65,13 @@ _ROW_LOCAL = ("not_null", "in_set", "range", "regex", "compare_cols")
 # det HAVING count(DISTINCT dep) > 1 with det IS NOT NULL stated on
 # both engines) — one bucketed distinct-pair shuffle per rule via
 # checks.fd_violating_groups
-_CROSS_ROW = ("unique", "foreign_key", "functional_dependency")
+# monotonic: column = the value that must not regress, params
+# {"key": str | list, "order_by": [cols...]} — violation count =
+# rows below the running max of any earlier row within their key
+# under the order (checks.monotonic_regressions; order_by must be a
+# total order within each key — include a unique tiebreaker last)
+_CROSS_ROW = ("unique", "foreign_key", "functional_dependency",
+              "monotonic")
 # aggregate-class rules: per-scope constraints over the SAME one-pass
 # partials the row-local rules ride (the reference's table-level
 # precondition checks generalized — row counts / structure gates in
@@ -202,6 +208,18 @@ class Rule:
                 raise ValueError("functional_dependency: the dependent "
                                  "column cannot be part of the "
                                  "determinant (trivially holds)")
+        if self.kind == "monotonic":
+            if not isinstance(self.column, str) or not self.column:
+                raise ValueError("monotonic needs one value column")
+            key = self.params.get("key")
+            if not key or not (isinstance(key, str)
+                               or isinstance(key, (list, tuple))):
+                raise ValueError("monotonic needs params['key']")
+            ob = self.params.get("order_by")
+            if not isinstance(ob, (list, tuple)) or not ob:
+                raise ValueError(
+                    "monotonic needs params['order_by'] (a list; "
+                    "include a unique tiebreaker column last)")
         if self.kind == "compare_cols":
             if not self.params.get("right"):
                 raise ValueError("compare_cols needs a right column")
@@ -226,6 +244,10 @@ class Rule:
                else (self.column or ""))
         if self.kind == "functional_dependency":
             return f"fd({col}->{self.params['determines']})"
+        if self.kind == "monotonic":
+            key = self.params["key"]
+            k = ",".join(key) if isinstance(key, (list, tuple)) else key
+            return f"monotonic({col} per {k})"
         if self.kind == "quantile":
             # the q is part of the identity: p50 and p90 rules on one
             # column must not collide into a #2 suffix
@@ -243,6 +265,10 @@ class Rule:
             cols.add(self.params["right"])
         if self.kind == "functional_dependency":
             cols.add(self.params["determines"])
+        if self.kind == "monotonic":
+            key = self.params["key"]
+            cols |= set([key] if isinstance(key, str) else key)
+            cols |= set(self.params["order_by"])
         return cols
 
     def violation_mask_batch(self, batch: pa.Table) -> pa.Array:
@@ -756,6 +782,13 @@ def evaluate_rules(ds, rules: list[Rule],
                 nv = checks.fd_violating_groups(
                     ds, rule.column, rule.params["determines"],
                     batch_size=batch_size)
+            elif rule.kind == "monotonic":
+                key = rule.params["key"]
+                nv = checks.monotonic_regressions(
+                    ds, rule.column,
+                    [key] if isinstance(key, str) else list(key),
+                    list(rule.params["order_by"]),
+                    batch_size=batch_size)
             else:  # foreign_key
                 nv = checks.referential_violations(
                     ds, rule.column, rule.params["parent"],
@@ -921,6 +954,26 @@ SELECT '' AS scope, '{rid}' AS rule_id,
        CAST({fdv} AS BIGINT) AS n_violations,
        CAST(CASE WHEN {fdv} = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS passed""")
+        elif r.kind == "monotonic":
+            key = r.params["key"]
+            kcols = [key] if isinstance(key, str) else list(key)
+            ob = list(r.params["order_by"])
+            c = r.column
+            filt = " AND ".join(
+                [f"{x} IS NOT NULL" for x in
+                 sorted(set(kcols) | set(ob) | {c})]
+                + [f"isfinite({c})"])
+            mono = (f"(SELECT count(*) FROM (SELECT {c} AS v, "
+                    f"max({c}) OVER (PARTITION BY {', '.join(kcols)} "
+                    f"ORDER BY {', '.join(ob)} ROWS BETWEEN UNBOUNDED "
+                    f"PRECEDING AND 1 PRECEDING) AS pm FROM {table} "
+                    f"WHERE {filt}) WHERE v < pm)")
+            selects.append(f"""
+SELECT '' AS scope, '{rid}' AS rule_id,
+       CAST((SELECT count(*) FROM {table}) AS BIGINT) AS n_rows,
+       CAST({mono} AS BIGINT) AS n_violations,
+       CAST(CASE WHEN {mono} = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS passed""")
         else:  # foreign_key
             ptab, pkey = (fk_tables or {})[rid]
             dangling = (f"(SELECT count(*) FROM {table} ch WHERE "
@@ -970,6 +1023,8 @@ def rules_from_spec(spec: list[dict], read_parquet=None) -> list[Rule]:
             params = {"pattern": e["pattern"]}
         elif kind == "functional_dependency":
             params = {"determines": e["determines"]}
+        elif kind == "monotonic":
+            params = {"key": e["key"], "order_by": e["order_by"]}
         elif kind == "compare_cols":
             params = {"right": e["right"], "op": e.get("op", "=="),
                       "left_fn": e.get("left_fn"),

@@ -1170,3 +1170,70 @@ def test_fd_evidence_rows(ray_session):
         .to_pandas().sort_values("a").reset_index(drop=True)
     assert ev.to_dict("records") == [{"a": "1", "n_dep": 3}]
     assert checks.fd_violating_groups(ds, "a", "b") == len(ev)
+
+
+def test_monotonic_rule_kind(ray_session):
+    """monotonic(value per key): known regressions; null key/order/
+    value rows excluded; ties resolved by the declared tiebreaker;
+    parity with the generated window-SQL oracle."""
+    df = pd.DataFrame({
+        "k": pd.array([1, 1, 1, 2, 2, None, 1], dtype="Int64"),
+        "o": pd.array([1, 2, 3, 1, 2, 1, None], dtype="Int64"),
+        "tb": pd.array([1, 2, 3, 4, 5, 6, 7], dtype="Int64"),
+        "v": [5.0, 3.0, 7.0, 1.0, 2.0, 9.0, 0.0],
+    })
+    rule = R.Rule("monotonic", "v", {"key": "k",
+                                     "order_by": ["o", "tb"]})
+    rep = R.evaluate_rules(rd.from_pandas(df), [rule])
+    assert rep.loc[0, "n_violations"] == 1  # k=1: 5,3,7 -> one dip
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.execute(R.rules_report_sql("t", [rule])).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_monotonic_rule_construction_and_spec():
+    with pytest.raises(ValueError):
+        R.Rule("monotonic", "v", {"key": "k"})  # no order_by
+    with pytest.raises(ValueError):
+        R.Rule("monotonic", "v", {"order_by": ["o"]})  # no key
+    r = R.rules_from_spec([{"kind": "monotonic", "column": "v",
+                            "key": "k", "order_by": ["o", "tb"]}])[0]
+    assert r.rule_id == "monotonic(v per k)"
+    assert r.input_columns == {"v", "k", "o", "tb"}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_cell, min_size=1, max_size=40),
+       keys=st.data())
+def test_monotonic_rule_fuzz_parity(ray_session_holder, vals, keys):
+    """Hypothesis: monotonic verdicts match the window oracle over
+    adversarial null/dup-heavy integer tables (unique tiebreaker
+    keeps the order total on both engines)."""
+    n = len(vals)
+    key_list = keys.draw(st.lists(
+        st.one_of(st.none(), st.integers(0, 3)),
+        min_size=n, max_size=n))
+    ord_list = keys.draw(st.lists(
+        st.one_of(st.none(), st.integers(0, 5)),
+        min_size=n, max_size=n))
+    df = pd.DataFrame({
+        "k": pd.array(key_list, dtype="Int64"),
+        "o": pd.array(ord_list, dtype="Int64"),
+        "tb": np.arange(n, dtype=np.int64),
+        "v": pd.array(vals, dtype="Int64"),
+    })
+    ruleset = [R.Rule("monotonic", "v",
+                      {"key": "k", "order_by": ["o", "tb"]})]
+    con = duckdb.connect()
+    con.register("t", df)
+    rep = R.evaluate_rules(rd.from_pandas(df), ruleset)
+    oracle = con.execute(R.rules_report_sql("t", ruleset)).df() \
+        .astype({c: np.int64
+                 for c in ("n_rows", "n_violations", "passed")}) \
+        .sort_values(["scope", "rule_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(rep, oracle)
