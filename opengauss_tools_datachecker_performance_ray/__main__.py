@@ -557,9 +557,14 @@ def _run(args) -> int:
         failing = sorted(set(rep.loc[rep["passed"] == 0, "rule_id"]))
         if args.violations_out:
             for rule, rid in zip(ruleset, R.rule_ids(ruleset)):
-                # shared source of truth so new row-local kinds
-                # (compare_cols) keep exporting violation rows
-                if rule.kind not in R._ROW_LOCAL or rid not in failing:
+                # shared source of truth so new rule kinds keep
+                # exporting evidence: row-local kinds stream the
+                # violating rows; cross-row kinds stream their
+                # natural evidence (dup keys / FD groups / regressing
+                # keys / dangling FKs). Aggregate kinds have no row
+                # evidence — the per-scope verdict in the report IS
+                # the evidence — so they are skipped here.
+                if rule.kind in R._AGGREGATE or rid not in failing:
                     continue
                 want = ev_cols or [rule.column]
                 out_dir = os.path.join(

@@ -229,7 +229,8 @@ def fd_violating_groups(ds, determinant, dependent: str,
 
 def monotonic_regressions(ds, value_col: str, key_cols: list[str],
                           order_cols: list[str],
-                          batch_size: int | None = None) -> int:
+                          batch_size: int | None = None,
+                          evidence_rows: bool = False):
     """EXACT count of rows whose ``value_col`` regresses below the
     running maximum of any earlier row within its key, under the
     ``order_cols`` order — the "monotonic counter" constraint
@@ -247,7 +248,12 @@ def monotonic_regressions(ds, value_col: str, key_cols: list[str],
     Partitioning: one key per group (hash-partitioned — the
     sessionization envelope applies to pathological keys); the
     in-group kernel is pure numpy (lexsort + running max + one
-    comparison)."""
+    comparison).
+
+    Returns the total regression count (int); with
+    ``evidence_rows=True`` returns instead a Dataset of one
+    (key..., n_events, n_regressions) row per key with at least one
+    regression — the violation evidence."""
     need = sorted(set([value_col]) | set(key_cols) | set(order_cols))
 
     def drop_bad(batch: pa.Table) -> pa.Table:
@@ -260,18 +266,36 @@ def monotonic_regressions(ds, value_col: str, key_cols: list[str],
             m = pc.and_(m, pc.fill_null(pc.is_finite(v), False))
         return sub.filter(m)
 
-    def count_reg(g: pd.DataFrame) -> pd.DataFrame:
+    def _n_reg(g: pd.DataFrame) -> int:
         keys = tuple(g[c].to_numpy() for c in reversed(order_cols))
         order = np.lexsort(keys)
         v = g[value_col].to_numpy()[order]
-        n = int(np.count_nonzero(
+        return int(np.count_nonzero(
             v[1:] < np.maximum.accumulate(v)[:-1]))
-        return pd.DataFrame({"n_reg": [np.int64(n)]})
 
-    out = ds.map_batches(drop_bad, batch_format="pyarrow",
-                         batch_size=batch_size) \
-        .groupby(key_cols if len(key_cols) > 1 else key_cols[0]) \
-        .map_groups(count_reg, batch_format="pandas").to_pandas()
+    def count_reg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_reg": [np.int64(_n_reg(g))]})
+
+    def evidence(g: pd.DataFrame) -> pd.DataFrame:
+        n = _n_reg(g)
+        if n == 0:
+            cols = {c: pd.Series([], dtype=g[c].dtype)
+                    for c in key_cols}
+            cols["n_events"] = pd.Series([], dtype=np.int64)
+            cols["n_regressions"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        cols = {c: [g[c].iloc[0]] for c in key_cols}
+        cols["n_events"] = [np.int64(len(g))]
+        cols["n_regressions"] = [np.int64(n)]
+        return pd.DataFrame(cols)
+
+    grouped = ds.map_batches(drop_bad, batch_format="pyarrow",
+                             batch_size=batch_size) \
+        .groupby(key_cols if len(key_cols) > 1 else key_cols[0])
+    if evidence_rows:
+        return grouped.map_groups(evidence, batch_format="pandas")
+    out = grouped.map_groups(count_reg,
+                             batch_format="pandas").to_pandas()
     return int(out["n_reg"].sum()) if len(out) else 0
 
 

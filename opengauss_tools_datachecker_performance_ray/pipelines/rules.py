@@ -806,13 +806,45 @@ def evaluate_rules(ds, rules: list[Rule],
 
 def rule_violation_rows(ds, rule: Rule, columns: list[str],
                         batch_size: int | None = None):
-    """Streaming Dataset of the rows violating one row-local rule,
-    projected to ``columns`` — the engine's ``Difference`` analog
-    (`common/entry/check/Difference.java:28-41`) with user-chosen
-    evidence columns instead of just (key, idx)."""
+    """Streaming Dataset of the evidence for one rule's violations —
+    the engine's ``Difference`` analog
+    (`common/entry/check/Difference.java:28-41`).
+
+    Row-local rules return the violating rows projected to
+    ``columns``. Cross-row rules return their kind's natural
+    evidence (``columns`` is ignored — each already carries its own
+    schema): ``unique`` -> (key..., n) duplicated keys;
+    ``functional_dependency`` -> (det..., n_dep) violating groups;
+    ``monotonic`` -> (key..., n_events, n_regressions) regressing
+    keys; ``foreign_key`` -> dangling child key values. Aggregate
+    rules have no row evidence (the verdict IS the evidence) and
+    raise."""
+    from . import checks
+
+    if rule.kind in _CROSS_ROW:
+        if rule.kind == "unique":
+            key_cols = (list(rule.column)
+                        if isinstance(rule.column, tuple)
+                        else [rule.column])
+            return checks.uniqueness_violations(
+                ds, key_cols, batch_size=batch_size)
+        if rule.kind == "functional_dependency":
+            return checks.fd_violating_groups(
+                ds, rule.column, rule.params["determines"],
+                batch_size=batch_size, evidence_rows=True)
+        if rule.kind == "monotonic":
+            key = rule.params["key"]
+            return checks.monotonic_regressions(
+                ds, rule.column,
+                [key] if isinstance(key, str) else list(key),
+                list(rule.params["order_by"]),
+                batch_size=batch_size, evidence_rows=True)
+        return checks.referential_violations(
+            ds, rule.column, rule.params["parent"],
+            rule.params["parent_key"])
     if rule.kind not in _ROW_LOCAL:
-        raise ValueError("violation rows stream only for row-local "
-                         "rules; unique/foreign_key emit via checks.*")
+        raise ValueError("aggregate rules have no violation rows — "
+                         "the per-scope verdict is the evidence")
     need = sorted(set(columns) | rule.input_columns)
 
     def f(batch: pa.Table) -> pa.Table:

@@ -277,6 +277,9 @@ class TestRulesCli:
         viol = pd.read_parquet(str(viol_out / "range_v_"))
         assert list(viol.columns) == ["id", "v"]
         assert viol["id"].tolist() == [2]
+        # cross-row kinds export their natural evidence too
+        dup = pd.read_parquet(str(viol_out / "unique_id_"))
+        assert dup["id"].tolist() == [3] and int(dup["n"].iloc[0]) == 2
 
     def test_rules_quantile_kind_via_spec(self, ray_session, tmp_path,
                                           capsys):

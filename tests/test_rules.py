@@ -105,8 +105,45 @@ def test_violation_rows_stream_and_reject_cross_row(ray_session):
     ds = rd.from_pandas(_adversarial_df())
     out = R.rule_violation_rows(ds, RULESET[1], ["id", "val"]).to_pandas()
     assert sorted(out["id"]) == [3, 6]
+    # aggregate rules have no row evidence — the verdict IS the evidence
     with pytest.raises(ValueError):
-        R.rule_violation_rows(ds, RULESET[4], ["id"])
+        R.rule_violation_rows(ds, R.Rule("row_count", None, {"lo": 1}),
+                              ["id"])
+
+
+def test_violation_rows_cross_row_evidence(ray_session):
+    """Every cross-row kind routes to its natural evidence stream —
+    the CLI's --violations-out covers the full rule taxonomy."""
+    ds = rd.from_pandas(_adversarial_df())
+    # unique -> duplicated keys with multiplicity
+    dup = R.rule_violation_rows(ds, RULESET[4], ["id"]).to_pandas()
+    assert dup["id"].tolist() == [2] and int(dup["n"].iloc[0]) == 2
+    # foreign_key -> dangling child key values
+    parent = rd.from_pandas(pd.DataFrame({"pid": [100, 200]}))
+    fk = R.rule_violation_rows(
+        ds, R.Rule("foreign_key", "fk",
+                   {"parent": parent, "parent_key": "pid"}),
+        ["fk"]).to_pandas()
+    assert sorted(fk["fk"]) == [998, 999]
+    # functional_dependency -> violating determinant groups
+    df = pd.DataFrame({"det": ["a", "a", "b", "b", None],
+                       "dep": [1, 2, 3, 3, 9]})
+    fd = R.rule_violation_rows(
+        rd.from_pandas(df),
+        R.Rule("functional_dependency", "det", {"determines": "dep"}),
+        ["det"]).to_pandas()
+    assert fd["det"].tolist() == ["a"] and int(fd["n_dep"].iloc[0]) == 2
+    # monotonic -> per-key regression evidence
+    mdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                        "t": [1, 2, 3, 1, 2],
+                        "v": [5, 3, 9, 1, 2]})
+    mono = R.rule_violation_rows(
+        rd.from_pandas(mdf),
+        R.Rule("monotonic", "v", {"key": "k", "order_by": ["t"]}),
+        ["k"]).to_pandas()
+    assert mono["k"].tolist() == ["a"]
+    assert int(mono["n_events"].iloc[0]) == 3
+    assert int(mono["n_regressions"].iloc[0]) == 1
 
 
 def test_sql_oracle_parity_from_same_rules(ray_session):
