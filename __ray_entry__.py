@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_lang_counts": q.csv_lang_counts,
         "simhash_near_dups_documents": q.simhash_near_dups_documents,
         "embedding_dup_pairs": q.embedding_dup_pairs,
-        "embedding_dup_pairs_exact": q.embedding_dup_pairs_exact,
+        "fd_violations_documents": q.fd_violations_documents,
         "knn_ivf_embeddings": q.knn_ivf_embeddings,
         "multimodal_embeddings": q.multimodal_embeddings,
         "lineitem_rollup": q.lineitem_rollup,
@@ -48,11 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": q.normalize_text_documents,
         "corpus_curation_v5": q.corpus_curation_v5,
         "gopher_filter_documents": q.gopher_filter_documents,
-        "keyword_search_documents": q.keyword_search_documents,
+        "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
         "bm25_search_documents": q.bm25_search_documents,
         "winnowing_profile_documents": q.winnowing_profile_documents,
         "vocabulary_documents": q.vocabulary_documents,
-        "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
+        "benford_digits_orders": q.benford_digits_orders,
         "redact_events_props": q.redact_events_props,
         # declarative constraint-rule engine
         "rules_documents": q.rules_documents,
@@ -63,8 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows_documents": q.chunk_windows_documents,
         "corpus_curation_v6": q.corpus_curation_v6,
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
-        "length_decile_profile_documents":
-            q.length_decile_profile_documents,
+        "rules_monotonic_events": q.rules_monotonic_events,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
         "consistency_documents": q.consistency_documents,
@@ -87,11 +86,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_fd_documents": q.rules_fd_documents,
         "monotonic_audit_events": q.monotonic_audit_events,
         # position 51+: outside the driver's 50-row window (judge
-        # replay + pytest + check_oracle cover it)
-        "fd_violations_documents": q.fd_violations_documents,
-        "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
-        "benford_digits_orders": q.benford_digits_orders,
-        "rules_monotonic_events": q.rules_monotonic_events,
+        # replay + pytest + check_oracle cover it). Each of these four
+        # was swapped out in favor of a round-5 entry because an
+        # in-window sibling exercises the same machinery: LSH dup
+        # pairs cover the embedding-dup kernel, BM25 covers
+        # term_frequencies, the JSONL sink rides corpus_curation
+        # writes, and the stats/quantile family covers deciles.
+        "embedding_dup_pairs_exact": q.embedding_dup_pairs_exact,
+        "keyword_search_documents": q.keyword_search_documents,
+        "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
+        "length_decile_profile_documents":
+            q.length_decile_profile_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
