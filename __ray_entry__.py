@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_monotonic_events": q.rules_monotonic_events,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
-        "consistency_documents": q.consistency_documents,
+        "schema_profile_tables": q.schema_profile_tables,
         "completeness_documents": q.completeness_documents,
         # --- round-5 additions (inside the driver window) ---
         "rules_aggregate_documents": q.rules_aggregate_documents,
@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "length_decile_profile_documents":
             q.length_decile_profile_documents,
+        # consistency ceded its window slot to schema_profile_tables
+        # (its compare_cols machinery is in-window via the rules gates)
+        "consistency_documents": q.consistency_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -339,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "freshness_events": q.FRESHNESS_EVENTS_SQL,
         # cross-field compare_cols rule, closed fn registry
         "consistency_documents": q.CONSISTENCY_DOCUMENTS_SQL,
+        "schema_profile_tables": q.SCHEMA_PROFILE_TABLES_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

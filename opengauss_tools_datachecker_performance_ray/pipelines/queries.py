@@ -5712,3 +5712,44 @@ def _reconcile_by_group_oracle_sql() -> str:
 
 
 RECONCILE_ORDERS_BY_STATUS_SQL = _reconcile_by_group_oracle_sql()
+
+
+def schema_profile_tables(sf_dir: str) -> pd.DataFrame:
+    """Metadata-ONLY schema + row-count profile of every catalog table
+    — one row per column from parquet FOOTERS alone (no data scan; the
+    reference's up-front catalog load, `MetaDataService.java:75-243`,
+    as a validation product). The oracle recomputes data_type from
+    DuckDB's own read of the same files and n_rows with a real
+    count(*), so the gate cross-checks (a) the Arrow->DuckDB type-name
+    mapping and (b) that footer counts equal true counts."""
+    from ..sources.parquet import schema_profile
+
+    names = ["customer", "documents", "embeddings", "events",
+             "lineitem", "nation", "orders", "part", "region",
+             "supplier"]
+    return schema_profile(
+        {n: f"{sf_dir}/{n}.parquet" for n in names})
+
+
+SCHEMA_PROFILE_TABLES_SQL = """
+WITH counts AS (
+  SELECT 'customer' AS t, count(*) AS n_rows FROM customer
+  UNION ALL SELECT 'documents', count(*) FROM documents
+  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+  UNION ALL SELECT 'events', count(*) FROM events
+  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+  UNION ALL SELECT 'nation', count(*) FROM nation
+  UNION ALL SELECT 'orders', count(*) FROM orders
+  UNION ALL SELECT 'part', count(*) FROM part
+  UNION ALL SELECT 'region', count(*) FROM region
+  UNION ALL SELECT 'supplier', count(*) FROM supplier
+)
+SELECT c.table_name, CAST(c.ordinal_position AS BIGINT) AS ordinal,
+       c.column_name, c.data_type, ct.n_rows
+FROM information_schema.columns c
+JOIN counts ct ON ct.t = c.table_name
+WHERE c.table_name IN ('customer', 'documents', 'embeddings',
+                       'events', 'lineitem', 'nation', 'orders',
+                       'part', 'region', 'supplier')
+ORDER BY c.table_name, ordinal
+"""
