@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation_v6": q.corpus_curation_v6,
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
         "rules_monotonic_events": q.rules_monotonic_events,
-        "top_bigrams_by_lang": q.top_bigrams_by_lang,
+        "null_patterns_documents": q.null_patterns_documents,
         "freshness_events": q.freshness_events,
         "schema_profile_tables": q.schema_profile_tables,
         "completeness_documents": q.completeness_documents,
@@ -97,9 +97,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": q.jsonl_roundtrip_documents,
         "length_decile_profile_documents":
             q.length_decile_profile_documents,
-        # consistency ceded its window slot to schema_profile_tables
-        # (its compare_cols machinery is in-window via the rules gates)
+        # consistency and top_bigrams ceded window slots to the new
+        # schema-profile / null-pattern gates (their compare_cols and
+        # term-explode machinery is in-window via rules + bm25/vocab)
         "consistency_documents": q.consistency_documents,
+        "top_bigrams_by_lang": q.top_bigrams_by_lang,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -343,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         # cross-field compare_cols rule, closed fn registry
         "consistency_documents": q.CONSISTENCY_DOCUMENTS_SQL,
         "schema_profile_tables": q.SCHEMA_PROFILE_TABLES_SQL,
+        "null_patterns_documents": q.NULL_PATTERNS_DOCUMENTS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

@@ -5753,3 +5753,46 @@ WHERE c.table_name IN ('customer', 'documents', 'embeddings',
                        'part', 'region', 'supplier')
 ORDER BY c.table_name, ordinal
 """
+
+
+def null_patterns_documents(sf_dir: str) -> pd.DataFrame:
+    """Missingness co-occurrence over documents with deterministic
+    null injection on BOTH engines (testdata carries no nulls, so the
+    gate mutates identically: lang 'de' -> NULL, source NULL on
+    doc_id % 7 == 0 — the sink-CTE pattern the compare gates use).
+    Exercises `checks.null_pattern_profile` across all four patterns
+    incl. the correlated one."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang")
+        lang = pc.if_else(pc.equal(lang, "de"),
+                          pa.nulls(len(batch), lang.type), lang)
+        doc_id = batch.column("doc_id")
+        is7 = pc.equal(
+            pc.subtract(doc_id,
+                        pc.multiply(pc.divide(doc_id,
+                                              pa.scalar(7, pa.int64())),
+                                    pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        src = pc.if_else(is7, pa.nulls(len(batch),
+                                       batch.column("source").type),
+                         batch.column("source"))
+        return pa.table({"lang": lang, "source": src})
+
+    mutated = ds.map_batches(inject, batch_format="pyarrow")
+    out = checks.null_pattern_profile(mutated, ["lang", "source"])
+    return out.to_pandas().sort_values(
+        ["lang_null", "source_null"]).reset_index(drop=True)
+
+
+NULL_PATTERNS_DOCUMENTS_SQL = """
+WITH t AS (
+  SELECT NULLIF(lang, 'de') AS lang,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source
+  FROM documents
+)
+SELECT lang IS NULL AS lang_null, source IS NULL AS source_null,
+       count(*) AS n
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -103,3 +103,58 @@ def test_gate_query_entry(ray_session):
     assert len(res) == 51  # 10 tables, 51 columns total
     assert res["data_type"].iloc[0] in ("BIGINT", "VARCHAR", "INTEGER",
                                         "DOUBLE")
+
+
+class TestNullPatternProfile:
+    """`checks.null_pattern_profile` — missingness co-occurrence."""
+
+    def test_known_patterns(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            checks,
+        )
+        df = pd.DataFrame({
+            "a": [1, None, None, 4, None],
+            "b": ["x", None, "y", None, None],
+        })
+        out = checks.null_pattern_profile(
+            rd.from_pandas(df), ["a", "b"]).to_pandas() \
+            .sort_values(["a_null", "b_null"]).reset_index(drop=True)
+        assert out.values.tolist() == [
+            [False, False, 1],   # (1, x)
+            [False, True, 1],    # (4, None)
+            [True, False, 1],    # (None, y)
+            [True, True, 2],     # the correlated rows
+        ]
+
+    def test_no_nulls_single_pattern(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            checks,
+        )
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        out = checks.null_pattern_profile(
+            rd.from_pandas(df), ["a", "b"]).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].tolist() == [False, False, 2]
+
+    def test_width_cap(self, ray_session):
+        import ray.data as rd
+
+        from opengauss_tools_datachecker_performance_ray.pipelines import (
+            checks,
+        )
+        df = pd.DataFrame({f"c{i}": [1] for i in range(17)})
+        with pytest.raises(ValueError):
+            checks.null_pattern_profile(rd.from_pandas(df),
+                                        [f"c{i}" for i in range(17)])
+
+    def test_gate_query_matches_oracle(self, ray_session):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        res = q.null_patterns_documents(SF).reset_index(drop=True)
+        orc = con.execute(q.NULL_PATTERNS_DOCUMENTS_SQL).df()
+        pd.testing.assert_frame_equal(res, orc)
