@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
         "rules_monotonic_events": q.rules_monotonic_events,
         "null_patterns_documents": q.null_patterns_documents,
-        "freshness_events": q.freshness_events,
+        "w1_drift_documents": q.w1_drift_documents,
         "schema_profile_tables": q.schema_profile_tables,
         "completeness_documents": q.completeness_documents,
         # --- round-5 additions (inside the driver window) ---
@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term-explode machinery is in-window via rules + bm25/vocab)
         "consistency_documents": q.consistency_documents,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
+        "freshness_events": q.freshness_events,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "consistency_documents": q.CONSISTENCY_DOCUMENTS_SQL,
         "schema_profile_tables": q.SCHEMA_PROFILE_TABLES_SQL,
         "null_patterns_documents": q.NULL_PATTERNS_DOCUMENTS_SQL,
+        "w1_drift_documents": q.W1_DRIFT_DOCUMENTS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

@@ -1167,6 +1167,101 @@ def ks_exact_by_group(ds, group_col: str, value_col: str,
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def w1_exact_by_group(ds, group_col: str, value_col: str,
+                      max_broadcast_values: int = 50_000_000
+                      ) -> pd.DataFrame:
+    """EXACT Wasserstein-1 (earth-mover) distance of EVERY group's
+    distribution vs the rest, in ONE distributed pass — the
+    area-between-ECDFs sibling of ``ks_exact_by_group`` (KS sees only
+    the worst POINT of drift; W1 integrates ALL of it, so a shift
+    spread across the range scores what KS under-reports). Returns one
+    row per group: (group, w1_num, n_a, n_b) with
+    ``W1 = w1_num / (n_a·n_b)`` in value units.
+
+    Integer value columns ONLY (gaps between distinct values stay
+    integer, so the sum is exact and oracle-reproducible; for floats
+    use KS or quantile bands). Same plan as the KS kernel: per-batch
+    (group, value) count partials (combiner), one distributed groupby
+    over distinct pairs, the per-value total axis folded once and
+    broadcast via ``ray.put``, then a groupby(group) evaluates
+
+        w1_num = Σ_i |ca_i·n_b − cb_i·n_a| · (v_{i+1} − v_i)
+
+    over the full broadcast axis vectorized (unlike KS, every axis
+    segment contributes — O(V) numpy per group, zero extra shuffle).
+    Exactness envelope (checked, raises loudly): the worst summand
+    bound (n²/4)·range must stay inside int64."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_integer(v.type):
+            raise ValueError("w1_exact_by_group needs an integer value "
+                             "column (exact gaps); use ks_exact_by_group "
+                             "for floats")
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(batch.column(group_col)))
+        sub = batch.select([group_col, value_col]).filter(ok)
+        gb = sub.group_by([group_col, value_col]) \
+            .aggregate([([], "count_all")])
+        return pa.table({group_col: gb.column(group_col),
+                         value_col: gb.column(value_col),
+                         "c_p": gb.column("count_all")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, value_col]) \
+        .aggregate(Sum("c_p", alias_name="c")).materialize()
+
+    totals = partials.groupby(value_col) \
+        .aggregate(Sum("c", alias_name="tv")).to_pandas()
+    if not len(totals):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "w1_num": pd.Series(dtype=np.int64),
+                             "n_a": pd.Series(dtype=np.int64),
+                             "n_b": pd.Series(dtype=np.int64)})
+    if len(totals) > max_broadcast_values:
+        raise ValueError(
+            f"w1_exact_by_group: {len(totals)} distinct values exceed "
+            f"the {max_broadcast_values} broadcast cap")
+    totals = totals.sort_values(value_col)
+    vals = totals[value_col].to_numpy(np.int64)
+    tv = totals["tv"].to_numpy(np.int64)
+    ct = np.cumsum(tv)
+    n_total = int(ct[-1])
+    value_range = int(vals[-1]) - int(vals[0])
+    if (n_total * n_total // 4) * max(value_range, 1) >= 2 ** 62:
+        raise ValueError(
+            "w1_exact_by_group: (n²/4)·range exceeds the int64 "
+            "exactness envelope — rescale the value column or sample")
+    axis_ref = ray.put((vals, ct, tv))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals_b, ct_b, tv_b = ray.get(axis_ref)
+        g = g.sort_values(value_col)
+        c = g["c"].to_numpy(np.int64)
+        n_a = int(c.sum())
+        n_b = n_total - n_a
+        ca_full = np.zeros(len(vals_b), np.int64)
+        idx = np.searchsorted(vals_b, g[value_col].to_numpy(np.int64))
+        ca_full[idx] = c
+        ca_full = np.cumsum(ca_full)
+        cb_full = ct_b - ca_full
+        diff = np.abs(ca_full[:-1] * np.int64(n_b)
+                      - cb_full[:-1] * np.int64(n_a))
+        gaps = np.diff(vals_b)
+        w1 = int((diff * gaps).sum()) if len(vals_b) > 1 else 0
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "w1_num": np.array([w1], np.int64),
+                             "n_a": np.array([n_a], np.int64),
+                             "n_b": np.array([n_b], np.int64)})
+
+    out = partials.groupby(group_col).map_groups(
+        per_group, batch_format="pandas").to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def exact_quantiles(ds, value_col: str, qs: list[float]) -> dict:
     """EXACT discrete quantiles (DuckDB ``quantile_disc`` semantics:
     the element at 1-indexed rank ``ceil(q·n)``), distributed — the

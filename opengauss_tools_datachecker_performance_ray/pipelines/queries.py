@@ -5796,3 +5796,47 @@ SELECT lang IS NULL AS lang_null, source IS NULL AS source_null,
        count(*) AS n
 FROM t GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def w1_drift_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact Wasserstein-1 drift of each language's n_chars
+    distribution vs the rest — the integrated-drift sibling of
+    `ks_exact_events` (`checks.w1_exact_by_group`; W1 = w1_num /
+    (n_a*n_b) in character units). Integer-exact end to end, so the
+    oracle reproduces it bit-for-bit from cumulative window sums."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return checks.w1_exact_by_group(ds, "lang", "n_chars")
+
+
+W1_DRIFT_DOCUMENTS_SQL = """
+WITH counts AS (
+  SELECT lang AS g, n_chars AS v, count(*) AS c FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2
+),
+axis AS (SELECT v, sum(c) AS tv FROM counts GROUP BY v),
+grp AS (SELECT g, sum(c) AS n_a FROM counts GROUP BY g),
+tot AS (SELECT sum(c) AS n FROM counts),
+grid AS (
+  SELECT gr.g, a.v, a.tv, COALESCE(c.c, 0) AS c
+  FROM grp gr CROSS JOIN axis a
+  LEFT JOIN counts c ON c.g = gr.g AND c.v = a.v
+),
+cums AS (
+  SELECT g, v,
+         sum(c) OVER (PARTITION BY g ORDER BY v) AS ca,
+         sum(tv) OVER (PARTITION BY g ORDER BY v) AS ct,
+         lead(v) OVER (PARTITION BY g ORDER BY v) AS v_next
+  FROM grid
+)
+SELECT c.g AS lang,
+       CAST(COALESCE(sum(abs(c.ca * (t.n - gr.n_a) - (c.ct - c.ca) * gr.n_a)
+                         * (c.v_next - c.v)), 0) AS BIGINT) AS w1_num,
+       CAST(gr.n_a AS BIGINT) AS n_a,
+       CAST(t.n - gr.n_a AS BIGINT) AS n_b
+FROM cums c
+JOIN grp gr ON gr.g = c.g
+CROSS JOIN tot t
+WHERE c.v_next IS NOT NULL
+GROUP BY c.g, gr.n_a, t.n
+ORDER BY lang
+"""
