@@ -198,6 +198,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="max violation rows written per rule")
     r.add_argument("--num-cpus", type=int, default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="metadata-only schema profile (footers: columns, "
+             "DuckDB-vocabulary types, exact row counts — zero data "
+             "read) with an optional null-pattern co-occurrence scan")
+    pr.add_argument("--input", required=True,
+                    help="parquet file/dir, or comma list of "
+                         "name=path entries for a multi-table catalog")
+    pr.add_argument("--schema-out", default=None,
+                    help="write the per-column schema rows as parquet")
+    pr.add_argument("--null-patterns", default=None,
+                    help="comma list of columns: also run the "
+                         "missingness co-occurrence scan (reads ONLY "
+                         "those columns) and print its rows")
+    pr.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
     s.add_argument("--sink", required=True)
@@ -524,6 +540,45 @@ def _run(args) -> int:
             rebuilt.write_parquet(args.out)
             res = {"written": ["*"], "skipped": []}
         print(json.dumps({"result": "success", **res}, default=str))
+        return 0
+    if args.cmd == "profile":
+        from .sources.parquet import schema_profile
+
+        if "=" in args.input:
+            tables = dict(part.split("=", 1)
+                          for part in args.input.split(",") if part)
+        else:
+            base = os.path.basename(args.input.rstrip("/"))
+            tables = {os.path.splitext(base)[0]: args.input}
+        prof = schema_profile(tables)
+        if args.schema_out:
+            os.makedirs(os.path.dirname(args.schema_out) or ".",
+                        exist_ok=True)
+            prof.to_parquet(args.schema_out, index=False)
+        summary = {
+            "result": "success",
+            "tables": len(tables),
+            "columns": len(prof),
+            "total_rows": int(prof.groupby("table_name")["n_rows"]
+                              .first().sum()),
+        }
+        if args.null_patterns:
+            import ray.data as rd
+
+            from .pipelines.checks import null_pattern_profile
+
+            cols = args.null_patterns.split(",")
+            if len(tables) != 1:
+                print(json.dumps({"result": "error",
+                                  "error": "--null-patterns needs a "
+                                           "single-table --input"}),
+                      file=sys.stderr)
+                return 2
+            (path,) = tables.values()
+            pats = null_pattern_profile(
+                rd.read_parquet(path, columns=cols), cols).to_pandas()
+            summary["null_patterns"] = pats.to_dict("records")
+        print(json.dumps(summary, default=str))
         return 0
     if args.cmd == "rules":
         import re

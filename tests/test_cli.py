@@ -636,3 +636,49 @@ class TestRulesFdSpec:
         assert byscope.loc["p", "passed"] == 0
         assert byscope.loc["p", "n_violations"] == 1
         assert byscope.loc["q", "passed"] == 1
+
+
+class TestProfileCli:
+    def test_schema_profile_single_table(self, ray_session, tmp_path,
+                                         capsys):
+        t = pa.table({"k": pa.array([1, 2, None], pa.int64()),
+                      "v": ["a", None, None]})
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        sout = tmp_path / "schema.parquet"
+        rc = main(["profile", "--input", str(inp),
+                   "--schema-out", str(sout),
+                   "--null-patterns", "k,v"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        assert out["tables"] == 1 and out["columns"] == 2
+        assert out["total_rows"] == 3
+        pats = {(p["k_null"], p["v_null"]): p["n"]
+                for p in out["null_patterns"]}
+        assert pats == {(False, False): 1, (False, True): 1,
+                        (True, True): 1}
+        import pandas as pd
+
+        sch = pd.read_parquet(str(sout))
+        assert sch["data_type"].tolist() == ["BIGINT", "VARCHAR"]
+
+    def test_schema_profile_multi_table_catalog(self, ray_session,
+                                                tmp_path, capsys):
+        a = tmp_path / "a.parquet"
+        b = tmp_path / "b.parquet"
+        pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), str(a))
+        pq.write_table(pa.table({"y": ["z"], "w": [1.0]}), str(b))
+        rc = main(["profile", "--input", f"a={a},b={b}"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0
+        assert out["tables"] == 2 and out["columns"] == 3
+        assert out["total_rows"] == 2
+
+    def test_null_patterns_rejects_multi_table(self, ray_session,
+                                               tmp_path, capsys):
+        a = tmp_path / "a.parquet"
+        pq.write_table(pa.table({"x": [1]}), str(a))
+        rc = main(["profile", "--input", f"a={a},b={a}",
+                   "--null-patterns", "x"])
+        assert rc == 2
+        assert "single-table" in capsys.readouterr().err
