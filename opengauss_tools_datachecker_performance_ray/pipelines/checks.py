@@ -1555,6 +1555,89 @@ def exact_quantiles_by_group(ds, group_col: str, value_col: str,
 # ---------------------------------------------------------------------------
 
 
+def iqr_outlier_counts(ds, group_col: str, value_col: str,
+                       k: float = 1.5,
+                       max_fetches: int = 64) -> pd.DataFrame:
+    """Per-group Tukey-fence outlier audit: EXACT q1/q3 (discrete
+    quantiles — elements of the column, via
+    :func:`exact_quantiles_by_group`), fences ``lo = q1 − k·(q3−q1)``
+    / ``hi = q3 + k·(q3−q1)``, and the exact count of finite non-null
+    values outside them — the classic per-partition "does this feed
+    suddenly carry garbage magnitudes" screen. Returns one row per
+    group: (group, q1, q3, n_out, n).
+
+    Parity is by construction: the quantiles are exact ELEMENTS, the
+    fence arithmetic is the identical float64 expression on both
+    engines (k·IQR in the same operation order), and the comparisons
+    are strict on the same values — so even double-typed columns
+    value-match the ``quantile_disc`` SQL oracle bit-for-bit.
+
+    Shuffle shape: pass 1 is the grouped-quantile kernel (distinct
+    (group, value) pairs, bounded fetch); pass 2 re-scans with the
+    per-group fences BROADCAST via ``ray.put`` (one object-store copy,
+    never re-shipped per batch) and pre-reduces (group, n_out, n)
+    inside each batch, so the second shuffle is one tiny row per
+    (block, group). Groups with quantiles past the fetch cap are
+    dropped (the kernel logs the cap)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    qdf = exact_quantiles_by_group(ds, group_col, value_col,
+                                   [0.25, 0.75], max_fetches)
+    piv = qdf.pivot(index=group_col, columns="q",
+                    values="value").dropna()
+    if not len(piv):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "q1": pd.Series(dtype=float),
+                             "q3": pd.Series(dtype=float),
+                             "n_out": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    q1 = piv[0.25].to_numpy()
+    q3 = piv[0.75].to_numpy()
+    iqr = q3 - q1
+    bounds = {g: (q1[i] - k * iqr[i], q3[i] + k * iqr[i])
+              for i, g in enumerate(piv.index)}
+    bounds_ref = ray.put(bounds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.is_finite(v))
+        ok = pc.and_(ok, pc.is_valid(batch.column(group_col)))
+        sub = batch.select([group_col, value_col]).filter(ok)
+        gvals = sub.column(group_col).to_pandas()
+        lo = gvals.map({g: lh[0] for g, lh in b.items()}).to_numpy(float)
+        hi = gvals.map({g: lh[1] for g, lh in b.items()}).to_numpy(float)
+        vv = sub.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(float)
+        keep = ~np.isnan(lo)  # groups past the fetch cap are dropped
+        out_flag = ((vv < lo) | (vv > hi)) & keep
+        t = pa.table({group_col: sub.column(group_col),
+                      "o": pa.array(out_flag),
+                      "k": pa.array(keep)})
+        gb = t.group_by([group_col]).aggregate([("o", "sum"),
+                                                ("k", "sum")])
+        return pa.table({group_col: gb.column(group_col),
+                         "n_out_p": gb.column("o_sum").cast(pa.int64()),
+                         "n_p": gb.column("k_sum").cast(pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col) \
+        .aggregate(Sum("n_out_p", alias_name="n_out"),
+                   Sum("n_p", alias_name="n")).to_pandas()
+    out = piv.reset_index().rename(columns={0.25: "q1", 0.75: "q3"})
+    out = out.merge(agg, on=group_col, how="inner")
+    out = out[out["n"] > 0]
+    out["n_out"] = out["n_out"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[[group_col, "q1", "q3", "n_out", "n"]] \
+        .sort_values(group_col).reset_index(drop=True)
+
+
 def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
                                id_col: str | None = None,
                                label_col: str | None = None,

@@ -5840,3 +5840,37 @@ WHERE c.v_next IS NOT NULL
 GROUP BY c.g, gr.n_a, t.n
 ORDER BY lang
 """
+
+
+def outliers_events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type Tukey-fence (1.5x IQR) outlier audit on value —
+    `checks.iqr_outlier_counts`: exact discrete q1/q3, identical
+    float64 fence arithmetic on both engines, exact outside-fence
+    counts. Double column, still bit-exact vs the quantile_disc
+    oracle (quantiles are ELEMENTS; fences share the expression)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return checks.iqr_outlier_counts(ds, "event_type", "value")
+
+
+OUTLIERS_EVENTS_BY_TYPE_SQL = """
+WITH f AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND isfinite(value)
+    AND event_type IS NOT NULL
+),
+q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM f GROUP BY event_type
+)
+SELECT f.event_type, q.q1, q.q3,
+       CAST(count(*) FILTER (
+           WHERE f.value < q.q1 - 1.5 * (q.q3 - q.q1)
+              OR f.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+           AS n_out,
+       CAST(count(*) AS BIGINT) AS n
+FROM f JOIN q USING (event_type)
+GROUP BY f.event_type, q.q1, q.q3
+ORDER BY f.event_type
+"""

@@ -1,0 +1,83 @@
+"""Per-group Tukey-fence outlier audit (`checks.iqr_outlier_counts`):
+known values, DuckDB parity (incl. double columns), null/NaN hygiene."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from opengauss_tools_datachecker_performance_ray.pipelines import (
+    checks,
+    queries as q,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(df: pd.DataFrame, k: float = 1.5) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(f"""
+        WITH f AS (SELECT g, v FROM t
+                   WHERE v IS NOT NULL AND isfinite(v)
+                     AND g IS NOT NULL),
+        q AS (SELECT g, quantile_disc(v, 0.25) AS q1,
+                     quantile_disc(v, 0.75) AS q3 FROM f GROUP BY g)
+        SELECT f.g, q.q1, q.q3,
+               CAST(count(*) FILTER (
+                   WHERE f.v < q.q1 - {k} * (q.q3 - q.q1)
+                      OR f.v > q.q3 + {k} * (q.q3 - q.q1)) AS BIGINT)
+                   AS n_out,
+               CAST(count(*) AS BIGINT) AS n
+        FROM f JOIN q USING (g)
+        GROUP BY f.g, q.q1, q.q3 ORDER BY f.g""").df()
+
+
+class TestIqrOutlierCounts:
+    def test_known_single_spike(self, ray_session):
+        df = pd.DataFrame({"g": ["a"] * 11,
+                           "v": list(range(10)) + [100]})
+        out = checks.iqr_outlier_counts(rd.from_pandas(df), "g", "v")
+        assert int(out["n_out"].iloc[0]) == 1  # only the 100
+        assert int(out["n"].iloc[0]) == 11
+        pd.testing.assert_frame_equal(
+            out, _oracle(df).rename(columns={"g": "g"}),
+            check_dtype=False)
+
+    def test_matches_oracle_doubles_and_nans(self, ray_session):
+        rng = np.random.default_rng(3)
+        v = rng.normal(50, 5, 200)
+        v[::17] = np.nan
+        v[5] = 1e6
+        v[60] = -1e6
+        df = pd.DataFrame({
+            "g": np.where(np.arange(200) % 2 == 0, "a", "b"),
+            "v": v})
+        out = checks.iqr_outlier_counts(rd.from_pandas(df), "g", "v")
+        orc = _oracle(df)
+        pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+        assert out["n_out"].sum() >= 2  # the injected spikes count
+
+    def test_custom_k_widens_fences(self, ray_session):
+        df = pd.DataFrame({"g": ["a"] * 11,
+                           "v": list(range(10)) + [100]})
+        wide = checks.iqr_outlier_counts(rd.from_pandas(df), "g", "v",
+                                         k=50.0)
+        assert int(wide["n_out"].iloc[0]) == 0
+        pd.testing.assert_frame_equal(wide, _oracle(df, k=50.0),
+                                      check_dtype=False)
+
+    def test_empty_input(self, ray_session):
+        df = pd.DataFrame({"g": pd.Series(dtype=object),
+                           "v": pd.Series(dtype=float)})
+        out = checks.iqr_outlier_counts(rd.from_pandas(df), "g", "v")
+        assert len(out) == 0
+
+    def test_gate_query_matches_oracle(self, ray_session):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        res = q.outliers_events_by_type(SF).reset_index(drop=True)
+        orc = con.execute(q.OUTLIERS_EVENTS_BY_TYPE_SQL).df()
+        pd.testing.assert_frame_equal(res, orc)
