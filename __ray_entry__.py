@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_patterns_documents": q.null_patterns_documents,
         "w1_drift_documents": q.w1_drift_documents,
         "schema_profile_tables": q.schema_profile_tables,
-        "completeness_documents": q.completeness_documents,
+        "outliers_events_by_type": q.outliers_events_by_type,
         # --- round-5 additions (inside the driver window) ---
         "rules_aggregate_documents": q.rules_aggregate_documents,
         "rules_aggregate_v2_documents": q.rules_aggregate_v2_documents,
@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistency_documents": q.consistency_documents,
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
+        "completeness_documents": q.completeness_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_profile_tables": q.SCHEMA_PROFILE_TABLES_SQL,
         "null_patterns_documents": q.NULL_PATTERNS_DOCUMENTS_SQL,
         "w1_drift_documents": q.W1_DRIFT_DOCUMENTS_SQL,
+        "outliers_events_by_type": q.OUTLIERS_EVENTS_BY_TYPE_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }
