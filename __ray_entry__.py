@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rules_events": q.rules_events,
         "rule_violations_events": q.rule_violations_events,
         "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
-        "stratified_sample_documents": q.stratified_sample_documents,
+        "correlation_lineitem": q.correlation_lineitem,
         "chunk_windows_documents": q.chunk_windows_documents,
         "corpus_curation_v6": q.corpus_curation_v6,
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_by_lang": q.top_bigrams_by_lang,
         "freshness_events": q.freshness_events,
         "completeness_documents": q.completeness_documents,
+        "stratified_sample_documents": q.stratified_sample_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "null_patterns_documents": q.NULL_PATTERNS_DOCUMENTS_SQL,
         "w1_drift_documents": q.W1_DRIFT_DOCUMENTS_SQL,
         "outliers_events_by_type": q.OUTLIERS_EVENTS_BY_TYPE_SQL,
+        "correlation_lineitem": q.CORRELATION_LINEITEM_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

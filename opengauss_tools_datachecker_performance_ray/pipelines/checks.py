@@ -1638,6 +1638,102 @@ def iqr_outlier_counts(ds, group_col: str, value_col: str,
         .sort_values(group_col).reset_index(drop=True)
 
 
+def grouped_correlation(ds, group_col: str, x_col: str, y_col: str,
+                        batch_size: int | None = None) -> pd.DataFrame:
+    """Per-group Pearson correlation of two INTEGER columns from
+    EXACT integer moment partials — the derived-column sanity check
+    (a price column that stops tracking quantity, an n_chars that
+    stops tracking text length, shows up as an r collapse per
+    partition). Returns one row per group:
+    (group, n, r) with r = (n·Sxy − Sx·Sy) /
+    (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²)); r is None for degenerate
+    groups (zero variance or n < 2).
+
+    Exactness / parity: per-block Arrow group_by folds the six
+    moments (n, Sx, Sy, Sxx, Syy, Sxy) in int64 — guarded by a
+    per-block bound check that RAISES before any silent wrap — and
+    the driver folds block partials in unbounded Python ints, so the
+    global moments are exact at any scale. The final r is the
+    identical float64 expression on both engines (Python int→float
+    and DuckDB HUGEINT→DOUBLE both round-to-nearest; sqrt is
+    correctly rounded IEEE), so doubles match bit-for-bit.
+
+    Shuffle shape: NONE — one moment row per (block, group) streams
+    to the driver (the reconcile/signature aggregation pattern);
+    float columns raise (floor them to integers upstream, both
+    engines, like the gate query does)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col)
+        y = batch.column(y_col)
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        if not (pa.types.is_integer(x.type) and pa.types.is_integer(y.type)):
+            raise ValueError("grouped_correlation needs integer columns "
+                             "(exact moments); floor floats upstream on "
+                             "both engines")
+        ok = pc.and_(pc.and_(pc.is_valid(x), pc.is_valid(y)),
+                     pc.is_valid(batch.column(group_col)))
+        sub = batch.select([group_col, x_col, y_col]).filter(ok)
+        if sub.num_rows:
+            xv = sub.column(x_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            yv = sub.column(y_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mx = max(int(np.abs(xv).max()), int(np.abs(yv).max()), 1)
+            if len(xv) * mx * mx >= 2 ** 62:
+                raise ValueError(
+                    "grouped_correlation: a block's moment sum could "
+                    "exceed int64 — rescale the columns or shrink "
+                    "batch_size")
+            t = pa.table({group_col: sub.column(group_col),
+                          "x": pa.array(xv), "y": pa.array(yv),
+                          "xx": pa.array(xv * xv),
+                          "yy": pa.array(yv * yv),
+                          "xy": pa.array(xv * yv)})
+        else:
+            t = pa.table({group_col: sub.column(group_col),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "xx": pa.array([], pa.int64()),
+                          "yy": pa.array([], pa.int64()),
+                          "xy": pa.array([], pa.int64())})
+        gb = t.group_by([group_col]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")])
+        return gb.rename_columns([group_col, "n_p", "sx", "sy",
+                                  "sxx", "syy", "sxy"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "r": pd.Series(dtype=float)})
+    rows = []
+    for g, grp in parts.groupby(group_col, sort=True, dropna=False):
+        n = int(grp["n_p"].sum())
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        syy = sum(int(v) for v in grp["syy"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            r = None
+        else:
+            import math
+
+            r = float(n * sxy - sx * sy) / (
+                math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        rows.append({group_col: g, "n": np.int64(n), "r": r})
+    return pd.DataFrame(rows).sort_values(group_col) \
+        .reset_index(drop=True)
+
+
 def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
                                id_col: str | None = None,
                                label_col: str | None = None,

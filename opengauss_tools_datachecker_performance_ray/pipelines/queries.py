@@ -5874,3 +5874,54 @@ FROM f JOIN q USING (event_type)
 GROUP BY f.event_type, q.q1, q.q3
 ORDER BY f.event_type
 """
+
+
+def correlation_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price — the derived-column sanity profile
+    (`checks.grouped_correlation`; price tracks quantity, so a
+    per-partition r collapse flags a broken feed). Both doubles are
+    floored to int64 IDENTICALLY on both engines, making the six
+    moment sums exact and the final r the same float64 expression
+    bit-for-bit."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "qty": pc.cast(pc.floor(batch.column("l_quantity")),
+                           pa.int64()),
+            "price": pc.cast(pc.floor(batch.column("l_extendedprice")),
+                             pa.int64()),
+        })
+
+    return checks.grouped_correlation(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        "l_returnflag", "qty", "price")
+
+
+CORRELATION_LINEITEM_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+                 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM m ORDER BY l_returnflag
+"""
