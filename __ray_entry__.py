@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations_documents": q.fd_violations_documents,
         "knn_ivf_embeddings": q.knn_ivf_embeddings,
         "multimodal_embeddings": q.multimodal_embeddings,
-        "lineitem_rollup": q.lineitem_rollup,
+        "fanout_lineitem_orders": q.fanout_lineitem_orders,
         # streaming-shaped windowed operators (§2.9) + custom joins
         "events_tumbling_window": q.events_tumbling_window,
         "events_sessionization": q.events_sessionization,
@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_events": q.freshness_events,
         "completeness_documents": q.completeness_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
+        "lineitem_rollup": q.lineitem_rollup,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_drift_documents": q.W1_DRIFT_DOCUMENTS_SQL,
         "outliers_events_by_type": q.OUTLIERS_EVENTS_BY_TYPE_SQL,
         "correlation_lineitem": q.CORRELATION_LINEITEM_SQL,
+        "fanout_lineitem_orders": q.FANOUT_LINEITEM_ORDERS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

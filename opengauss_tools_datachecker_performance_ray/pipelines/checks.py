@@ -1638,6 +1638,62 @@ def iqr_outlier_counts(ds, group_col: str, value_col: str,
         .sort_values(group_col).reset_index(drop=True)
 
 
+def fanout_histogram(ds, key_col: str, num_buckets: int = 64,
+                     batch_size: int | None = None) -> pd.DataFrame:
+    """Relationship-cardinality profile: the exact histogram of
+    per-key child counts — one (fanout, n_keys) row per distinct
+    fanout value (how many orders have 1 lineitem, 2, 3, ... — the
+    data-modeling check that catches a fan-out explosion or a
+    silently-dropped child feed; keys with ZERO children don't appear,
+    pair with ``referential_violations`` for those). SQL
+    ``SELECT n, count(*) FROM (SELECT k, count(*) AS n .. GROUP BY k)
+    GROUP BY n``.
+
+    Shuffle shape: the uniqueness-kernel plan — per-block (key, count)
+    partials (combiner) tagged ``hash(key) % num_buckets``, ONE
+    bucketed groupby co-locates each key's partials, the in-bucket
+    reduce folds key totals AND collapses them to its own fanout
+    value_counts, so each bucket emits at most |distinct fanouts|
+    tiny integer rows; a final pandas fold on the driver sums the
+    per-bucket histograms. Null keys are excluded (SQL GROUP BY would
+    make NULL a group; a null FK is a nullability fact, not a fanout —
+    stated on both engines via ``WHERE k IS NOT NULL``)."""
+    from ..functions import hashing
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        sub = batch.select([key_col]).filter(pc.is_valid(k))
+        gb = sub.group_by([key_col]).aggregate([([], "count_all")])
+        gb = gb.rename_columns([key_col, "n_part"])
+        kv = gb.column(key_col)
+        if not pa.types.is_large_string(kv.type):
+            kv = kv.cast(pa.string()).cast(pa.large_string())
+        kh = hashing.hash64(kv)
+        return gb.append_column(
+            "ubucket",
+            pa.array((kh % np.uint64(num_buckets)).astype(np.int32)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(key_col, sort=False)["n_part"].sum()
+        hist = tot.value_counts()
+        return pd.DataFrame({"fanout": hist.index.to_numpy(np.int64),
+                             "n_keys": hist.to_numpy(np.int64)})
+
+    out = partials.groupby("ubucket").map_groups(
+        reduce, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({"fanout": pd.Series(dtype=np.int64),
+                             "n_keys": pd.Series(dtype=np.int64)})
+    final = out.groupby("fanout", sort=True)["n_keys"].sum() \
+        .reset_index()
+    final["fanout"] = final["fanout"].astype(np.int64)
+    final["n_keys"] = final["n_keys"].astype(np.int64)
+    return final.reset_index(drop=True)
+
+
 def grouped_correlation(ds, group_col: str, x_col: str, y_col: str,
                         batch_size: int | None = None) -> pd.DataFrame:
     """Per-group Pearson correlation of two INTEGER columns from

@@ -5925,3 +5925,24 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        END AS r
 FROM m ORDER BY l_returnflag
 """
+
+
+def fanout_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Exact lineitem-per-order fanout histogram
+    (`checks.fanout_histogram`) — the relationship-cardinality
+    profile: (fanout, n_keys) rows, e.g. how many orders carry 1, 2,
+    ... line items. A fan-out explosion or a dropped child feed moves
+    this distribution before any row-level check fires."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return checks.fanout_histogram(ds, "l_orderkey")
+
+
+FANOUT_LINEITEM_ORDERS_SQL = """
+SELECT n AS fanout, CAST(count(*) AS BIGINT) AS n_keys
+FROM (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  GROUP BY l_orderkey
+)
+GROUP BY n ORDER BY n
+"""

@@ -81,3 +81,39 @@ class TestIqrOutlierCounts:
         res = q.outliers_events_by_type(SF).reset_index(drop=True)
         orc = con.execute(q.OUTLIERS_EVENTS_BY_TYPE_SQL).df()
         pd.testing.assert_frame_equal(res, orc)
+
+
+class TestFanoutHistogram:
+    """`checks.fanout_histogram` — per-key child-count histogram."""
+
+    def test_known_fanouts(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": ["a", "a", "a", "b", "b", "c", None]})
+        out = checks.fanout_histogram(rd.from_pandas(df), "k")
+        assert out.values.tolist() == [[1, 1], [2, 1], [3, 1]]
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": pd.Series(dtype=object)})
+        out = checks.fanout_histogram(rd.from_pandas(df), "k")
+        assert len(out) == 0
+
+    def test_cross_block_key_totals(self, ray_session):
+        """A key split across blocks folds to ONE total before the
+        histogram (the bucketed groupby co-locates its partials)."""
+        import ray.data as rd
+
+        df = pd.DataFrame({"k": ["x"] * 100 + ["y"]})
+        ds = rd.from_pandas(df).repartition(8)
+        out = checks.fanout_histogram(ds, "k")
+        assert out.values.tolist() == [[1, 1], [100, 1]]
+
+    def test_gate_query_matches_oracle(self, ray_session):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{SF}/lineitem.parquet')")
+        res = q.fanout_lineitem_orders(SF).reset_index(drop=True)
+        orc = con.execute(q.FANOUT_LINEITEM_ORDERS_SQL).df()
+        pd.testing.assert_frame_equal(res, orc)
