@@ -88,3 +88,24 @@ class TestGroupedCorrelation:
         res = q.correlation_lineitem(SF).reset_index(drop=True)
         orc = con.execute(q.CORRELATION_LINEITEM_SQL).df()
         pd.testing.assert_frame_equal(res, orc)
+
+
+class TestCorrelationMetamorphic:
+    def test_sign_flip_negates_r(self, ray_session):
+        rng = np.random.default_rng(13)
+        x = rng.integers(0, 100, 80)
+        y = (3 * x + rng.integers(-20, 20, 80)).astype(np.int64)
+        df = pd.DataFrame({"g": ["a"] * 80, "x": x, "y": y})
+        r_pos = float(_run(df)["r"].iloc[0])
+        r_neg = float(_run(df.assign(y=-df["y"]))["r"].iloc[0])
+        assert abs(r_pos + r_neg) < 1e-12
+
+    def test_affine_invariance(self, ray_session):
+        rng = np.random.default_rng(17)
+        x = rng.integers(0, 50, 60)
+        y = (2 * x + rng.integers(-5, 5, 60)).astype(np.int64)
+        df = pd.DataFrame({"g": ["a"] * 60, "x": x, "y": y})
+        base = float(_run(df)["r"].iloc[0])
+        tr = float(_run(df.assign(x=3 * df["x"] + 7,
+                                  y=5 * df["y"] - 11))["r"].iloc[0])
+        assert abs(base - tr) < 1e-12

@@ -117,3 +117,19 @@ class TestFanoutHistogram:
         res = q.fanout_lineitem_orders(SF).reset_index(drop=True)
         orc = con.execute(q.FANOUT_LINEITEM_ORDERS_SQL).df()
         pd.testing.assert_frame_equal(res, orc)
+
+
+class TestOutlierMetamorphic:
+    def test_shift_invariance(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "g": ["a"] * 60,
+            "v": np.r_[rng.integers(0, 20, 58), [500, -500]]
+                 .astype(float)})
+        base = checks.iqr_outlier_counts(rd.from_pandas(df), "g", "v")
+        shifted = checks.iqr_outlier_counts(
+            rd.from_pandas(df.assign(v=df["v"] + 250.0)), "g", "v")
+        assert shifted["n_out"].tolist() == base["n_out"].tolist()
+        assert shifted["n"].tolist() == base["n"].tolist()

@@ -94,3 +94,24 @@ class TestW1ExactByGroup:
             assert int(out.loc["a", "w1_num"]) == _naive_w1_num(a, b)
 
         check()
+
+
+class TestW1Metamorphic:
+    """Metamorphic invariances of the exact W1 statistic."""
+
+    def test_shift_invariance(self, ray_session):
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 40, 30).tolist()
+        b = rng.integers(20, 60, 50).tolist()
+        df = pd.DataFrame({"g": ["a"] * 30 + ["b"] * 50, "v": a + b})
+        base = _run(df).set_index("g")["w1_num"]
+        shifted = df.assign(v=df["v"] + 1000)
+        out = _run(shifted).set_index("g")["w1_num"]
+        assert out.equals(base)
+
+    def test_integer_scale_scales_w1(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a", "b", "b", "b"],
+                           "v": [1, 5, 2, 7, 9]})
+        base = _run(df).set_index("g")["w1_num"]
+        out = _run(df.assign(v=df["v"] * 7)).set_index("g")["w1_num"]
+        assert (out == base * 7).all()
