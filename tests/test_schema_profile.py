@@ -158,3 +158,15 @@ class TestNullPatternProfile:
         res = q.null_patterns_documents(SF).reset_index(drop=True)
         orc = con.execute(q.NULL_PATTERNS_DOCUMENTS_SQL).df()
         pd.testing.assert_frame_equal(res, orc)
+
+
+def test_null_pattern_empty_input(ray_session):
+    import ray.data as rd
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        checks,
+    )
+    df = pd.DataFrame({"a": pd.Series(dtype="Int64"),
+                       "b": pd.Series(dtype=object)})
+    out = checks.null_pattern_profile(rd.from_pandas(df), ["a", "b"])
+    assert out.count() == 0

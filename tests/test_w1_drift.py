@@ -115,3 +115,11 @@ class TestW1Metamorphic:
         base = _run(df).set_index("g")["w1_num"]
         out = _run(df.assign(v=df["v"] * 7)).set_index("g")["w1_num"]
         assert (out == base * 7).all()
+
+
+def test_w1_empty_input(ray_session):
+    df = pd.DataFrame({"g": pd.Series(dtype=object),
+                       "v": pd.Series(dtype="Int64")})
+    out = _run(df)
+    assert len(out) == 0
+    assert list(out.columns) == ["g", "w1_num", "n_a", "n_b"]
