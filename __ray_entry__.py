@@ -53,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_profile_documents": q.winnowing_profile_documents,
         "vocabulary_documents": q.vocabulary_documents,
         "benford_digits_orders": q.benford_digits_orders,
-        "redact_events_props": q.redact_events_props,
+        "format_profile_strings": q.format_profile_strings,
         # declarative constraint-rule engine
         "rules_documents": q.rules_documents,
         "rules_events": q.rules_events,
@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_documents": q.completeness_documents,
         "stratified_sample_documents": q.stratified_sample_documents,
         "lineitem_rollup": q.lineitem_rollup,
+        "redact_events_props": q.redact_events_props,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_events_by_type": q.OUTLIERS_EVENTS_BY_TYPE_SQL,
         "correlation_lineitem": q.CORRELATION_LINEITEM_SQL,
         "fanout_lineitem_orders": q.FANOUT_LINEITEM_ORDERS_SQL,
+        "format_profile_strings": q.FORMAT_PROFILE_STRINGS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

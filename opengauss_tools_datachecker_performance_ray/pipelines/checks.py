@@ -1638,6 +1638,97 @@ def iqr_outlier_counts(ds, group_col: str, value_col: str,
         .sort_values(group_col).reset_index(drop=True)
 
 
+# Ordered first-match format classes — ONE registry drives both the
+# Arrow kernel and the generated SQL CASE chain, so parity is by
+# construction. Patterns are ^$-anchored RE2 in the shared
+# python-re/Arrow-re2/DuckDB-re2 subset; search + anchors ==
+# fullmatch on all three engines.
+FORMAT_CLASSES: list[tuple[str, str]] = [
+    ("empty", r"^$"),
+    ("int", r"^[+-]?[0-9]+$"),
+    # int wins first, so the integer-mantissa branch here only
+    # catches exponent forms like 1e9
+    ("float",
+     r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("uuid", r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+             r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    ("json_object", r"^\{[\s\S]*\}$"),
+    ("token", r"^[A-Za-z0-9#_\-\.]+$"),
+    ("words", r"^[A-Za-z0-9#_\-\.]+( [A-Za-z0-9#_\-\.]+)+$"),
+]
+
+
+def format_case_sql(value_expr: str) -> str:
+    """The SQL spelling of the SAME ordered first-match classifier
+    (CASE evaluates in order, exactly like the kernel's unassigned
+    mask)."""
+    whens = "\n".join(
+        f"  WHEN regexp_matches({value_expr}, '{pat}') THEN '{name}'"
+        for name, pat in FORMAT_CLASSES)
+    return f"CASE\n{whens}\n  ELSE 'other' END"
+
+
+def format_profile(ds, columns: list[str],
+                   batch_size: int | None = None) -> pd.DataFrame:
+    """Format-inference profile of string columns: classify every
+    non-null value into the FIRST matching :data:`FORMAT_CLASSES`
+    pattern (``other`` as the residual) and count per (column,
+    format) — the schema-inference validator (a column that is 99%
+    ``int``-shaped strings and 1% ``other`` is a typing bug surfaced;
+    the reference trusts JDBC types, a lakehouse can't). Returns
+    (col, format, n) rows; nulls are excluded (nullability is
+    ``not_null``'s job, stated on both engines).
+
+    Shuffle shape: per-block, each class mask is ONE vectorized RE2
+    pass over the still-unassigned values; the block emits at most
+    |columns|·|classes| partial count rows, folded by one tiny
+    groupby. Text never shuffles."""
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_col, out_fmt, out_n = [], [], []
+        for c in cols:
+            v = batch.column(c)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            v = v.filter(pc.is_valid(v))
+            if len(v) == 0:
+                continue
+            unassigned = np.ones(len(v), dtype=bool)
+            for name, pat in FORMAT_CLASSES:
+                m = pc.match_substring_regex(v, pat).to_numpy(
+                    zero_copy_only=False)
+                hit = m & unassigned
+                n = int(hit.sum())
+                if n:
+                    out_col.append(c)
+                    out_fmt.append(name)
+                    out_n.append(n)
+                unassigned &= ~m
+            rest = int(unassigned.sum())
+            if rest:
+                out_col.append(c)
+                out_fmt.append("other")
+                out_n.append(rest)
+        return pa.table({"col": pa.array(out_col, pa.string()),
+                         "format": pa.array(out_fmt, pa.string()),
+                         "n_p": pa.array(np.asarray(out_n, np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=batch_size) \
+        .groupby(["col", "format"]) \
+        .aggregate(Sum("n_p", alias_name="n")).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"col": pd.Series(dtype=object),
+                             "format": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["col", "format"]).reset_index(drop=True)
+
+
 def fanout_histogram(ds, key_col: str, num_buckets: int = 64,
                      batch_size: int | None = None) -> pd.DataFrame:
     """Relationship-cardinality profile: the exact histogram of

@@ -5946,3 +5946,40 @@ FROM (
 )
 GROUP BY n ORDER BY n
 """
+
+
+def format_profile_strings(sf_dir: str) -> pd.DataFrame:
+    """Format-inference profile (`checks.format_profile`) across four
+    string columns of three tables — the schema-inference validator:
+    every non-null value classified into the FIRST matching ordered
+    format class (int / float / date / json_object / token / words /
+    ... / other), counts per (table.column, format). The SQL oracle's
+    CASE chain is GENERATED from the same `checks.FORMAT_CLASSES`
+    registry, so parity is by construction."""
+    frames = []
+    for table, col in [("customer", "c_name"),
+                       ("orders", "o_orderpriority"),
+                       ("part", "p_name"),
+                       ("events", "props")]:
+        prof = checks.format_profile(_read(sf_dir, table, [col]), [col])
+        prof["col"] = f"{table}.{col}"
+        frames.append(prof)
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values(["col", "format"]).reset_index(drop=True)
+
+
+def _format_profile_oracle_sql() -> str:
+    from .checks import format_case_sql
+
+    legs = "\nUNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS col, {format_case_sql(c)} AS format,\n"
+        f"       CAST(count(*) AS BIGINT) AS n\n"
+        f"FROM {t} WHERE {c} IS NOT NULL GROUP BY 2"
+        for t, c in [("customer", "c_name"),
+                     ("orders", "o_orderpriority"),
+                     ("part", "p_name"),
+                     ("events", "props")])
+    return legs + "\nORDER BY col, format"
+
+
+FORMAT_PROFILE_STRINGS_SQL = _format_profile_oracle_sql()
