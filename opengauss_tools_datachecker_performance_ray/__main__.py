@@ -212,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of columns: also run the "
                          "missingness co-occurrence scan (reads ONLY "
                          "those columns) and print its rows")
+    pr.add_argument("--formats", default=None,
+                    help="comma list of string columns: also run the "
+                         "format-inference profile (first-match "
+                         "format classes per column) and print its "
+                         "rows")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("schema", help="validate a schema of table pairs")
@@ -562,22 +567,33 @@ def _run(args) -> int:
             "total_rows": int(prof.groupby("table_name")["n_rows"]
                               .first().sum()),
         }
-        if args.null_patterns:
+        if args.null_patterns or args.formats:
             import ray.data as rd
 
-            from .pipelines.checks import null_pattern_profile
+            from .pipelines.checks import (
+                format_profile,
+                null_pattern_profile,
+            )
 
-            cols = args.null_patterns.split(",")
             if len(tables) != 1:
                 print(json.dumps({"result": "error",
-                                  "error": "--null-patterns needs a "
-                                           "single-table --input"}),
+                                  "error": "--null-patterns/--formats "
+                                           "need a single-table "
+                                           "--input"}),
                       file=sys.stderr)
                 return 2
             (path,) = tables.values()
-            pats = null_pattern_profile(
-                rd.read_parquet(path, columns=cols), cols).to_pandas()
-            summary["null_patterns"] = pats.to_dict("records")
+            if args.null_patterns:
+                cols = args.null_patterns.split(",")
+                pats = null_pattern_profile(
+                    rd.read_parquet(path, columns=cols),
+                    cols).to_pandas()
+                summary["null_patterns"] = pats.to_dict("records")
+            if args.formats:
+                cols = args.formats.split(",")
+                fmts = format_profile(
+                    rd.read_parquet(path, columns=cols), cols)
+                summary["formats"] = fmts.to_dict("records")
         print(json.dumps(summary, default=str))
         return 0
     if args.cmd == "rules":

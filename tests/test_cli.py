@@ -682,3 +682,13 @@ class TestProfileCli:
                    "--null-patterns", "x"])
         assert rc == 2
         assert "single-table" in capsys.readouterr().err
+
+    def test_formats_flag(self, ray_session, tmp_path, capsys):
+        t = pa.table({"s": ["42", "x y", "2024-01-01", None]})
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        rc = main(["profile", "--input", str(inp), "--formats", "s"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0
+        fmts = {f["format"]: f["n"] for f in out["formats"]}
+        assert fmts == {"int": 1, "words": 1, "date": 1}
