@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_order": q.events_asof_last_order,
         "events_range_join_orders": q.events_range_join_orders,
         # canonicalization, quality filter, retrieval, JSONL round-trip
-        "normalize_text_documents": q.normalize_text_documents,
+        "manifest_verify_orders": q.manifest_verify_orders,
         "corpus_curation_v5": q.corpus_curation_v5,
         "gopher_filter_documents": q.gopher_filter_documents,
         "rules_fd_by_lang_documents": q.rules_fd_by_lang_documents,
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": q.stratified_sample_documents,
         "lineitem_rollup": q.lineitem_rollup,
         "redact_events_props": q.redact_events_props,
+        "normalize_text_documents": q.normalize_text_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "correlation_lineitem": q.CORRELATION_LINEITEM_SQL,
         "fanout_lineitem_orders": q.FANOUT_LINEITEM_ORDERS_SQL,
         "format_profile_strings": q.FORMAT_PROFILE_STRINGS_SQL,
+        "manifest_verify_orders": q.MANIFEST_VERIFY_ORDERS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

@@ -219,6 +219,30 @@ def main(argv: list[str] | None = None) -> int:
                          "rows")
     pr.add_argument("--num-cpus", type=int, default=None)
 
+    fp = sub.add_parser(
+        "fingerprint",
+        help="write a portable digest manifest of one table "
+             "(per-partition Merkle signatures -> parquet; verify any "
+             "later copy with verify-manifest, no live source needed)")
+    fp.add_argument("--input", required=True,
+                    help="parquet file or directory")
+    fp.add_argument("--keys", required=True,
+                    help="key column, or col1+col2 for composite")
+    fp.add_argument("--out", required=True, help="manifest directory")
+    fp.add_argument("--table", default=None)
+    fp.add_argument("--num-cpus", type=int, default=None)
+
+    vm = sub.add_parser(
+        "verify-manifest",
+        help="verify a table against a fingerprint manifest "
+             "(exit 0 clean / 1 dirty)")
+    vm.add_argument("--input", required=True)
+    vm.add_argument("--manifest", required=True,
+                    help="directory written by fingerprint")
+    vm.add_argument("--verdicts-out", default=None,
+                    help="write dirty-partition rows as parquet here")
+    vm.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
     s.add_argument("--sink", required=True)
@@ -546,6 +570,32 @@ def _run(args) -> int:
             res = {"written": ["*"], "skipped": []}
         print(json.dumps({"result": "success", **res}, default=str))
         return 0
+    if args.cmd == "fingerprint":
+        from .sources.parquet import load_table_meta, read_table
+        from .stages import manifest as M
+        from .stages.digest import DigestConfig
+
+        meta = load_table_meta(args.input)
+        keys = tuple(args.keys.split("+"))
+        cfg = DigestConfig.for_rows(keys, meta.num_rows)
+        out = M.write_manifest(
+            read_table(args.input), cfg, args.out,
+            table=args.table or meta.name)
+        print(json.dumps({"result": "success", **out}))
+        return 0
+    if args.cmd == "verify-manifest":
+        from .sources.parquet import read_table
+        from .stages import manifest as M
+
+        res = M.verify_against_manifest(read_table(args.input),
+                                        args.manifest)
+        verdicts = res.pop("verdicts")
+        if args.verdicts_out:
+            os.makedirs(os.path.dirname(args.verdicts_out) or ".",
+                        exist_ok=True)
+            verdicts.to_parquet(args.verdicts_out, index=False)
+        print(json.dumps(res))
+        return 0 if res["result"] == "success" else 1
     if args.cmd == "profile":
         from .sources.parquet import schema_profile
 

@@ -5983,3 +5983,61 @@ def _format_profile_oracle_sql() -> str:
 
 
 FORMAT_PROFILE_STRINGS_SQL = _format_profile_oracle_sql()
+
+
+def manifest_verify_orders(sf_dir: str) -> pd.DataFrame:
+    """Portable-manifest temporal verification
+    (`stages/manifest.py`): fingerprint orders ONCE to parquet
+    signatures, then verify (a) the same table — clean — and (b) the
+    standard mutated sink — dirty — against that manifest alone, no
+    live source side. One row per case: (caso, result, manifest_rows,
+    live_rows, dirty). Partition/bucket-level exactness is pinned by
+    pytest fault injection; the SQL oracle value-matches the row
+    counts from the generating predicates plus the verdict literals."""
+    import shutil
+    import tempfile
+
+    from ..stages import manifest as M
+
+    n = _num_rows(sf_dir, "orders")
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=64)
+    d = tempfile.mkdtemp(prefix="manifest_orders_", dir="/tmp")
+    try:
+        M.write_manifest(_read(sf_dir, "orders", ORDER_COLS), cfg, d,
+                         table="orders")
+        clean = M.verify_against_manifest(
+            _read(sf_dir, "orders", ORDER_COLS), d)
+        dirty = M.verify_against_manifest(
+            _read(sf_dir, "orders", ORDER_COLS)
+            .map_batches(_orders_sink_batch, batch_format="pyarrow"), d)
+        rows = [
+            {"caso": "clean", "result": clean["result"],
+             "manifest_rows": np.int64(clean["manifestRows"]),
+             "live_rows": np.int64(clean["liveRows"]),
+             "dirty": clean["dirtyPartitions"] > 0},
+            {"caso": "mutated", "result": dirty["result"],
+             "manifest_rows": np.int64(dirty["manifestRows"]),
+             "live_rows": np.int64(dirty["liveRows"]),
+             "dirty": dirty["dirtyPartitions"] > 0},
+        ]
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+MANIFEST_VERIFY_ORDERS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+m AS (SELECT CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) +
+             count(*) FILTER (WHERE o_orderkey % 101 = 0) AS BIGINT)
+          AS n_mut FROM orders)
+SELECT 'clean' AS caso, 'success' AS result,
+       n.n_rows AS manifest_rows, n.n_rows AS live_rows,
+       FALSE AS dirty
+FROM n
+UNION ALL
+SELECT 'mutated', 'failed', n.n_rows, m.n_mut, TRUE
+FROM n, m
+ORDER BY caso
+"""

@@ -1,0 +1,117 @@
+"""Portable digest manifests (`stages/manifest.py`): write → verify
+round-trip, fault injection at partition/bucket granularity, version
+guard, and the fingerprint / verify-manifest CLI."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from opengauss_tools_datachecker_performance_ray.__main__ import main
+from opengauss_tools_datachecker_performance_ray.stages import (
+    manifest as M,
+)
+from opengauss_tools_datachecker_performance_ray.stages.digest import (
+    DigestConfig,
+)
+
+
+def _table(n=2000, bump=None, drop=None):
+    k = np.arange(n, dtype=np.int64)
+    v = (k * 31 % 997).astype(np.int64)
+    if bump is not None:
+        v = v.copy()
+        v[bump] += 1
+    df = pd.DataFrame({"k": k, "v": v})
+    if drop is not None:
+        df = df[df["k"] != drop]
+    return df
+
+
+CFG = DigestConfig(key_columns=("k",), num_partitions=8,
+                   buckets_per_partition=16)
+
+
+class TestManifest:
+    def test_clean_roundtrip(self, ray_session, tmp_path):
+        d = str(tmp_path / "man")
+        meta = M.write_manifest(rd.from_pandas(_table()), CFG, d,
+                                table="t")
+        assert meta["n_rows"] == 2000
+        res = M.verify_against_manifest(rd.from_pandas(_table()), d)
+        assert res["result"] == "success"
+        assert res["dirtyPartitions"] == 0 and len(res["verdicts"]) == 0
+        assert res["manifestRows"] == res["liveRows"] == 2000
+
+    def test_single_value_mutation_isolated(self, ray_session,
+                                            tmp_path):
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        res = M.verify_against_manifest(
+            rd.from_pandas(_table(bump=1234)), d)
+        assert res["result"] == "failed"
+        # exactly one partition, >=1 bucket, row counts EQUAL
+        assert res["dirtyPartitions"] == 1
+        assert res["diffBuckets"] >= 1
+        v = res["verdicts"]
+        assert int(v["manifest_rows"].iloc[0]) == \
+            int(v["live_rows"].iloc[0])
+
+    def test_deleted_row_changes_counts(self, ray_session, tmp_path):
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        res = M.verify_against_manifest(
+            rd.from_pandas(_table(drop=77)), d)
+        assert res["result"] == "failed"
+        assert res["liveRows"] == 1999
+        v = res["verdicts"]
+        assert (v["manifest_rows"] - v["live_rows"]).sum() == 1
+
+    def test_version_guard(self, ray_session, tmp_path):
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        p = tmp_path / "man" / "manifest.json"
+        meta = json.loads(p.read_text())
+        meta["version"] = 99
+        p.write_text(json.dumps(meta))
+        with pytest.raises(ValueError):
+            M.read_manifest(d)
+
+    def test_config_roundtrips_through_json(self, ray_session,
+                                            tmp_path):
+        d = str(tmp_path / "man")
+        cfg = DigestConfig(key_columns=("k",), compare_columns=("v",),
+                           num_partitions=4, buckets_per_partition=8)
+        M.write_manifest(rd.from_pandas(_table()), cfg, d)
+        _, back, _ = M.read_manifest(d)
+        assert back == cfg
+
+
+class TestManifestCli:
+    def test_fingerprint_then_verify(self, ray_session, tmp_path,
+                                     capsys):
+        inp = tmp_path / "t.parquet"
+        pq.write_table(pa.table(_table()), str(inp))
+        man = str(tmp_path / "man")
+        rc = main(["fingerprint", "--input", str(inp), "--keys", "k",
+                   "--out", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["n_rows"] == 2000
+        rc = main(["verify-manifest", "--input", str(inp),
+                   "--manifest", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        # a mutated copy fails with exit 1 + verdict parquet
+        mut = tmp_path / "mut.parquet"
+        pq.write_table(pa.table(_table(bump=5)), str(mut))
+        vout = str(tmp_path / "verdicts.parquet")
+        rc = main(["verify-manifest", "--input", str(mut),
+                   "--manifest", man, "--verdicts-out", vout])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "failed"
+        v = pd.read_parquet(vout)
+        assert len(v) >= 1 and "n_diff_buckets" in v.columns
