@@ -39,17 +39,8 @@ from . import compare as cmp
 MANIFEST_VERSION = 1
 
 
-def write_manifest(ds, cfg: DigestConfig, out_dir: str,
-                   table: str = "table",
-                   batch_size: int | None = None) -> dict:
-    """Digest ``ds`` with ``cfg`` (ONE fused streaming scan — the
-    flagship signature path) and persist the per-partition signature
-    frame + config under ``out_dir``. Returns the summary dict."""
-    sigs = cmp.partition_signatures(
-        digest_dataset(ds, cfg, batch_size), cfg)
-    os.makedirs(out_dir, exist_ok=True)
-    n_rows = int(sigs["rows"].sum()) if len(sigs) else 0
-    t = pa.table({
+def _sig_frame_to_arrow(sigs: pd.DataFrame) -> pa.Table:
+    return pa.table({
         "part": pa.array(sigs["part"].to_numpy(np.int64)),
         "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
         "root": pa.array(sigs["root"].to_numpy(np.uint64)
@@ -59,9 +50,10 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
         "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
         "counts": pa.array(list(sigs["counts"]), pa.binary()),
     })
-    tmp = os.path.join(out_dir, "signatures.parquet.tmp")
-    pq.write_table(t, tmp)
-    os.replace(tmp, os.path.join(out_dir, "signatures.parquet"))
+
+
+def _write_meta(out_dir: str, cfg: DigestConfig, table: str,
+                n_rows: int) -> dict:
     meta = {
         "version": MANIFEST_VERSION,
         "table": table,
@@ -79,24 +71,85 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
     return meta
 
 
-def read_manifest(out_dir: str) -> tuple[pd.DataFrame, DigestConfig,
-                                         dict]:
+def write_manifest(ds, cfg: DigestConfig, out_dir: str,
+                   table: str = "table",
+                   batch_size: int | None = None,
+                   distributed: bool = False) -> dict:
+    """Digest ``ds`` with ``cfg`` (ONE fused streaming scan — the
+    flagship signature path) and persist the per-partition signature
+    frame + config under ``out_dir``. Returns the summary dict.
+
+    ``distributed=True`` is the 10^12-row route: the signature reduce
+    runs as a Ray ``groupby(part)`` (one row per partition with its
+    dense blobs) and streams straight to SHARDED parquet under
+    ``out_dir/signatures/`` — the driver never holds a leaf blob
+    (at 10^6 partitions x 32k buckets the blobs are ~256 GB; the
+    driver route would materialize them all). ``n_rows`` is then
+    folded from a pruned re-read of the written rows column."""
+    os.makedirs(out_dir, exist_ok=True)
+    if distributed:
+        import ray.data as rd
+
+        sig_ds = cmp.partition_signatures_distributed(
+            digest_dataset(ds, cfg, batch_size), cfg)
+        sig_dir = os.path.join(out_dir, "signatures")
+        os.makedirs(sig_dir, exist_ok=True)
+        sig_ds.map_batches(
+            lambda g: _sig_frame_to_arrow(g),
+            batch_format="pandas").write_parquet(sig_dir)
+        n_rows = int(rd.read_parquet(sig_dir, columns=["rows"])
+                     .sum("rows") or 0)
+        return _write_meta(out_dir, cfg, table, n_rows)
+    sigs = cmp.partition_signatures(
+        digest_dataset(ds, cfg, batch_size), cfg)
+    n_rows = int(sigs["rows"].sum()) if len(sigs) else 0
+    t = _sig_frame_to_arrow(sigs)
+    tmp = os.path.join(out_dir, "signatures.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir, "signatures.parquet"))
+    return _write_meta(out_dir, cfg, table, n_rows)
+
+
+def _sig_path(out_dir: str) -> str:
+    """Single-file (driver route) or sharded-directory (distributed
+    route) signature store — both read through pyarrow transparently."""
+    f = os.path.join(out_dir, "signatures.parquet")
+    return f if os.path.exists(f) else os.path.join(out_dir,
+                                                    "signatures")
+
+
+def _frame_from_table(t: pa.Table) -> pd.DataFrame:
+    return pd.DataFrame({
+        "part": t.column("part").to_numpy(),
+        "rows": t.column("rows").to_numpy(),
+        "root": t.column("root").to_numpy().view(np.uint64),
+        "croot": t.column("croot").to_numpy().view(np.uint64),
+        "leaves": (t.column("leaves").to_pylist()
+                   if "leaves" in t.column_names else None),
+        "counts": (t.column("counts").to_pylist()
+                   if "counts" in t.column_names else None),
+    })
+
+
+def read_manifest(out_dir: str, scalars_only: bool = False
+                  ) -> tuple[pd.DataFrame, DigestConfig, dict]:
     """Load (signature frame, DigestConfig, meta) from a manifest
-    directory; raises on version drift."""
+    directory; raises on version drift. ``scalars_only=True`` skips
+    the leaf/count blobs (24 B per partition instead of the full
+    bucket arrays — the verify path's first pass; blobs come back as
+    None columns)."""
     with open(os.path.join(out_dir, "manifest.json")) as f:
         meta = json.load(f)
     if meta.get("version") != MANIFEST_VERSION:
         raise ValueError(f"manifest version {meta.get('version')} != "
                          f"{MANIFEST_VERSION}")
-    t = pq.read_table(os.path.join(out_dir, "signatures.parquet"))
-    sigs = pd.DataFrame({
-        "part": t.column("part").to_numpy(),
-        "rows": t.column("rows").to_numpy(),
-        "root": t.column("root").to_numpy().view(np.uint64),
-        "croot": t.column("croot").to_numpy().view(np.uint64),
-        "leaves": t.column("leaves").to_pylist(),
-        "counts": t.column("counts").to_pylist(),
-    })
+    cols = (["part", "rows", "root", "croot"] if scalars_only
+            else None)
+    t = pq.read_table(_sig_path(out_dir), columns=cols)
+    sigs = _frame_from_table(t)
+    if scalars_only:
+        sigs["leaves"] = None
+        sigs["counts"] = None
     cfg = DigestConfig(
         key_columns=tuple(meta["key_columns"]),
         compare_columns=(tuple(meta["compare_columns"])
@@ -114,9 +167,30 @@ def verify_against_manifest(ds, manifest_dir: str,
     "diffBuckets", "manifestRows", "liveRows", "verdicts"}`` where
     ``verdicts`` is one row per DIRTY partition (part, manifest_rows,
     live_rows, n_diff_buckets) — clean runs carry an empty frame."""
-    man_sigs, cfg, meta = read_manifest(manifest_dir)
+    # two-phase read: scalar columns first (24 B/partition), then the
+    # dense leaf blobs ONLY for partitions the scalar pass marked
+    # dirty — at 10^6 partitions the clean-path verify never lifts a
+    # blob off storage (mirrors compare's sparse distributed route)
+    man_sigs, cfg, meta = read_manifest(manifest_dir,
+                                        scalars_only=True)
     live = cmp.partition_signatures(
         digest_dataset(ds, cfg, batch_size), cfg)
+    pre = cmp.compare_signatures(man_sigs, live, cfg)
+    dirty_parts = [d.part for d in pre
+                   if len(d.diff_buckets) or d.src_rows != d.snk_rows]
+    if dirty_parts:
+        blobs = _frame_from_table(pq.read_table(
+            _sig_path(manifest_dir),
+            filters=[("part", "in", dirty_parts)]))
+        # graft the dirty partitions' blobs into the full scalar
+        # frame — clean partitions keep None blobs (never compared)
+        by_part = blobs.set_index("part")
+        idx = man_sigs.index[man_sigs["part"].isin(by_part.index)]
+        man_sigs = man_sigs.copy()
+        for i in idx:
+            p = man_sigs.at[i, "part"]
+            man_sigs.at[i, "leaves"] = by_part.at[p, "leaves"]
+            man_sigs.at[i, "counts"] = by_part.at[p, "counts"]
     diffs = cmp.compare_signatures(man_sigs, live, cfg)
     dirty = [d for d in diffs if len(d.diff_buckets)
              or d.src_rows != d.snk_rows]

@@ -115,3 +115,51 @@ class TestManifestCli:
         assert rc == 1 and out["result"] == "failed"
         v = pd.read_parquet(vout)
         assert len(v) >= 1 and "n_diff_buckets" in v.columns
+
+
+class TestDistributedManifest:
+    def test_distributed_write_equals_driver_write(self, ray_session,
+                                                   tmp_path):
+        """The 10^12 route (sharded signatures, driver never holds
+        blobs) verifies identically to the single-file route."""
+        d1, d2 = str(tmp_path / "drv"), str(tmp_path / "dist")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d1)
+        meta = M.write_manifest(rd.from_pandas(_table()), CFG, d2,
+                                distributed=True)
+        assert meta["n_rows"] == 2000
+        import os
+
+        assert os.path.isdir(os.path.join(d2, "signatures"))
+        for man in (d1, d2):
+            res = M.verify_against_manifest(
+                rd.from_pandas(_table(bump=1234)), man)
+            assert res["result"] == "failed"
+            assert res["dirtyPartitions"] == 1
+            assert res["diffBuckets"] >= 1
+        clean = M.verify_against_manifest(rd.from_pandas(_table()), d2)
+        assert clean["result"] == "success"
+
+    def test_scalar_first_fetch_matches_full_read(self, ray_session,
+                                                  tmp_path):
+        """The two-phase verify (scalars, then blobs for dirty parts
+        only) reports the same dirty buckets as a full-frame compare."""
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        live_df = _table(bump=7)
+        res = M.verify_against_manifest(rd.from_pandas(live_df), d)
+        # full-frame reference
+        from opengauss_tools_datachecker_performance_ray.stages import (
+            compare as cmp,
+        )
+        from opengauss_tools_datachecker_performance_ray.stages.digest import (
+            digest_dataset,
+        )
+        sigs, cfg, _ = M.read_manifest(d)
+        live = cmp.partition_signatures(
+            digest_dataset(rd.from_pandas(live_df), cfg), cfg)
+        ref = cmp.compare_signatures(sigs, live, cfg)
+        ref_dirty = {dd.part: list(dd.diff_buckets) for dd in ref
+                     if len(dd.diff_buckets)}
+        got = {int(r["part"]): int(r["n_diff_buckets"])
+               for _, r in res["verdicts"].iterrows()}
+        assert got == {p: len(b) for p, b in ref_dirty.items()}
