@@ -227,9 +227,14 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--input", required=True,
                     help="parquet file or directory")
     fp.add_argument("--keys", required=True,
-                    help="key column, or col1+col2 for composite")
+                    help="key column (col1+col2 composite); with "
+                         "--schema: table=col[+col],... ('*' entry = "
+                         "default for unlisted tables)")
     fp.add_argument("--out", required=True, help="manifest directory")
     fp.add_argument("--table", default=None)
+    fp.add_argument("--schema", action="store_true",
+                    help="treat --input as a schema DIRECTORY: one "
+                         "manifest per contained table")
     fp.add_argument("--num-cpus", type=int, default=None)
 
     vm = sub.add_parser(
@@ -241,6 +246,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory written by fingerprint")
     vm.add_argument("--verdicts-out", default=None,
                     help="write dirty-partition rows as parquet here")
+    vm.add_argument("--schema", action="store_true",
+                    help="verify every table of the --input schema "
+                         "directory against the per-table manifests")
     vm.add_argument("--num-cpus", type=int, default=None)
 
     s = sub.add_parser("schema", help="validate a schema of table pairs")
@@ -575,6 +583,11 @@ def _run(args) -> int:
         from .stages import manifest as M
         from .stages.digest import DigestConfig
 
+        if args.schema:
+            res = M.write_schema_manifests(
+                args.input, _parse_keys(args.keys), args.out)
+            print(json.dumps(res))
+            return 0 if res["result"] == "success" else 1
         meta = load_table_meta(args.input)
         keys = tuple(args.keys.split("+"))
         cfg = DigestConfig.for_rows(keys, meta.num_rows)
@@ -587,6 +600,10 @@ def _run(args) -> int:
         from .sources.parquet import read_table
         from .stages import manifest as M
 
+        if args.schema:
+            res = M.verify_schema_manifests(args.input, args.manifest)
+            print(json.dumps(res))
+            return 0 if res["result"] == "success" else 1
         res = M.verify_against_manifest(read_table(args.input),
                                         args.manifest)
         verdicts = res.pop("verdicts")

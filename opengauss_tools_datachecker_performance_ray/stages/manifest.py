@@ -214,3 +214,80 @@ def verify_against_manifest(ds, manifest_dir: str,
         "liveRows": live_rows,
         "verdicts": verdicts,
     }
+
+
+def _tables_in(d: str) -> dict[str, str]:
+    import glob
+
+    out = {}
+    for p in sorted(glob.glob(os.path.join(d, "*"))):
+        name = os.path.splitext(os.path.basename(p.rstrip("/")))[0]
+        if p.endswith(".parquet") or os.path.isdir(p):
+            out[name] = p
+    return out
+
+
+def write_schema_manifests(src_dir: str,
+                           key_columns: dict[str, tuple[str, ...]],
+                           out_dir: str) -> dict:
+    """Fingerprint EVERY table of a schema directory (the nightly
+    lakehouse snapshot): one manifest subdirectory per table, keys
+    resolved like ``validate_schema`` does ('*' = default for
+    unlisted tables). Tables with no key mapping are skipped and
+    listed in the summary — a skipped fingerprint is a loud gap, not
+    a silent pass."""
+    from ..sources.parquet import load_table_meta, read_table
+
+    tables = _tables_in(src_dir)
+    done, skipped, failed = [], [], {}
+    for name, path in sorted(tables.items()):
+        keys = key_columns.get(name, key_columns.get("*"))
+        if not keys:
+            skipped.append(name)
+            continue
+        meta = load_table_meta(path, name=name)
+        missing = [k for k in keys if k not in meta.schema.names]
+        if missing:
+            # a '*' default that doesn't exist on this table is a
+            # recorded failure, not a crashed batch
+            failed[name] = f"key column(s) {missing} not in schema"
+            continue
+        cfg = DigestConfig.for_rows(tuple(keys), meta.num_rows)
+        write_manifest(read_table(path), cfg,
+                       os.path.join(out_dir, name), table=name)
+        done.append(name)
+    return {"result": "success" if done and not failed else "failed",
+            "fingerprinted": done, "skipped": skipped,
+            "failed": failed}
+
+
+def verify_schema_manifests(live_dir: str, manifest_dir: str) -> dict:
+    """Verify every table of ``live_dir`` against the per-table
+    manifests under ``manifest_dir``. A manifest with no live table
+    (or vice versa) is a failed verdict (the table-miss semantics of
+    ``validate_schema``); returns per-table summaries + rollup."""
+    from ..sources.parquet import read_table
+
+    live = _tables_in(live_dir)
+    mans = {name: os.path.join(manifest_dir, name)
+            for name in sorted(os.listdir(manifest_dir))
+            if os.path.isfile(os.path.join(manifest_dir, name,
+                                           "manifest.json"))}
+    names = sorted(set(live) | set(mans))
+    tables, failed = {}, 0
+    for name in names:
+        if name not in mans or name not in live:
+            side = "manifest" if name not in mans else "live"
+            tables[name] = {"result": "failed",
+                            "error": f"missing on {side} side"}
+            failed += 1
+            continue
+        res = verify_against_manifest(read_table(live[name]),
+                                      mans[name])
+        res.pop("verdicts")
+        tables[name] = res
+        if res["result"] != "success":
+            failed += 1
+    return {"result": "success" if failed == 0 else "failed",
+            "tableCount": len(names), "failedCount": failed,
+            "tables": tables}

@@ -163,3 +163,73 @@ class TestDistributedManifest:
         got = {int(r["part"]): int(r["n_diff_buckets"])
                for _, r in res["verdicts"].iterrows()}
         assert got == {p: len(b) for p, b in ref_dirty.items()}
+
+
+class TestSchemaManifests:
+    def _schema(self, tmp_path, name, mutate=False):
+        d = tmp_path / name
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table(_table(bump=3 if mutate else None)),
+                       str(d / "alpha.parquet"))
+        sub = d / "beta"
+        sub.mkdir(exist_ok=True)
+        pq.write_table(pa.table({"id": np.arange(50, dtype=np.int64),
+                                 "s": [f"v{i}" for i in range(50)]}),
+                       str(sub / "p.parquet"))
+        return str(d)
+
+    def test_fingerprint_and_verify_schema(self, ray_session, tmp_path,
+                                           capsys):
+        src = self._schema(tmp_path, "src")
+        man = str(tmp_path / "man")
+        rc = main(["fingerprint", "--input", src, "--schema",
+                   "--keys", "alpha=k,beta=id", "--out", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0
+        assert out["fingerprinted"] == ["alpha", "beta"]
+        # clean verify of the same directory
+        rc = main(["verify-manifest", "--input", src, "--schema",
+                   "--manifest", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["failedCount"] == 0
+        # mutated alpha fails; beta stays clean
+        mut = self._schema(tmp_path, "mut", mutate=True)
+        rc = main(["verify-manifest", "--input", mut, "--schema",
+                   "--manifest", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["failedCount"] == 1
+        assert out["tables"]["alpha"]["result"] == "failed"
+        assert out["tables"]["beta"]["result"] == "success"
+
+    def test_bad_default_key_recorded_not_crashed(self, ray_session,
+                                                  tmp_path, capsys):
+        """A '*' default key missing on one table records a failure
+        for THAT table; the others still fingerprint."""
+        src = self._schema(tmp_path, "src3")
+        man = str(tmp_path / "man3")
+        rc = main(["fingerprint", "--input", src, "--schema",
+                   "--keys", "*=k", "--out", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1  # beta has no 'k' column
+        assert out["fingerprinted"] == ["alpha"]
+        assert "beta" in out["failed"]
+
+    def test_missing_table_is_failed_verdict(self, ray_session,
+                                             tmp_path, capsys):
+        src = self._schema(tmp_path, "src2")
+        man = str(tmp_path / "man2")
+        rc = main(["fingerprint", "--input", src, "--schema",
+                   "--keys", "alpha=k,beta=id", "--out", man])
+        capsys.readouterr()
+        assert rc == 0
+        import shutil
+
+        live = tmp_path / "live2"
+        shutil.copytree(src, str(live))
+        shutil.rmtree(str(live / "beta"))
+        rc = main(["verify-manifest", "--input", str(live), "--schema",
+                   "--manifest", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1
+        assert out["tables"]["beta"]["error"] == "missing on live side"
+        assert out["tables"]["alpha"]["result"] == "success"
