@@ -251,6 +251,15 @@ def main(argv: list[str] | None = None) -> int:
                          "directory against the per-table manifests")
     vm.add_argument("--num-cpus", type=int, default=None)
 
+    dm = sub.add_parser(
+        "diff-manifests",
+        help="diff two fingerprint manifests of the same table — no "
+             "data read at all (exit 0 identical / 1 differing)")
+    dm.add_argument("--a", required=True, help="first manifest dir")
+    dm.add_argument("--b", required=True, help="second manifest dir")
+    dm.add_argument("--verdicts-out", default=None)
+    dm.add_argument("--num-cpus", type=int, default=None)
+
     s = sub.add_parser("schema", help="validate a schema of table pairs")
     s.add_argument("--source", required=True)
     s.add_argument("--sink", required=True)
@@ -606,6 +615,17 @@ def _run(args) -> int:
             return 0 if res["result"] == "success" else 1
         res = M.verify_against_manifest(read_table(args.input),
                                         args.manifest)
+        verdicts = res.pop("verdicts")
+        if args.verdicts_out:
+            os.makedirs(os.path.dirname(args.verdicts_out) or ".",
+                        exist_ok=True)
+            verdicts.to_parquet(args.verdicts_out, index=False)
+        print(json.dumps(res))
+        return 0 if res["result"] == "success" else 1
+    if args.cmd == "diff-manifests":
+        from .stages import manifest as M
+
+        res = M.diff_manifests(args.a, args.b)
         verdicts = res.pop("verdicts")
         if args.verdicts_out:
             os.makedirs(os.path.dirname(args.verdicts_out) or ".",

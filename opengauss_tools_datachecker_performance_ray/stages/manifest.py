@@ -291,3 +291,35 @@ def verify_schema_manifests(live_dir: str, manifest_dir: str) -> dict:
     return {"result": "success" if failed == 0 else "failed",
             "tableCount": len(names), "failedCount": failed,
             "tables": tables}
+
+
+def diff_manifests(dir_a: str, dir_b: str) -> dict:
+    """Diff two manifests of the same table WITHOUT touching any
+    data — "what changed between last night's snapshot and
+    tonight's" answered from two ~100 MB signature files. Configs
+    must match (the alignment invariant — differing geometry raises);
+    output matches ``verify_against_manifest``'s shape with sides
+    named a/b."""
+    sigs_a, cfg_a, meta_a = read_manifest(dir_a)
+    sigs_b, cfg_b, meta_b = read_manifest(dir_b)
+    if cfg_a != cfg_b:
+        raise ValueError("manifest configs differ — re-fingerprint "
+                         f"one side ({cfg_a} vs {cfg_b})")
+    diffs = cmp.compare_signatures(sigs_a, sigs_b, cfg_a)
+    dirty = [d for d in diffs if len(d.diff_buckets)
+             or d.src_rows != d.snk_rows]
+    verdicts = pd.DataFrame(
+        [{"part": d.part, "a_rows": d.src_rows, "b_rows": d.snk_rows,
+          "n_diff_buckets": int(len(d.diff_buckets))} for d in dirty],
+        columns=["part", "a_rows", "b_rows", "n_diff_buckets"]).astype(
+        {"part": np.int64, "a_rows": np.int64, "b_rows": np.int64,
+         "n_diff_buckets": np.int64})
+    return {
+        "result": "success" if not dirty else "failed",
+        "table": meta_a["table"],
+        "partitions": cfg_a.num_partitions,
+        "dirtyPartitions": len(dirty),
+        "diffBuckets": int(sum(len(d.diff_buckets) for d in dirty)),
+        "aRows": meta_a["n_rows"], "bRows": meta_b["n_rows"],
+        "verdicts": verdicts,
+    }

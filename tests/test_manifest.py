@@ -233,3 +233,34 @@ class TestSchemaManifests:
         assert rc == 1
         assert out["tables"]["beta"]["error"] == "missing on live side"
         assert out["tables"]["alpha"]["result"] == "success"
+
+
+class TestDiffManifests:
+    def test_identical_and_differing(self, ray_session, tmp_path,
+                                     capsys):
+        a, b, c = (str(tmp_path / x) for x in ("a", "b", "c"))
+        M.write_manifest(rd.from_pandas(_table()), CFG, a)
+        M.write_manifest(rd.from_pandas(_table()), CFG, b)
+        M.write_manifest(rd.from_pandas(_table(bump=9)), CFG, c)
+        same = M.diff_manifests(a, b)
+        assert same["result"] == "success"
+        assert same["dirtyPartitions"] == 0
+        diff = M.diff_manifests(a, c)
+        assert diff["result"] == "failed"
+        assert diff["dirtyPartitions"] == 1
+        # CLI exit codes
+        rc = main(["diff-manifests", "--a", a, "--b", b])
+        capsys.readouterr()
+        assert rc == 0
+        rc = main(["diff-manifests", "--a", a, "--b", c])
+        capsys.readouterr()
+        assert rc == 1
+
+    def test_config_drift_raises(self, ray_session, tmp_path):
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        M.write_manifest(rd.from_pandas(_table()), CFG, a)
+        other = DigestConfig(key_columns=("k",), num_partitions=4,
+                             buckets_per_partition=16)
+        M.write_manifest(rd.from_pandas(_table()), other, b)
+        with pytest.raises(ValueError):
+            M.diff_manifests(a, b)
