@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .digest import DigestConfig, digest_dataset
+from .digest import DigestConfig, digest_dataset, make_digest_fn
 from . import compare as cmp
 
 MANIFEST_VERSION = 1
@@ -53,11 +53,12 @@ def _sig_frame_to_arrow(sigs: pd.DataFrame) -> pa.Table:
 
 
 def _write_meta(out_dir: str, cfg: DigestConfig, table: str,
-                n_rows: int) -> dict:
+                n_rows: int, columns: list[str] | None = None) -> dict:
     meta = {
         "version": MANIFEST_VERSION,
         "table": table,
         "n_rows": n_rows,
+        "columns": columns,
         "key_columns": list(cfg.key_columns),
         "compare_columns": (list(cfg.compare_columns)
                             if cfg.compare_columns else None),
@@ -99,7 +100,8 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
             batch_format="pandas").write_parquet(sig_dir)
         n_rows = int(rd.read_parquet(sig_dir, columns=["rows"])
                      .sum("rows") or 0)
-        return _write_meta(out_dir, cfg, table, n_rows)
+        return _write_meta(out_dir, cfg, table, n_rows,
+                           columns=list(ds.schema().names))
     sigs = cmp.partition_signatures(
         digest_dataset(ds, cfg, batch_size), cfg)
     n_rows = int(sigs["rows"].sum()) if len(sigs) else 0
@@ -107,7 +109,8 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
     tmp = os.path.join(out_dir, "signatures.parquet.tmp")
     pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(out_dir, "signatures.parquet"))
-    return _write_meta(out_dir, cfg, table, n_rows)
+    return _write_meta(out_dir, cfg, table, n_rows,
+                       columns=list(ds.schema().names))
 
 
 def _sig_path(out_dir: str) -> str:
@@ -323,3 +326,105 @@ def diff_manifests(dir_a: str, dir_b: str) -> dict:
         "aRows": meta_a["n_rows"], "bRows": meta_b["n_rows"],
         "verdicts": verdicts,
     }
+
+
+def update_manifest(manifest_dir: str,
+                    removed: pa.Table | None = None,
+                    added: pa.Table | None = None,
+                    out_dir: str | None = None) -> dict:
+    """Apply a change window to a manifest WITHOUT rescanning the
+    table — the XOR bucket signature is its own inverse, so removing
+    a row image is the same fold as adding one. ``removed`` carries
+    the full row images leaving the table (deletes + pre-update
+    images), ``added`` the images entering it (inserts + post-update
+    images); both must have the fingerprinted schema. Nightly
+    fingerprint + the day's CDC stream = an always-current manifest
+    with ZERO table reads (the reference's incremental mode re-checks
+    keys against a live pair — this keeps the temporal manifest
+    current instead).
+
+    Writes to ``out_dir`` (default: in place) and returns the new
+    meta. Equality with a from-scratch re-fingerprint of the changed
+    table is exact — same leaves, same roots (pinned by test). A
+    bucket count driven negative (a remove whose image was never
+    fingerprinted) raises loudly — the stream and manifest diverged.
+
+    Driver-side by design: a change window is bounded (the CDC
+    window's ``count_period``); digesting it is one vectorized pass.
+    """
+    from ..functions import merkle
+
+    sigs, cfg, meta = read_manifest(manifest_dir)
+    out_dir = out_dir or manifest_dir
+    B = cfg.buckets_per_partition
+    # dense working state keyed by partition id
+    leaves = {int(p): np.frombuffer(lv, dtype=np.uint64).copy()
+              if lv is not None else np.zeros(B, np.uint64)
+              for p, lv in zip(sigs["part"], sigs["leaves"])}
+    counts = {int(p): np.frombuffer(ct, dtype=np.int64).copy()
+              if ct is not None else np.zeros(B, np.int64)
+              for p, ct in zip(sigs["part"], sigs["counts"])}
+    digest = make_digest_fn(cfg)
+    fp_cols = meta.get("columns")
+
+    def fold(tbl: pa.Table, delta: int) -> None:
+        if tbl is None or tbl.num_rows == 0:
+            return
+        if fp_cols is not None:
+            # project to the FINGERPRINTED column list in its original
+            # order — the row hash is order-sensitive, and pandas round
+            # trips love to smuggle in __index_level_0__ columns
+            missing = [c for c in fp_cols if c not in tbl.column_names]
+            if missing:
+                raise ValueError(
+                    f"update_manifest: change images lack "
+                    f"fingerprinted column(s) {missing}")
+            tbl = tbl.select(fp_cols)
+        d = digest(tbl)
+        part = d.column("part").to_numpy()
+        bucket = d.column("bucket").to_numpy()
+        vhash = d.column("vhash").to_numpy()
+        for p in np.unique(part):
+            m = part == p
+            p = int(p)
+            if p not in leaves:
+                leaves[p] = np.zeros(B, np.uint64)
+                counts[p] = np.zeros(B, np.int64)
+            np.bitwise_xor.at(leaves[p], bucket[m], vhash[m])
+            np.add.at(counts[p], bucket[m],
+                      np.int64(delta) * np.ones(int(m.sum()), np.int64))
+
+    fold(removed, -1)
+    fold(added, +1)
+    parts = sorted(leaves)
+    neg = [p for p in parts if (counts[p] < 0).any()]
+    if neg:
+        raise ValueError(
+            f"update_manifest: bucket count went negative in "
+            f"partition(s) {neg[:5]} — a removed image was never "
+            f"fingerprinted; the change stream and manifest diverged")
+    new_sigs = pd.DataFrame({
+        "part": np.array(parts, np.int64),
+        "rows": np.array([int(counts[p].sum()) for p in parts],
+                         np.int64),
+        "root": np.array([merkle.merkle_root(leaves[p])
+                          for p in parts], np.uint64),
+        "croot": np.array([merkle.merkle_root(
+            counts[p].view(np.uint64)) for p in parts], np.uint64),
+        "leaves": [leaves[p].tobytes() for p in parts],
+        "counts": [counts[p].tobytes() for p in parts],
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    t = _sig_frame_to_arrow(new_sigs)
+    tmp = os.path.join(out_dir, "signatures.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir, "signatures.parquet"))
+    # an in-place update of a sharded (distributed) manifest collapses
+    # it to the single-file layout; remove the stale shard dir
+    shard_dir = os.path.join(out_dir, "signatures")
+    if os.path.isdir(shard_dir):
+        import shutil
+
+        shutil.rmtree(shard_dir)
+    n_rows = int(new_sigs["rows"].sum())
+    return _write_meta(out_dir, cfg, meta["table"], n_rows)

@@ -264,3 +264,69 @@ class TestDiffManifests:
         M.write_manifest(rd.from_pandas(_table()), other, b)
         with pytest.raises(ValueError):
             M.diff_manifests(a, b)
+
+
+class TestUpdateManifest:
+    def test_incremental_equals_refingerprint(self, ray_session,
+                                              tmp_path):
+        """manifest(T0) + changes == fingerprint(T1) BYTE-FOR-BYTE:
+        same leaves, same roots, same row totals — the XOR
+        signature's self-inverse property end-to-end."""
+        t0 = _table()
+        # T1: delete k=10, update k=20 (v+1), insert k=9999
+        t1 = t0[t0["k"] != 10].copy()
+        t1.loc[t1["k"] == 20, "v"] += 1
+        t1 = pd.concat([t1, pd.DataFrame({"k": [9999], "v": [42]})],
+                       ignore_index=True)
+        d0, d1, dref = (str(tmp_path / x) for x in
+                        ("base", "updated", "ref"))
+        M.write_manifest(rd.from_pandas(t0), CFG, d0, table="t")
+        removed = pa.table(t0[(t0["k"] == 10) | (t0["k"] == 20)])
+        added = pa.table(pd.concat([
+            t1[t1["k"] == 20], t1[t1["k"] == 9999]],
+            ignore_index=True))
+        meta = M.update_manifest(d0, removed=removed, added=added,
+                                 out_dir=d1)
+        assert meta["n_rows"] == 2000  # -1 +1
+        M.write_manifest(rd.from_pandas(t1), CFG, dref, table="t")
+        a, _, _ = M.read_manifest(d1)
+        b, _, _ = M.read_manifest(dref)
+        a = a.sort_values("part").reset_index(drop=True)
+        b = b.sort_values("part").reset_index(drop=True)
+        assert (a["root"].to_numpy() == b["root"].to_numpy()).all()
+        assert (a["croot"].to_numpy() == b["croot"].to_numpy()).all()
+        assert list(a["leaves"]) == list(b["leaves"])
+        assert list(a["counts"]) == list(b["counts"])
+        # and the updated manifest verifies T1 clean, T0 dirty
+        assert M.verify_against_manifest(
+            rd.from_pandas(t1), d1)["result"] == "success"
+        assert M.verify_against_manifest(
+            rd.from_pandas(t0), d1)["result"] == "failed"
+
+    def test_phantom_remove_raises(self, ray_session, tmp_path):
+        """Removing an image that was never fingerprinted drives its
+        bucket count negative when the bucket is otherwise empty —
+        here the manifest is built from an EMPTY table so every
+        bucket is. (With occupied buckets the divergence surfaces at
+        the next verify instead — counts can't prove it locally.)"""
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table(n=0)), CFG, d)
+        phantom = pa.table({"k": np.array([123456789], np.int64),
+                            "v": np.array([1], np.int64)})
+        with pytest.raises(ValueError) as e:
+            M.update_manifest(d, removed=phantom,
+                              out_dir=str(tmp_path / "x"))
+        assert "diverged" in str(e.value)
+
+    def test_in_place_update(self, ray_session, tmp_path):
+        d = str(tmp_path / "man")
+        t0 = _table()
+        M.write_manifest(rd.from_pandas(t0), CFG, d)
+        added = pa.table({"k": np.array([5000], np.int64),
+                          "v": np.array([7], np.int64)})
+        meta = M.update_manifest(d, added=added)
+        assert meta["n_rows"] == 2001
+        t1 = pd.concat([t0, pd.DataFrame({"k": [5000], "v": [7]})],
+                       ignore_index=True)
+        assert M.verify_against_manifest(
+            rd.from_pandas(t1), d)["result"] == "success"
