@@ -128,10 +128,13 @@ def parse_event(line: str, avro: bool | None = None) -> dict | None:
         ts = int(ts) if ts is not None else None
     except (TypeError, ValueError):  # non-integer transport timestamp
         ts = None
+    if is_avro and isinstance(before, dict):
+        before = {k: _unwrap_union(v) for k, v in before.items()}
     return {"table": str(table) if table is not None else "",
             "op": str(op) if op is not None else "",
             "ts_ms": ts,
-            "data": data}
+            "data": data,
+            "before": before if isinstance(before, dict) else None}
 
 
 def make_event_parser(key_columns: dict[str, list[str]],
@@ -139,7 +142,8 @@ def make_event_parser(key_columns: dict[str, list[str]],
                       line_col: str = "text",
                       offset_col: str | None = None,
                       avro: bool | None = None,
-                      value_columns: list[str] | None = None):
+                      value_columns: list[str] | None = None,
+                      before_columns: list[str] | None = None):
     """map_batches fn: raw-JSON-line batch -> (table, key, op, offset,
     ts_ms) rows. ``key_columns`` maps table -> PK column list (the
     catalog's primaryMetas analog); events for unknown tables pass
@@ -154,9 +158,16 @@ def make_event_parser(key_columns: dict[str, list[str]],
     the same ``str()`` rendering the key splice uses; absent fields
     and delete tombstones surface as null). This is what a downstream
     materializer (``pipelines.incremental.compact_changes``) consumes.
+
+    ``before_columns`` carries the BEFORE image's fields as
+    ``b_<name>`` columns the same way (null when the transport omits
+    the before image — Debezium sends it for updates only with
+    REPLICA IDENTITY FULL). The manifest updater
+    (``stages.manifest.update_from_changes``) needs both images.
     """
     date_cols = {t: set(c) for t, c in (date_columns or {}).items()}
     vcols = list(value_columns or [])
+    bcols = list(before_columns or [])
 
     def parse(batch: pa.Table) -> pa.Table:
         lines = batch.column(line_col).to_pylist()
@@ -165,6 +176,7 @@ def make_event_parser(key_columns: dict[str, list[str]],
                    else range(len(lines)))
         out = {"table": [], "key": [], "op": [], "offset": [], "ts_ms": []}
         vals_out: dict[str, list] = {c: [] for c in vcols}
+        before_out: dict[str, list] = {c: [] for c in bcols}
         for off, line in zip(offsets, lines):
             ev = parse_event(line, avro=avro)
             if ev is None:
@@ -184,6 +196,10 @@ def make_event_parser(key_columns: dict[str, list[str]],
             for c in vcols:
                 v = data.get(c)
                 vals_out[c].append(None if v is None else str(v))
+            bimg = ev.get("before")
+            for c in bcols:
+                v = None if bimg is None else bimg.get(c)
+                before_out[c].append(None if v is None else str(v))
         cols = {
             "table": pa.array(out["table"], pa.large_string()),
             "key": pa.array(out["key"], pa.large_string()),
@@ -193,6 +209,8 @@ def make_event_parser(key_columns: dict[str, list[str]],
         }
         for c in vcols:
             cols[f"v_{c}"] = pa.array(vals_out[c], pa.large_string())
+        for c in bcols:
+            cols[f"b_{c}"] = pa.array(before_out[c], pa.large_string())
         return pa.table(cols)
 
     return parse

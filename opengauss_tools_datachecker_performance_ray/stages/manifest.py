@@ -428,3 +428,66 @@ def update_manifest(manifest_dir: str,
         shutil.rmtree(shard_dir)
     n_rows = int(new_sigs["rows"].sum())
     return _write_meta(out_dir, cfg, meta["table"], n_rows)
+
+
+def update_from_changes(manifest_dir: str, parsed,
+                        schema: pa.Schema,
+                        out_dir: str | None = None) -> dict:
+    """Apply a PARSED change stream (``sources.debezium
+    make_event_parser(value_columns=cols, before_columns=cols)``
+    output — one row per event with ``v_<col>`` after-image and
+    ``b_<col>`` before-image transport strings) straight to a
+    manifest. Builds the removed/added image tables by casting the
+    transport strings back through ``schema`` (exact for
+    int/float/bool/string columns — the ``cdc_state_verify`` cast),
+    then folds them with :func:`update_manifest` — the full chain
+    "Debezium log in, current fingerprint out", zero table reads.
+
+    Event semantics: ``c`` adds the after image; ``d`` removes the
+    before image; ``u`` removes before AND adds after — an update
+    without a before image raises (enable full row images /
+    REPLICA IDENTITY FULL; folding an unknown before would corrupt
+    the XOR state silently). XOR folding commutes, so a whole
+    window applies in one pass regardless of event order, provided
+    each event's images are truthful."""
+    import pyarrow.compute as pc
+
+    t = (_collect(parsed) if hasattr(parsed, "to_arrow_refs")
+         else parsed)
+    if t is None or t.num_rows == 0:  # empty window: no-op
+        return update_manifest(manifest_dir, out_dir=out_dir)
+    cols = [f.name for f in schema]
+
+    def img(prefix: str, mask: np.ndarray) -> pa.Table:
+        arrs = []
+        for f in schema:
+            col = t.column(f"{prefix}{f.name}")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs.append(pc.cast(col.filter(pa.array(mask)), f.type))
+        return pa.table(dict(zip(cols, arrs)))
+
+    op = t.column("op").to_numpy(zero_copy_only=False).astype(str)
+    is_c, is_u, is_d = op == "c", op == "u", op == "d"
+    if is_u.any():
+        b0 = t.column(f"b_{cols[0]}")
+        if isinstance(b0, pa.ChunkedArray):
+            b0 = b0.combine_chunks()
+        missing = pc.is_null(b0).to_numpy(zero_copy_only=False) & is_u
+        if missing.any():
+            raise ValueError(
+                "update_from_changes: update event(s) without a "
+                "before image — enable full row images "
+                "(REPLICA IDENTITY FULL) or re-fingerprint")
+    removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
+    added = pa.concat_tables([img("v_", is_c), img("v_", is_u)])
+    return update_manifest(manifest_dir, removed=removed, added=added,
+                           out_dir=out_dir)
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(tables, promote_options="none")
+            if tables else None)

@@ -330,3 +330,76 @@ class TestUpdateManifest:
                        ignore_index=True)
         assert M.verify_against_manifest(
             rd.from_pandas(t1), d)["result"] == "success"
+
+
+class TestUpdateFromChanges:
+    def test_debezium_stream_to_current_fingerprint(self, ray_session,
+                                                    tmp_path):
+        """Full chain: Debezium JSON events (with before images) ->
+        parser -> update_from_changes -> manifest byte-equal to a
+        re-fingerprint of the final state."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        t0 = _table(n=300)
+        d0, d1, dref = (str(tmp_path / x) for x in
+                        ("base", "upd", "ref"))
+        M.write_manifest(rd.from_pandas(t0), CFG, d0, table="t")
+        src = {"table": "t", "ts_ms": 1}
+        ev = []
+        # insert k=9000, delete k=5, update k=6 (v 186 -> 187)
+        ev.append(json.dumps({"payload": {
+            "before": None, "after": {"k": "9000", "v": "42"},
+            "source": src, "op": "c", "ts_ms": 2}}))
+        v5 = int(t0.loc[t0["k"] == 5, "v"].iloc[0])
+        ev.append(json.dumps({"payload": {
+            "before": {"k": "5", "v": str(v5)}, "after": None,
+            "source": src, "op": "d", "ts_ms": 3}}))
+        v6 = int(t0.loc[t0["k"] == 6, "v"].iloc[0])
+        ev.append(json.dumps({"payload": {
+            "before": {"k": "6", "v": str(v6)},
+            "after": {"k": "6", "v": str(v6 + 1)},
+            "source": src, "op": "u", "ts_ms": 4}}))
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v"],
+            before_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(ev,
+                                                  pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        meta = M.update_from_changes(d0, parsed, schema, out_dir=d1)
+        assert meta["n_rows"] == 300  # +1 -1
+        t1 = t0[t0["k"] != 5].copy()
+        t1.loc[t1["k"] == 6, "v"] = v6 + 1
+        t1 = pd.concat([t1, pd.DataFrame({"k": [9000], "v": [42]})],
+                       ignore_index=True)
+        M.write_manifest(rd.from_pandas(t1), CFG, dref, table="t")
+        a, _, _ = M.read_manifest(d1)
+        b, _, _ = M.read_manifest(dref)
+        a = a.sort_values("part").reset_index(drop=True)
+        b = b.sort_values("part").reset_index(drop=True)
+        assert (a["root"].to_numpy() == b["root"].to_numpy()).all()
+        assert list(a["leaves"]) == list(b["leaves"])
+        assert list(a["counts"]) == list(b["counts"])
+
+    def test_update_without_before_image_raises(self, ray_session,
+                                                tmp_path):
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        d0 = str(tmp_path / "base")
+        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0)
+        ev = [json.dumps({"payload": {
+            "before": None, "after": {"k": "1", "v": "99"},
+            "source": {"table": "t"}, "op": "u", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v"],
+            before_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(ev,
+                                                  pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        with pytest.raises(ValueError) as e:
+            M.update_from_changes(d0, parsed, schema,
+                                  out_dir=str(tmp_path / "x"))
+        assert "before image" in str(e.value)
