@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_embeddings": q.multimodal_embeddings,
         "fanout_lineitem_orders": q.fanout_lineitem_orders,
         # streaming-shaped windowed operators (§2.9) + custom joins
-        "events_tumbling_window": q.events_tumbling_window,
+        "manifest_update_orders": q.manifest_update_orders,
         "events_sessionization": q.events_sessionization,
         "events_asof_last_order": q.events_asof_last_order,
         "events_range_join_orders": q.events_range_join_orders,
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q.lineitem_rollup,
         "redact_events_props": q.redact_events_props,
         "normalize_text_documents": q.normalize_text_documents,
+        "events_tumbling_window": q.events_tumbling_window,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "fanout_lineitem_orders": q.FANOUT_LINEITEM_ORDERS_SQL,
         "format_profile_strings": q.FORMAT_PROFILE_STRINGS_SQL,
         "manifest_verify_orders": q.MANIFEST_VERIFY_ORDERS_SQL,
+        "manifest_update_orders": q.MANIFEST_UPDATE_ORDERS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

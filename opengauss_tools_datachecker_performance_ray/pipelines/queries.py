@@ -6041,3 +6041,86 @@ SELECT 'mutated', 'failed', n.n_rows, m.n_mut, TRUE
 FROM n, m
 ORDER BY caso
 """
+
+
+def manifest_update_orders(sf_dir: str) -> pd.DataFrame:
+    """Incremental-manifest capstone: manifest(orders) + the known
+    change window applied via the self-inverse XOR fold
+    (`stages/manifest.update_manifest`) must verify the MUTATED table
+    clean and the ORIGINAL table dirty — fingerprint kept current
+    from changes alone, zero table rescans. Oracle = predicate row
+    counts + verdict literals (byte-equality with re-fingerprint is
+    pinned by pytest)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages import manifest as M
+
+    n = _num_rows(sf_dir, "orders")
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=64)
+    d = tempfile.mkdtemp(prefix="manifest_upd_", dir="/tmp")
+    try:
+        base = os.path.join(d, "base")
+        M.write_manifest(_read(sf_dir, "orders", ORDER_COLS), cfg,
+                         base, table="orders")
+        # the standard sink mutation as a change window: removed =
+        # dropped keys (%97) + pre-images of bumped prices (%89, not
+        # dropped); added = post-images of bumps + remapped phantoms
+        # (%101)
+        full = _read(sf_dir, "orders", ORDER_COLS) \
+            .to_arrow_refs()
+        import ray as _ray
+
+        t = pa.concat_tables([x for x in _ray.get(full) if x.num_rows])
+        key = t.column("o_orderkey").to_numpy()
+        drop = key % 97 == 0
+        bump = (key % 89 == 0) & ~drop
+        removed = pa.concat_tables([t.filter(pa.array(drop)),
+                                    t.filter(pa.array(bump))])
+        bumped = t.filter(pa.array(bump))
+        price = bumped.column("o_totalprice").to_numpy() + 1.0
+        bumped = bumped.set_column(
+            bumped.schema.get_field_index("o_totalprice"),
+            "o_totalprice", pa.array(price, pa.float64()))
+        phantom = t.filter(pa.array(key % 101 == 0))
+        pkeys = phantom.column("o_orderkey").to_numpy() + 100_000_000
+        phantom = phantom.set_column(
+            phantom.schema.get_field_index("o_orderkey"),
+            "o_orderkey", pa.array(pkeys, pa.int64()))
+        added = pa.concat_tables([bumped, phantom])
+        upd = os.path.join(d, "upd")
+        M.update_manifest(base, removed=removed, added=added,
+                          out_dir=upd)
+        mut = _read(sf_dir, "orders", ORDER_COLS) \
+            .map_batches(_orders_sink_batch, batch_format="pyarrow")
+        clean = M.verify_against_manifest(mut, upd)
+        dirty = M.verify_against_manifest(
+            _read(sf_dir, "orders", ORDER_COLS), upd)
+        return pd.DataFrame([
+            {"caso": "updated_vs_mutated", "result": clean["result"],
+             "manifest_rows": np.int64(clean["manifestRows"]),
+             "live_rows": np.int64(clean["liveRows"])},
+            {"caso": "updated_vs_original", "result": dirty["result"],
+             "manifest_rows": np.int64(dirty["manifestRows"]),
+             "live_rows": np.int64(dirty["liveRows"])},
+        ])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+MANIFEST_UPDATE_ORDERS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+m AS (SELECT CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) +
+             count(*) FILTER (WHERE o_orderkey % 101 = 0) AS BIGINT)
+          AS n_mut FROM orders)
+SELECT 'updated_vs_mutated' AS caso, 'success' AS result,
+       m.n_mut AS manifest_rows, m.n_mut AS live_rows
+FROM m
+UNION ALL
+SELECT 'updated_vs_original', 'failed', m.n_mut, n.n_rows
+FROM n, m
+ORDER BY caso
+"""
