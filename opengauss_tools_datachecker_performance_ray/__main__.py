@@ -217,6 +217,16 @@ def main(argv: list[str] | None = None) -> int:
                          "format-inference profile (first-match "
                          "format classes per column) and print its "
                          "rows")
+    pr.add_argument("--sketch-out", default=None,
+                    help="write a statistical (sketch) manifest of "
+                         "the table: merged HLL/t-digest/top-k "
+                         "profiles, ~100 KB per column at any scale")
+    pr.add_argument("--drift-against", default=None,
+                    help="drift-test the table against a stored "
+                         "sketch manifest (exit 1 on drift)")
+    pr.add_argument("--columns", default=None,
+                    help="comma list restricting --sketch-out "
+                         "profiling (default: all columns)")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     fp = sub.add_parser(
@@ -654,6 +664,38 @@ def _run(args) -> int:
             "total_rows": int(prof.groupby("table_name")["n_rows"]
                               .first().sum()),
         }
+        if args.sketch_out or args.drift_against:
+            import ray.data as rd
+
+            from .stages import manifest as M
+
+            if len(tables) != 1:
+                print(json.dumps({"result": "error",
+                                  "error": "--sketch-out/--drift-"
+                                           "against need a single-"
+                                           "table --input"}),
+                      file=sys.stderr)
+                return 2
+            (path,) = tables.values()
+            (name,) = tables.keys()
+            if args.sketch_out:
+                cols = (args.columns.split(",") if args.columns
+                        else None)
+                pm = M.write_profile_manifest(
+                    rd.read_parquet(path, columns=cols),
+                    args.sketch_out, columns=cols, table=name)
+                summary["sketch_columns"] = pm["columns"]
+            if args.drift_against:
+                rep = M.drift_vs_profile_manifest(
+                    rd.read_parquet(path), args.drift_against)
+                # NaN (stat not applicable to the column class) is
+                # not valid strict JSON — surface as null
+                summary["drift"] = json.loads(
+                    rep.to_json(orient="records"))
+                if (rep["result"] == "failed").any():
+                    summary["result"] = "drifted"
+                    print(json.dumps(summary, default=str))
+                    return 1
         if args.null_patterns or args.formats:
             import ray.data as rd
 

@@ -491,3 +491,82 @@ def _collect(ds) -> pa.Table:
     tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     return (pa.concat_tables(tables, promote_options="none")
             if tables else None)
+
+
+def write_profile_manifest(ds, out_dir: str,
+                           columns: list[str] | None = None,
+                           table: str = "table",
+                           merge_concurrency: int | None = None
+                           ) -> dict:
+    """Persist the table's merged per-column SKETCH profiles
+    (count/nulls/min/max, HLL registers, t-digest centroids, top-k
+    counters) — the STATISTICAL manifest completing the north rule's
+    "checkpoints merged sketches ... per partition": later runs
+    drift-test live data against this snapshot with the original
+    data gone ("is today's corpus statistically like last month's").
+
+    Format: ``profile.json`` (human-readable summary rows + meta) +
+    ``sketches.pkl`` (the pickled ColumnProfile dict — engine-internal
+    format, mergeable and version-guarded; the JSON rows are the
+    portable part). Sketch sizes are fixed (HLL 2^14 registers,
+    t-digest ~200 centroids), so the manifest is ~100 KB per column
+    regardless of table size."""
+    import pickle
+
+    from .profile import profile_dataset
+
+    profs = profile_dataset(ds, columns,
+                            merge_concurrency=merge_concurrency)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "sketches.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump({"version": MANIFEST_VERSION, "profiles": profs},
+                    f)
+    os.replace(tmp, os.path.join(out_dir, "sketches.pkl"))
+    meta = {
+        "version": MANIFEST_VERSION,
+        "table": table,
+        "columns": sorted(profs),
+        "rows": [p.to_row() for p in profs.values()],
+    }
+    mtmp = os.path.join(out_dir, "profile.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f, default=str)
+    os.replace(mtmp, os.path.join(out_dir, "profile.json"))
+    return meta
+
+
+def read_profile_manifest(out_dir: str) -> tuple[dict, dict]:
+    """(profiles dict, meta) from a profile manifest; version-guarded."""
+    import pickle
+
+    with open(os.path.join(out_dir, "sketches.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    if blob.get("version") != MANIFEST_VERSION:
+        raise ValueError(f"profile manifest version "
+                         f"{blob.get('version')} != {MANIFEST_VERSION}")
+    with open(os.path.join(out_dir, "profile.json")) as f:
+        meta = json.load(f)
+    return blob["profiles"], meta
+
+
+def drift_vs_profile_manifest(ds, manifest_dir: str,
+                              ks_threshold: float = 0.1,
+                              psi_threshold: float = 0.25,
+                              merge_concurrency: int | None = None
+                              ) -> pd.DataFrame:
+    """Per-column drift verdicts of LIVE data against a stored
+    profile manifest — the temporal sibling of the validation run's
+    source-vs-sink drift phase, with the reference side reduced to
+    ~100 KB of sketches per column. Profiles the live side over the
+    manifest's own column list (pruned read is the caller's job) and
+    reuses ``checks.drift_report`` verbatim, so threshold semantics
+    match the live pair's."""
+    from ..pipelines.checks import drift_report
+    from .profile import profile_dataset
+
+    stored, meta = read_profile_manifest(manifest_dir)
+    live = profile_dataset(ds, meta["columns"],
+                           merge_concurrency=merge_concurrency)
+    return drift_report(stored, live, ks_threshold=ks_threshold,
+                        psi_threshold=psi_threshold)

@@ -692,3 +692,25 @@ class TestProfileCli:
         assert rc == 0
         fmts = {f["format"]: f["n"] for f in out["formats"]}
         assert fmts == {"int": 1, "words": 1, "date": 1}
+
+    def test_sketch_manifest_and_drift(self, ray_session, tmp_path,
+                                       capsys):
+        import numpy as np
+
+        rng = np.random.default_rng(41)
+        t0 = pa.table({"x": rng.normal(10, 1, 3000)})
+        t1 = pa.table({"x": rng.normal(50, 1, 3000)})
+        p0, p1 = tmp_path / "t0.parquet", tmp_path / "t1.parquet"
+        pq.write_table(t0, str(p0)); pq.write_table(t1, str(p1))
+        sk = str(tmp_path / "sk")
+        rc = main(["profile", "--input", str(p0), "--sketch-out", sk])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["sketch_columns"] == ["x"]
+        rc = main(["profile", "--input", str(p0),
+                   "--drift-against", sk])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["result"] == "success"
+        rc = main(["profile", "--input", str(p1),
+                   "--drift-against", sk])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "drifted"

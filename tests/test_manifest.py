@@ -403,3 +403,46 @@ class TestUpdateFromChanges:
             M.update_from_changes(d0, parsed, schema,
                                   out_dir=str(tmp_path / "x"))
         assert "before image" in str(e.value)
+
+
+class TestProfileManifest:
+    def test_roundtrip_and_drift(self, ray_session, tmp_path):
+        """Stored sketches of T0 drift-test live T1: same distribution
+        -> clean; shifted numeric + swapped categories -> flagged."""
+        rng = np.random.default_rng(31)
+        t0 = pd.DataFrame({
+            "x": rng.normal(100, 10, 4000),
+            "cat": rng.choice(["a", "b", "c"], 4000,
+                              p=[0.8, 0.15, 0.05]),
+        })
+        d = str(tmp_path / "prof")
+        meta = M.write_profile_manifest(rd.from_pandas(t0), d,
+                                        table="t")
+        assert set(meta["columns"]) == {"x", "cat"}
+        # human-readable summary carries the sketch fields
+        row = {r["column"]: r for r in meta["rows"]}
+        assert row["x"]["cnt"] == 4000 and row["x"]["p50"] is not None
+        same = M.drift_vs_profile_manifest(
+            rd.from_pandas(t0.sample(frac=1.0, random_state=7)), d)
+        assert (same["result"] == "success").all()
+        t1 = pd.DataFrame({
+            "x": rng.normal(160, 10, 4000),  # big shift
+            "cat": rng.choice(["a", "b", "c"], 4000,
+                              p=[0.05, 0.15, 0.8]),
+        })
+        drifted = M.drift_vs_profile_manifest(rd.from_pandas(t1), d)
+        r = drifted.set_index("column")["result"]
+        assert r.loc["x"] == "failed" and r.loc["cat"] == "failed"
+
+    def test_version_guard(self, ray_session, tmp_path):
+        import pickle
+
+        d = str(tmp_path / "prof")
+        M.write_profile_manifest(
+            rd.from_pandas(pd.DataFrame({"x": [1.0, 2.0]})), d)
+        p = tmp_path / "prof" / "sketches.pkl"
+        blob = pickle.loads(p.read_bytes())
+        blob["version"] = 99
+        p.write_bytes(pickle.dumps(blob))
+        with pytest.raises(ValueError):
+            M.read_profile_manifest(d)
