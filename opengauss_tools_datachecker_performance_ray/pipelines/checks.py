@@ -754,33 +754,29 @@ def psi(expected: TopCounter | dict, actual: TopCounter | dict) -> float:
 DRIVER_DRIFT_MAX_PARTIALS = 65_536
 
 
-def drift_by_group(ds, group_col: str, value_cols: list[str],
-                   ks_threshold: float = 0.1, psi_threshold: float = 0.25,
-                   batch_size: int | None = 65536,
-                   merge_distributed: bool | None = None,
-                   driver_max_partials: int | None = None) -> pd.DataFrame:
-    """Per-partition drift: each group's distribution vs the global one.
+def grouped_profiles(ds, group_col: str, value_cols: list[str],
+                     batch_size: int | None = 65536,
+                     merge_distributed: bool | None = None,
+                     driver_max_partials: int | None = None
+                     ) -> dict[str, dict]:
+    """Merged per-GROUP column profiles: {group: {col: ColumnProfile}}
+    — the per-partition sketch state of the north rule, reusable by
+    both the live drift report (``drift_by_group``) and the grouped
+    sketch manifest (``stages.manifest``).
 
-    North-rule "KS/PSI distribution-drift tests per partition": one
-    profile partial per (batch, group) streams back (no row shuffle);
-    partials merge per group; each group's t-digest / categorical
-    counter is tested against the all-groups merge. Returns one row
-    per (group, column) with ks / psi / result.
-
-    ``merge_distributed=True`` is the many-groups scale path: a
-    groupby over the tiny partial blobs folds each group's partials in
-    a worker, so the driver receives ONE merged blob per group instead
-    of one per (batch, group) — at 10^6 partitions x 10^4 blocks the
+    One profile partial per (batch, group) streams back (no row
+    shuffle). ``merge_distributed=True`` is the many-groups scale
+    path: a bucketed groupby folds each group's partials in a worker,
+    so the driver receives ONE merged blob per group instead of one
+    per (batch, group) — at 10^6 partitions x 10^4 blocks the
     driver-side fold would otherwise bottleneck. The default ``None``
-    AUTO-routes: the materialized partial count beyond
-    ``DRIVER_DRIFT_MAX_PARTIALS`` engages the distributed fold
-    (round-2 verdict #4). Exact fields (count/null/min/max/categorical
-    counts) merge identically; the t-digest's centroid compression is
-    merge-order-sensitive, so KS values agree only to sketch tolerance
-    (verified by test). The driver fold itself streams via
-    ``iter_batches`` with incremental per-group merging — no
-    ``take_all`` of every blob at once.
-    """
+    AUTO-routes past ``DRIVER_DRIFT_MAX_PARTIALS`` partials (round-2
+    verdict #4). Exact fields (count/null/min/max/categorical counts)
+    merge identically on both routes; t-digest centroid compression
+    is merge-order-sensitive, so quantile-derived stats agree to
+    sketch tolerance only (verified by test). The driver fold streams
+    via ``iter_batches`` with incremental per-group merging — no
+    ``take_all`` of every blob at once."""
     import pickle
 
     import pyarrow as pa  # noqa: F811  (local for worker serialization)
@@ -875,6 +871,27 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
             cur = merged.setdefault(str(g), {})
             for name, p in profs.items():
                 cur[name] = cur[name].merge(p) if name in cur else p
+    return merged
+
+
+def drift_by_group(ds, group_col: str, value_cols: list[str],
+                   ks_threshold: float = 0.1, psi_threshold: float = 0.25,
+                   batch_size: int | None = 65536,
+                   merge_distributed: bool | None = None,
+                   driver_max_partials: int | None = None) -> pd.DataFrame:
+    """Per-partition drift: each group's distribution vs the global one.
+
+    North-rule "KS/PSI distribution-drift tests per partition": the
+    per-group sketch state comes from :func:`grouped_profiles` (see
+    its docstring for the partial/fold routes and auto-routing);
+    each group's t-digest / categorical counter is then tested
+    against the all-groups merge. Returns one row per (group, column)
+    with ks / psi / result.
+    """
+    merged = grouped_profiles(ds, group_col, value_cols,
+                              batch_size=batch_size,
+                              merge_distributed=merge_distributed,
+                              driver_max_partials=driver_max_partials)
     # global baseline: ONE bulk fold per column over every group's
     # profile (single t-digest compression / register reduction) —
     # pairwise merging here cost one compression per group, the

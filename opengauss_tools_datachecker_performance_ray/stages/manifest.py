@@ -570,3 +570,89 @@ def drift_vs_profile_manifest(ds, manifest_dir: str,
                            merge_concurrency=merge_concurrency)
     return drift_report(stored, live, ks_threshold=ks_threshold,
                         psi_threshold=psi_threshold)
+
+
+def write_grouped_profile_manifest(ds, group_col: str,
+                                   value_cols: list[str],
+                                   out_dir: str, table: str = "table",
+                                   merge_distributed: bool | None
+                                   = None) -> dict:
+    """Persist PER-GROUP sketch profiles — the north rule's
+    "checkpoints merged sketches ... per partition" literally: one
+    {column: ColumnProfile} per partition/group value, via the same
+    auto-routed partial fold the live drift report uses
+    (``checks.grouped_profiles``). A later run drift-tests each live
+    group against ITS OWN stored profile (per-partition temporal
+    drift), not just the whole table."""
+    import pickle
+
+    from ..pipelines.checks import grouped_profiles
+
+    profs = grouped_profiles(ds, group_col, value_cols,
+                             merge_distributed=merge_distributed)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, "sketches.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump({"version": MANIFEST_VERSION, "grouped": True,
+                     "group_col": group_col,
+                     "value_cols": list(value_cols),
+                     "profiles": profs}, f)
+    os.replace(tmp, os.path.join(out_dir, "sketches.pkl"))
+    meta = {
+        "version": MANIFEST_VERSION,
+        "table": table,
+        "group_col": group_col,
+        "value_cols": list(value_cols),
+        "n_groups": len(profs),
+        # human rows stay bounded: per-group detail lives in the pkl
+        "total_rows": int(sum(
+            next(iter(p.values())).count for p in profs.values()
+            if p)),
+    }
+    mtmp = os.path.join(out_dir, "profile.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f, default=str)
+    os.replace(mtmp, os.path.join(out_dir, "profile.json"))
+    return meta
+
+
+def drift_vs_grouped_manifest(ds, manifest_dir: str,
+                              ks_threshold: float = 0.1,
+                              psi_threshold: float = 0.25,
+                              merge_distributed: bool | None = None
+                              ) -> pd.DataFrame:
+    """Per-(group, column) drift verdicts of live data against a
+    grouped sketch manifest: each live group vs ITS stored profile
+    (same-key temporal comparison — no cross-group baseline, so no
+    median-excess correction is needed; thresholds apply directly as
+    in the pairwise ``drift_report``). Groups present on only one
+    side get a ``missing_on`` verdict row instead of a silent skip."""
+    import pickle
+
+    from ..pipelines.checks import _drift_rows, grouped_profiles
+
+    with open(os.path.join(manifest_dir, "sketches.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    if blob.get("version") != MANIFEST_VERSION or \
+            not blob.get("grouped"):
+        raise ValueError("not a grouped profile manifest (or version "
+                         "drift)")
+    stored = blob["profiles"]
+    live = grouped_profiles(ds, blob["group_col"], blob["value_cols"],
+                            merge_distributed=merge_distributed)
+    rows: list[dict] = []
+    for g in sorted(set(stored) | set(live)):
+        if g not in stored or g not in live:
+            rows.append({"grp": g, "column": None, "ks": None,
+                         "psi": None,
+                         "result": "failed",
+                         "missing_on": ("manifest" if g not in stored
+                                        else "live")})
+            continue
+        for row in _drift_rows(stored[g], live[g],
+                               ks_threshold, psi_threshold):
+            rows.append({"grp": g, **row, "missing_on": None})
+    if not rows:
+        return pd.DataFrame(columns=["grp", "column", "ks", "psi",
+                                     "result", "missing_on"])
+    return pd.DataFrame(rows)

@@ -446,3 +446,49 @@ class TestProfileManifest:
         p.write_bytes(pickle.dumps(blob))
         with pytest.raises(ValueError):
             M.read_profile_manifest(d)
+
+
+class TestGroupedProfileManifest:
+    def test_per_group_temporal_drift(self, ray_session, tmp_path):
+        """Each live group drifts against ITS OWN stored profile:
+        shifting one group flags only that group."""
+        rng = np.random.default_rng(53)
+        def corpus(shift_b=0.0):
+            return pd.DataFrame({
+                "g": ["a"] * 3000 + ["b"] * 3000,
+                "x": np.r_[rng.normal(10, 1, 3000),
+                           rng.normal(50 + shift_b, 1, 3000)],
+            })
+        d = str(tmp_path / "gm")
+        meta = M.write_grouped_profile_manifest(
+            rd.from_pandas(corpus()), "g", ["x"], d, table="t")
+        assert meta["n_groups"] == 2
+        clean = M.drift_vs_grouped_manifest(
+            rd.from_pandas(corpus()), d)
+        assert (clean["result"] == "success").all()
+        rep = M.drift_vs_grouped_manifest(
+            rd.from_pandas(corpus(shift_b=40.0)), d)
+        r = rep.set_index("grp")["result"]
+        assert r.loc["a"] == "success" and r.loc["b"] == "failed"
+
+    def test_missing_group_verdict(self, ray_session, tmp_path):
+        d = str(tmp_path / "gm")
+        t0 = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "x": [1.0, 2.0, 3.0, 4.0]})
+        M.write_grouped_profile_manifest(rd.from_pandas(t0), "g",
+                                         ["x"], d)
+        live = t0[t0["g"] == "a"]
+        rep = M.drift_vs_grouped_manifest(rd.from_pandas(live), d)
+        miss = rep[rep["missing_on"].notna()]
+        assert len(miss) == 1
+        assert miss["grp"].iloc[0] == "b"
+        assert miss["missing_on"].iloc[0] == "live"
+
+    def test_plain_manifest_rejected(self, ray_session, tmp_path):
+        d = str(tmp_path / "plain")
+        M.write_profile_manifest(
+            rd.from_pandas(pd.DataFrame({"x": [1.0]})), d)
+        with pytest.raises(ValueError):
+            M.drift_vs_grouped_manifest(
+                rd.from_pandas(pd.DataFrame({"g": ["a"],
+                                             "x": [1.0]})), d)
