@@ -776,7 +776,11 @@ def grouped_profiles(ds, group_col: str, value_cols: list[str],
     is merge-order-sensitive, so quantile-derived stats agree to
     sketch tolerance only (verified by test). The driver fold streams
     via ``iter_batches`` with incremental per-group merging — no
-    ``take_all`` of every blob at once."""
+    ``take_all`` of every blob at once.
+
+    Returns ``(merged, route)`` with route in {"driver",
+    "distributed"} — the route actually taken (the auto decision
+    happens here, so callers can report it)."""
     import pickle
 
     import pyarrow as pa  # noqa: F811  (local for worker serialization)
@@ -871,7 +875,7 @@ def grouped_profiles(ds, group_col: str, value_cols: list[str],
             cur = merged.setdefault(str(g), {})
             for name, p in profs.items():
                 cur[name] = cur[name].merge(p) if name in cur else p
-    return merged
+    return merged, ("distributed" if merge_distributed else "driver")
 
 
 def drift_by_group(ds, group_col: str, value_cols: list[str],
@@ -888,10 +892,10 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     against the all-groups merge. Returns one row per (group, column)
     with ks / psi / result.
     """
-    merged = grouped_profiles(ds, group_col, value_cols,
-                              batch_size=batch_size,
-                              merge_distributed=merge_distributed,
-                              driver_max_partials=driver_max_partials)
+    merged, merge_route = grouped_profiles(
+        ds, group_col, value_cols, batch_size=batch_size,
+        merge_distributed=merge_distributed,
+        driver_max_partials=driver_max_partials)
     # global baseline: ONE bulk fold per column over every group's
     # profile (single t-digest compression / register reduction) —
     # pairwise merging here cost one compression per group, the
@@ -945,8 +949,7 @@ def drift_by_group(ds, group_col: str, value_cols: list[str],
     # without monkeypatching (DataFrame.attrs survives .copy())
     rep.attrs["ks_threshold"] = float(ks_threshold)
     rep.attrs["psi_threshold"] = float(psi_threshold)
-    rep.attrs["merge_route"] = ("distributed" if merge_distributed
-                                else "driver")
+    rep.attrs["merge_route"] = merge_route
     return rep
 
 

@@ -588,8 +588,9 @@ def write_grouped_profile_manifest(ds, group_col: str,
 
     from ..pipelines.checks import grouped_profiles
 
-    profs = grouped_profiles(ds, group_col, value_cols,
-                             merge_distributed=merge_distributed)
+    profs, _route = grouped_profiles(
+        ds, group_col, value_cols,
+        merge_distributed=merge_distributed)
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "sketches.pkl.tmp")
     with open(tmp, "wb") as f:
@@ -638,8 +639,9 @@ def drift_vs_grouped_manifest(ds, manifest_dir: str,
         raise ValueError("not a grouped profile manifest (or version "
                          "drift)")
     stored = blob["profiles"]
-    live = grouped_profiles(ds, blob["group_col"], blob["value_cols"],
-                            merge_distributed=merge_distributed)
+    live, _route = grouped_profiles(
+        ds, blob["group_col"], blob["value_cols"],
+        merge_distributed=merge_distributed)
     rows: list[dict] = []
     for g in sorted(set(stored) | set(live)):
         if g not in stored or g not in live:
