@@ -226,7 +226,13 @@ def main(argv: list[str] | None = None) -> int:
                          "sketch manifest (exit 1 on drift)")
     pr.add_argument("--columns", default=None,
                     help="comma list restricting --sketch-out "
-                         "profiling (default: all columns)")
+                         "profiling (default: all columns; REQUIRED "
+                         "with --group-col)")
+    pr.add_argument("--group-col", default=None,
+                    help="with --sketch-out: write PER-GROUP sketch "
+                         "profiles (per-partition temporal drift); "
+                         "--drift-against auto-detects grouped "
+                         "manifests")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     fp = sub.add_parser(
@@ -681,13 +687,37 @@ def _run(args) -> int:
             if args.sketch_out:
                 cols = (args.columns.split(",") if args.columns
                         else None)
-                pm = M.write_profile_manifest(
-                    rd.read_parquet(path, columns=cols),
-                    args.sketch_out, columns=cols, table=name)
-                summary["sketch_columns"] = pm["columns"]
+                if args.group_col:
+                    if not cols:
+                        print(json.dumps(
+                            {"result": "error",
+                             "error": "--group-col needs --columns"}),
+                            file=sys.stderr)
+                        return 2
+                    pm = M.write_grouped_profile_manifest(
+                        rd.read_parquet(path,
+                                        columns=[args.group_col]
+                                        + cols),
+                        args.group_col, cols, args.sketch_out,
+                        table=name)
+                    summary["sketch_groups"] = pm["n_groups"]
+                else:
+                    pm = M.write_profile_manifest(
+                        rd.read_parquet(path, columns=cols),
+                        args.sketch_out, columns=cols, table=name)
+                    summary["sketch_columns"] = pm["columns"]
             if args.drift_against:
-                rep = M.drift_vs_profile_manifest(
-                    rd.read_parquet(path), args.drift_against)
+                import pickle
+
+                with open(os.path.join(args.drift_against,
+                                       "sketches.pkl"), "rb") as f:
+                    grouped = pickle.load(f).get("grouped", False)
+                if grouped:
+                    rep = M.drift_vs_grouped_manifest(
+                        rd.read_parquet(path), args.drift_against)
+                else:
+                    rep = M.drift_vs_profile_manifest(
+                        rd.read_parquet(path), args.drift_against)
                 # NaN (stat not applicable to the column class) is
                 # not valid strict JSON — surface as null
                 summary["drift"] = json.loads(

@@ -714,3 +714,29 @@ class TestProfileCli:
                    "--drift-against", sk])
         out = json.loads(capsys.readouterr().out.strip())
         assert rc == 1 and out["result"] == "drifted"
+
+    def test_grouped_sketch_and_drift(self, ray_session, tmp_path,
+                                      capsys):
+        import numpy as np
+
+        rng = np.random.default_rng(59)
+        def tbl(shift_b=0.0):
+            return pa.table({
+                "g": ["a"] * 2000 + ["b"] * 2000,
+                "x": np.r_[rng.normal(5, 1, 2000),
+                           rng.normal(20 + shift_b, 1, 2000)]})
+        p0, p1 = tmp_path / "t0.parquet", tmp_path / "t1.parquet"
+        pq.write_table(tbl(), str(p0))
+        pq.write_table(tbl(shift_b=30.0), str(p1))
+        sk = str(tmp_path / "sk")
+        rc = main(["profile", "--input", str(p0), "--sketch-out", sk,
+                   "--group-col", "g", "--columns", "x"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["sketch_groups"] == 2
+        rc = main(["profile", "--input", str(p1),
+                   "--drift-against", sk])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["result"] == "drifted"
+        drifted = {d["grp"] for d in out["drift"]
+                   if d["result"] == "failed"}
+        assert drifted == {"b"}
