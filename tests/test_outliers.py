@@ -133,3 +133,31 @@ class TestOutlierMetamorphic:
             rd.from_pandas(df.assign(v=df["v"] + 250.0)), "g", "v")
         assert shifted["n_out"].tolist() == base["n_out"].tolist()
         assert shifted["n"].tolist() == base["n"].tolist()
+
+
+
+def test_fanout_hypothesis_fuzz_vs_sql(ray_session):
+    """fanout_histogram == the nested GROUP BY oracle on arbitrary
+    key multisets (nulls excluded on both engines)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.sampled_from(["a", "b", "c", "d", None]),
+                    min_size=0, max_size=30))
+    def check(keys):
+        df = pd.DataFrame({"k": pd.Series(keys, dtype=object)})
+        out = checks.fanout_histogram(rd.from_pandas(df), "k")
+        con = duckdb.connect()
+        con.register("t", df)
+        orc = con.execute(
+            "SELECT n AS fanout, CAST(count(*) AS BIGINT) AS "
+            "n_keys FROM (SELECT k, CAST(count(*) AS BIGINT) AS n "
+            "FROM t WHERE k IS NOT NULL GROUP BY k) GROUP BY n "
+            "ORDER BY n").df()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), orc, check_dtype=False)
+
+    check()
