@@ -199,6 +199,9 @@ def fd_violating_groups(ds, determinant, dependent: str,
         per = bad.groupby("scope", sort=False).size() \
             .reset_index(name="n_viol")
         per["n_viol"] = per["n_viol"].astype(np.int64)
+        # typed string column: a SIZE-0 object column trips Ray's
+        # block-size estimator (np.vectorize over empty) into log spam
+        per["scope"] = per["scope"].astype("string")
         return per
 
     def evidence(g: pd.DataFrame) -> pd.DataFrame:
