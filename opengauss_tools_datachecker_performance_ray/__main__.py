@@ -251,6 +251,10 @@ def main(argv: list[str] | None = None) -> int:
     fp.add_argument("--schema", action="store_true",
                     help="treat --input as a schema DIRECTORY: one "
                          "manifest per contained table")
+    fp.add_argument("--column-level", default=None,
+                    help="comma list of compare columns: write a "
+                         "COLUMN-granular manifest instead (verify "
+                         "reports WHICH column changed per partition)")
     fp.add_argument("--num-cpus", type=int, default=None)
 
     vm = sub.add_parser(
@@ -616,9 +620,15 @@ def _run(args) -> int:
         meta = load_table_meta(args.input)
         keys = tuple(args.keys.split("+"))
         cfg = DigestConfig.for_rows(keys, meta.num_rows)
-        out = M.write_manifest(
-            read_table(args.input), cfg, args.out,
-            table=args.table or meta.name)
+        if args.column_level:
+            out = M.write_column_manifest(
+                read_table(args.input), cfg, args.out,
+                compare_cols=args.column_level.split(","),
+                table=args.table or meta.name)
+        else:
+            out = M.write_manifest(
+                read_table(args.input), cfg, args.out,
+                table=args.table or meta.name)
         print(json.dumps({"result": "success", **out}))
         return 0
     if args.cmd == "verify-manifest":
@@ -629,8 +639,13 @@ def _run(args) -> int:
             res = M.verify_schema_manifests(args.input, args.manifest)
             print(json.dumps(res))
             return 0 if res["result"] == "success" else 1
-        res = M.verify_against_manifest(read_table(args.input),
-                                        args.manifest)
+        if os.path.exists(os.path.join(args.manifest,
+                                       "column_manifest.json")):
+            res = M.verify_columns_against_manifest(
+                read_table(args.input), args.manifest)
+        else:
+            res = M.verify_against_manifest(read_table(args.input),
+                                            args.manifest)
         verdicts = res.pop("verdicts")
         if args.verdicts_out:
             os.makedirs(os.path.dirname(args.verdicts_out) or ".",

@@ -244,6 +244,25 @@ def row_hash(table, columns: list[str] | None = None) -> np.ndarray:
     return h
 
 
+def keyed_column_hash(khash: np.ndarray, col) -> np.ndarray:
+    """One column's value hash BOUND to its row key — the per-column
+    sibling of ``row_hash``'s combine step (rotate-xor-multiply of
+    the key hash with the column hash). Binding matters: an unkeyed
+    per-column XOR signature would let two rows SWAP values inside a
+    bucket and cancel; keyed, any (key, value) change moves the
+    signature. Used by the column-level manifest
+    (``stages.manifest.write_column_manifest``)."""
+    t = np.empty(len(khash), dtype=np.uint64)
+    h = khash.astype(np.uint64, copy=True)
+    hc = column_hash(col, tmp=t)
+    np.left_shift(h, _ROT_L, out=t)
+    np.right_shift(h, _ROT_R, out=h)
+    np.bitwise_or(t, h, out=h)
+    np.bitwise_xor(h, np.asarray(hc, dtype=np.uint64), out=h)
+    np.multiply(h, _MIX_MUL, out=h)
+    return h
+
+
 def next_pow2(n: int) -> int:
     """Smallest power of two >= n (>=1)."""
     return 1 << max(0, int(n - 1).bit_length())

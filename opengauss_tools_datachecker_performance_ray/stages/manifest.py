@@ -658,3 +658,217 @@ def drift_vs_grouped_manifest(ds, manifest_dir: str,
         return pd.DataFrame(columns=["grp", "column", "ks", "psi",
                                      "result", "missing_on"])
     return pd.DataFrame(rows)
+
+
+def _column_partials_fn(cfg: DigestConfig, compare_cols: list[str]):
+    """Per-batch column-signature partials: the batch's key hash /
+    partition / bucket are computed ONCE, then each compare column
+    folds its keyed value hash per (gid, column) — one fused scan,
+    C x the normal signature partial volume (documented cost of
+    column-granular diagnosis)."""
+    from ..functions import canonical, hashing
+
+    B = cfg.buckets_per_partition
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = canonical.key_column(batch, list(cfg.key_columns))
+        khash = hashing.hash64(keys)
+        part, bucket = hashing.assign_buckets(
+            khash, cfg.num_partitions, B)
+        gid = part.astype(np.int64) * B + bucket.astype(np.int64)
+        out_col, out_gid, out_sig, out_cnt = [], [], [], []
+        # row counts once (column-independent)
+        ug, us, uc = cmp._xor_count_by_gid(
+            gid, np.zeros(len(gid), np.uint64))
+        out_col.append(np.full(len(ug), "__rows__", dtype=object))
+        out_gid.append(ug)
+        out_sig.append(us)
+        out_cnt.append(uc)
+        for c in compare_cols:
+            vh = hashing.keyed_column_hash(khash, batch.column(c))
+            ug, us, uc = cmp._xor_count_by_gid(gid, vh)
+            out_col.append(np.full(len(ug), c, dtype=object))
+            out_gid.append(ug)
+            out_sig.append(us)
+            out_cnt.append(uc)
+        return pa.table({
+            "column": pa.array(np.concatenate(out_col), pa.string()),
+            "gid": pa.array(np.concatenate(out_gid)),
+            "sig": pa.array(np.concatenate(out_sig), pa.uint64()),
+            "cnt": pa.array(np.concatenate(out_cnt), pa.int64()),
+        })
+
+    return partials
+
+
+def _fold_column_partials(t: pa.Table, cfg: DigestConfig,
+                          compare_cols: list[str]) -> pd.DataFrame:
+    """Driver fold: per (column, part) dense leaf blobs + roots; the
+    "__rows__" rows carry bucket counts (croot analog)."""
+    from ..functions import merkle
+
+    B = cfg.buckets_per_partition
+    df = pd.DataFrame({
+        "column": t.column("column").to_pylist(),
+        "gid": t.column("gid").to_numpy(),
+        "sig": t.column("sig").to_numpy(),
+        "cnt": t.column("cnt").to_numpy(),
+    }) if t is not None else pd.DataFrame(
+        columns=["column", "gid", "sig", "cnt"])
+    rows = []
+    for (colname, part), g in df.assign(part=lambda d: d["gid"] // B) \
+            .groupby(["column", "part"], sort=True):
+        lv = np.zeros(B, np.uint64)
+        ct = np.zeros(B, np.int64)
+        b = (g["gid"] % B).to_numpy().astype(np.int64)
+        np.bitwise_xor.at(lv, b, g["sig"].to_numpy().astype(np.uint64))
+        np.add.at(ct, b, g["cnt"].to_numpy().astype(np.int64))
+        rows.append({"column": colname, "part": int(part),
+                     "rows": int(ct.sum()),
+                     "root": np.uint64(merkle.merkle_root(lv)),
+                     "croot": np.uint64(
+                         merkle.merkle_root(ct.view(np.uint64))),
+                     "leaves": lv.tobytes(),
+                     "counts": ct.tobytes()})
+    return pd.DataFrame(rows, columns=["column", "part", "rows",
+                                       "root", "croot", "leaves",
+                                       "counts"])
+
+
+def write_column_manifest(ds, cfg: DigestConfig, out_dir: str,
+                          compare_cols: list[str],
+                          table: str = "table",
+                          batch_size: int | None = None) -> dict:
+    """Column-GRANULAR fingerprint: one signature set per compare
+    column (value hashes BOUND to row keys via
+    ``hashing.keyed_column_hash``), so a later verify reports WHICH
+    COLUMN changed in which partition — "price drifted in 3
+    partitions, text untouched" — where the row-level manifest only
+    says "partition dirty". Cost: C x the signature partial volume of
+    the row manifest (one fused scan either way); key columns are
+    implicitly covered by every signature (the binding)."""
+    parts_ds = ds.map_batches(
+        _column_partials_fn(cfg, compare_cols),
+        batch_format="pyarrow", batch_size=batch_size)
+    sigs = _fold_column_partials(cmp._collect_arrow(parts_ds), cfg,
+                                 compare_cols)
+    os.makedirs(out_dir, exist_ok=True)
+    t = pa.table({
+        "column": pa.array(list(sigs["column"]), pa.string()),
+        "part": pa.array(sigs["part"].to_numpy(np.int64)),
+        "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
+        "root": pa.array(sigs["root"].to_numpy(np.uint64)
+                         .view(np.int64)),
+        "croot": pa.array(sigs["croot"].to_numpy(np.uint64)
+                          .view(np.int64)),
+        "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
+        "counts": pa.array(list(sigs["counts"]), pa.binary()),
+    })
+    tmp = os.path.join(out_dir, "column_signatures.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir,
+                                 "column_signatures.parquet"))
+    rows_rows = sigs[sigs["column"] == "__rows__"]
+    meta = {
+        "version": MANIFEST_VERSION,
+        "table": table,
+        "n_rows": int(rows_rows["rows"].sum()) if len(rows_rows)
+        else 0,
+        "compare_cols": list(compare_cols),
+        "key_columns": list(cfg.key_columns),
+        "num_partitions": cfg.num_partitions,
+        "buckets_per_partition": cfg.buckets_per_partition,
+    }
+    mtmp = os.path.join(out_dir, "column_manifest.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(out_dir, "column_manifest.json"))
+    return meta
+
+
+def verify_columns_against_manifest(ds, manifest_dir: str,
+                                    batch_size: int | None = None
+                                    ) -> dict:
+    """Column-granular verify: which (partition, column) pairs differ
+    from the stored column manifest. Returns ``{"result", "table",
+    "dirtyColumns": sorted list, "verdicts": DataFrame(part, column,
+    n_diff_buckets)}`` — the ``__rows__`` pseudo-column carries pure
+    row-count/multiplicity skew (insert/delete), letting a reader
+    separate "values changed in column X" from "rows appeared/
+    vanished"."""
+    from ..functions import merkle
+
+    with open(os.path.join(manifest_dir,
+                           "column_manifest.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != MANIFEST_VERSION:
+        raise ValueError("column manifest version drift")
+    cfg = DigestConfig(
+        key_columns=tuple(meta["key_columns"]),
+        num_partitions=meta["num_partitions"],
+        buckets_per_partition=meta["buckets_per_partition"])
+    stored = pq.read_table(
+        os.path.join(manifest_dir, "column_signatures.parquet"))
+    man = pd.DataFrame({
+        "column": stored.column("column").to_pylist(),
+        "part": stored.column("part").to_numpy(),
+        "root": stored.column("root").to_numpy().view(np.uint64),
+        "croot": stored.column("croot").to_numpy().view(np.uint64),
+        "leaves": stored.column("leaves").to_pylist(),
+        "counts": stored.column("counts").to_pylist(),
+    })
+    live_parts = ds.map_batches(
+        _column_partials_fn(cfg, meta["compare_cols"]),
+        batch_format="pyarrow", batch_size=batch_size)
+    live = _fold_column_partials(cmp._collect_arrow(live_parts), cfg,
+                                 meta["compare_cols"])
+    key = ["column", "part"]
+    j = man.merge(live, on=key, how="outer",
+                  suffixes=("_m", "_l"))
+    rows = []
+    B = cfg.buckets_per_partition
+    for _, r in j.iterrows():
+        root_m = r["root_m"] if pd.notna(r["root_m"]) else None
+        root_l = r["root_l"] if pd.notna(r["root_l"]) else None
+        croot_m = r["croot_m"] if pd.notna(r["croot_m"]) else None
+        croot_l = r["croot_l"] if pd.notna(r["croot_l"]) else None
+        # __rows__ leaves are all-zero by construction (vhash=0), so
+        # its ONLY signal is the count root — skip requires BOTH
+        if root_m is not None and root_l is not None \
+                and np.uint64(root_m) == np.uint64(root_l) \
+                and croot_m is not None and croot_l is not None \
+                and np.uint64(croot_m) == np.uint64(croot_l):
+            continue
+        lv_m = (np.frombuffer(r["leaves_m"], np.uint64)
+                if isinstance(r["leaves_m"], bytes)
+                else np.zeros(B, np.uint64))
+        lv_l = (np.frombuffer(r["leaves_l"], np.uint64)
+                if isinstance(r["leaves_l"], bytes)
+                else np.zeros(B, np.uint64))
+        db = merkle.diff_buckets(lv_m, lv_l)
+        ct_m = (np.frombuffer(r["counts_m"], np.int64)
+                if isinstance(r["counts_m"], bytes)
+                else np.zeros(B, np.int64))
+        ct_l = (np.frombuffer(r["counts_l"], np.int64)
+                if isinstance(r["counts_l"], bytes)
+                else np.zeros(B, np.int64))
+        db = np.union1d(db, np.nonzero(ct_m != ct_l)[0])
+        if len(db):
+            rows.append({"part": int(r["part"]),
+                         "column": r["column"],
+                         "n_diff_buckets": int(len(db))})
+    verdicts = pd.DataFrame(rows, columns=["part", "column",
+                                           "n_diff_buckets"])
+    if len(verdicts):
+        verdicts = verdicts.sort_values(
+            ["part", "column"]).reset_index(drop=True)
+    dirty_cols = sorted(set(verdicts["column"]) - {"__rows__"}) \
+        if len(verdicts) else []
+    return {
+        "result": "success" if not len(verdicts) else "failed",
+        "table": meta["table"],
+        "dirtyColumns": dirty_cols,
+        "rowSkew": bool(len(verdicts)
+                        and (verdicts["column"] == "__rows__").any()),
+        "verdicts": verdicts,
+    }

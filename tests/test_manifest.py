@@ -492,3 +492,84 @@ class TestGroupedProfileManifest:
             M.drift_vs_grouped_manifest(
                 rd.from_pandas(pd.DataFrame({"g": ["a"],
                                              "x": [1.0]})), d)
+
+
+class TestColumnManifest:
+    def _t(self, mutate_v=None, mutate_w=None, drop=None):
+        k = np.arange(1000, dtype=np.int64)
+        v = (k * 7 % 101).astype(np.int64)
+        w = np.array([f"s{i % 13}" for i in range(1000)], dtype=object)
+        if mutate_v is not None:
+            v = v.copy(); v[mutate_v] += 1
+        if mutate_w is not None:
+            w = w.copy(); w[mutate_w] = "CHANGED"
+        df = pd.DataFrame({"k": k, "v": v, "w": w})
+        if drop is not None:
+            df = df[df["k"] != drop]
+        return df
+
+    def test_column_isolation(self, ray_session, tmp_path):
+        """Mutating one column flags ONLY that column (plus nothing in
+        __rows__: counts unchanged)."""
+        d = str(tmp_path / "cm")
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        M.write_column_manifest(rd.from_pandas(self._t()), cfg, d,
+                                compare_cols=["v", "w"], table="t")
+        res = M.verify_columns_against_manifest(
+            rd.from_pandas(self._t(mutate_v=123)), d)
+        assert res["result"] == "failed"
+        assert res["dirtyColumns"] == ["v"]
+        assert not res["rowSkew"]
+        assert set(res["verdicts"]["column"]) == {"v"}
+        res2 = M.verify_columns_against_manifest(
+            rd.from_pandas(self._t(mutate_w=55)), d)
+        assert res2["dirtyColumns"] == ["w"]
+
+    def test_clean_and_row_skew(self, ray_session, tmp_path):
+        d = str(tmp_path / "cm")
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        M.write_column_manifest(rd.from_pandas(self._t()), cfg, d,
+                                compare_cols=["v", "w"])
+        clean = M.verify_columns_against_manifest(
+            rd.from_pandas(self._t()), d)
+        assert clean["result"] == "success"
+        assert clean["dirtyColumns"] == [] and not clean["rowSkew"]
+        # a deleted row flags every column's signature AND __rows__
+        dropped = M.verify_columns_against_manifest(
+            rd.from_pandas(self._t(drop=500)), d)
+        assert dropped["result"] == "failed"
+        assert dropped["rowSkew"]
+        assert set(dropped["dirtyColumns"]) == {"v", "w"}
+
+    def test_value_swap_within_bucket_detected(self, ray_session,
+                                               tmp_path):
+        """The keyed binding: swapping two rows' values would cancel
+        an unkeyed per-column XOR; keyed it must flag the column."""
+        d = str(tmp_path / "cm")
+        cfg = DigestConfig(key_columns=("k",), num_partitions=1,
+                           buckets_per_partition=1)  # force one bucket
+        t0 = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                           "v": np.array([10, 20], np.int64)})
+        M.write_column_manifest(rd.from_pandas(t0), cfg, d,
+                                compare_cols=["v"])
+        swapped = t0.assign(v=[20, 10])
+        res = M.verify_columns_against_manifest(
+            rd.from_pandas(swapped), d)
+        assert res["dirtyColumns"] == ["v"]
+
+    def test_cli_column_level(self, ray_session, tmp_path, capsys):
+        inp = tmp_path / "t.parquet"
+        pq.write_table(pa.table(self._t()), str(inp))
+        man = str(tmp_path / "cman")
+        rc = main(["fingerprint", "--input", str(inp), "--keys", "k",
+                   "--out", man, "--column-level", "v,w"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["compare_cols"] == ["v", "w"]
+        mut = tmp_path / "mut.parquet"
+        pq.write_table(pa.table(self._t(mutate_v=9)), str(mut))
+        rc = main(["verify-manifest", "--input", str(mut),
+                   "--manifest", man])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and out["dirtyColumns"] == ["v"]
