@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in the tail (still covered by tools/check_oracle.py + pytest).
     return {
         # --- never driver-verified until round 5 (34 entries) ---
-        "hot_sources_documents": q.hot_sources_documents,
+        "manifest_columns_orders": q.manifest_columns_orders,
         "csv_lang_counts": q.csv_lang_counts,
         "simhash_near_dups_documents": q.simhash_near_dups_documents,
         "embedding_dup_pairs": q.embedding_dup_pairs,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_events_props": q.redact_events_props,
         "normalize_text_documents": q.normalize_text_documents,
         "events_tumbling_window": q.events_tumbling_window,
+        "hot_sources_documents": q.hot_sources_documents,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -360,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "format_profile_strings": q.FORMAT_PROFILE_STRINGS_SQL,
         "manifest_verify_orders": q.MANIFEST_VERIFY_ORDERS_SQL,
         "manifest_update_orders": q.MANIFEST_UPDATE_ORDERS_SQL,
+        "manifest_columns_orders": q.MANIFEST_COLUMNS_ORDERS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

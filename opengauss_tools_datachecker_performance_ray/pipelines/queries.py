@@ -6124,3 +6124,63 @@ SELECT 'updated_vs_original', 'failed', m.n_mut, n.n_rows
 FROM n, m
 ORDER BY caso
 """
+
+
+def manifest_columns_orders(sf_dir: str) -> pd.DataFrame:
+    """Column-granular manifest capstone
+    (`stages/manifest.write_column_manifest`): fingerprint orders per
+    column, then verify (a) the same table — clean — and (b) a sink
+    whose ONLY change is the price bump (no dropped/added keys) —
+    exactly ['o_totalprice'] dirty, no row skew. One row per case:
+    (caso, result, dirty_cols, row_skew). Oracle = literals (the
+    column-isolation semantics are pinned by pytest incl. the
+    within-bucket swap test)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages import manifest as M
+
+    n = _num_rows(sf_dir, "orders")
+    cfg = DigestConfig.for_rows(("o_orderkey",), n,
+                                partition_capacity=50_000,
+                                bucket_capacity=64)
+    d = tempfile.mkdtemp(prefix="manifest_cols_", dir="/tmp")
+    try:
+        M.write_column_manifest(
+            _read(sf_dir, "orders", ORDER_COLS), cfg, d,
+            compare_cols=["o_totalprice", "o_orderstatus"],
+            table="orders")
+
+        def bump_only(batch: pa.Table) -> pa.Table:
+            key = batch.column("o_orderkey").to_numpy()
+            price = batch.column("o_totalprice").to_numpy().copy()
+            price = np.where(key % 89 == 0, price + 1.0, price)
+            return batch.set_column(
+                batch.schema.get_field_index("o_totalprice"),
+                "o_totalprice", pa.array(price, pa.float64()))
+
+        clean = M.verify_columns_against_manifest(
+            _read(sf_dir, "orders", ORDER_COLS), d)
+        dirty = M.verify_columns_against_manifest(
+            _read(sf_dir, "orders", ORDER_COLS)
+            .map_batches(bump_only, batch_format="pyarrow"), d)
+        return pd.DataFrame([
+            {"caso": "clean", "result": clean["result"],
+             "dirty_cols": ",".join(clean["dirtyColumns"]),
+             "row_skew": bool(clean["rowSkew"])},
+            {"caso": "price_bump", "result": dirty["result"],
+             "dirty_cols": ",".join(dirty["dirtyColumns"]),
+             "row_skew": bool(dirty["rowSkew"])},
+        ])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+MANIFEST_COLUMNS_ORDERS_SQL = """
+SELECT 'clean' AS caso, 'success' AS result, '' AS dirty_cols,
+       FALSE AS row_skew
+UNION ALL
+SELECT 'price_bump', 'failed', 'o_totalprice', FALSE
+ORDER BY caso
+"""
