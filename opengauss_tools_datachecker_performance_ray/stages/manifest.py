@@ -872,3 +872,109 @@ def verify_columns_against_manifest(ds, manifest_dir: str,
                         and (verdicts["column"] == "__rows__").any()),
         "verdicts": verdicts,
     }
+
+
+def update_column_manifest(manifest_dir: str,
+                           removed: pa.Table | None = None,
+                           added: pa.Table | None = None,
+                           out_dir: str | None = None) -> dict:
+    """Apply a change window to a COLUMN manifest — the per-column
+    XOR signatures are self-inverse exactly like the row manifest's
+    (:func:`update_manifest`), so a CDC window keeps the
+    column-granular fingerprint current with zero table reads.
+    Images must carry the key columns and every compare column;
+    byte-equality with a re-fingerprint is pinned by test."""
+    from ..functions import merkle
+
+    with open(os.path.join(manifest_dir,
+                           "column_manifest.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != MANIFEST_VERSION:
+        raise ValueError("column manifest version drift")
+    cfg = DigestConfig(
+        key_columns=tuple(meta["key_columns"]),
+        num_partitions=meta["num_partitions"],
+        buckets_per_partition=meta["buckets_per_partition"])
+    compare_cols = meta["compare_cols"]
+    out_dir = out_dir or manifest_dir
+    B = cfg.buckets_per_partition
+    stored = pq.read_table(
+        os.path.join(manifest_dir, "column_signatures.parquet"))
+    leaves: dict[tuple, np.ndarray] = {}
+    counts: dict[tuple, np.ndarray] = {}
+    for i in range(stored.num_rows):
+        k = (stored.column("column")[i].as_py(),
+             int(stored.column("part")[i].as_py()))
+        leaves[k] = np.frombuffer(
+            stored.column("leaves")[i].as_py(), np.uint64).copy()
+        counts[k] = np.frombuffer(
+            stored.column("counts")[i].as_py(), np.int64).copy()
+    partial_fn = _column_partials_fn(cfg, compare_cols)
+
+    def fold(tbl: pa.Table | None, delta: int) -> None:
+        if tbl is None or tbl.num_rows == 0:
+            return
+        need = list(cfg.key_columns) + compare_cols
+        missing = [c for c in need if c not in tbl.column_names]
+        if missing:
+            raise ValueError(f"update_column_manifest: images lack "
+                             f"column(s) {missing}")
+        p = partial_fn(tbl.select(
+            [c for c in tbl.column_names if c in need]))
+        col = p.column("column").to_pylist()
+        gid = p.column("gid").to_numpy()
+        sig = p.column("sig").to_numpy()
+        cnt = p.column("cnt").to_numpy()
+        for c, g, s_, n_ in zip(col, gid, sig, cnt):
+            k = (c, int(g // B))
+            if k not in leaves:
+                leaves[k] = np.zeros(B, np.uint64)
+                counts[k] = np.zeros(B, np.int64)
+            b = int(g % B)
+            leaves[k][b] ^= np.uint64(s_)
+            counts[k][b] += delta * int(n_)
+
+    fold(removed, -1)
+    fold(added, +1)
+    neg = [k for k, c in counts.items() if (c < 0).any()]
+    if neg:
+        raise ValueError(
+            f"update_column_manifest: bucket count negative for "
+            f"{neg[:3]} — the change stream and manifest diverged")
+    ks = sorted(leaves)
+    sigs = pd.DataFrame({
+        "column": [k[0] for k in ks],
+        "part": np.array([k[1] for k in ks], np.int64),
+        "rows": np.array([int(counts[k].sum()) for k in ks],
+                         np.int64),
+        "root": np.array([merkle.merkle_root(leaves[k])
+                          for k in ks], np.uint64),
+        "croot": np.array([merkle.merkle_root(
+            counts[k].view(np.uint64)) for k in ks], np.uint64),
+        "leaves": [leaves[k].tobytes() for k in ks],
+        "counts": [counts[k].tobytes() for k in ks],
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    t = pa.table({
+        "column": pa.array(list(sigs["column"]), pa.string()),
+        "part": pa.array(sigs["part"].to_numpy(np.int64)),
+        "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
+        "root": pa.array(sigs["root"].to_numpy(np.uint64)
+                         .view(np.int64)),
+        "croot": pa.array(sigs["croot"].to_numpy(np.uint64)
+                          .view(np.int64)),
+        "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
+        "counts": pa.array(list(sigs["counts"]), pa.binary()),
+    })
+    tmp = os.path.join(out_dir, "column_signatures.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir,
+                                 "column_signatures.parquet"))
+    rows_tot = int(sigs.loc[sigs["column"] == "__rows__",
+                            "rows"].sum())
+    meta = dict(meta, n_rows=rows_tot)
+    mtmp = os.path.join(out_dir, "column_manifest.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(mtmp, os.path.join(out_dir, "column_manifest.json"))
+    return meta

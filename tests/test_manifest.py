@@ -573,3 +573,42 @@ class TestColumnManifest:
                    "--manifest", man])
         out = json.loads(capsys.readouterr().out.strip())
         assert rc == 1 and out["dirtyColumns"] == ["v"]
+
+    def test_update_column_manifest_equals_refingerprint(
+            self, ray_session, tmp_path):
+        """Incremental column-manifest update == re-fingerprint,
+        byte-for-byte per (column, part)."""
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        t0 = self._t()
+        d0, d1, dref = (str(tmp_path / x) for x in
+                        ("base", "upd", "ref"))
+        M.write_column_manifest(rd.from_pandas(t0), cfg, d0,
+                                compare_cols=["v", "w"], table="t")
+        # update k=123 (v+1), delete k=500, insert k=9000
+        t1 = t0[t0["k"] != 500].copy()
+        t1.loc[t1["k"] == 123, "v"] += 1
+        t1 = pd.concat([t1, pd.DataFrame(
+            {"k": [9000], "v": [1], "w": ["s0"]})],
+            ignore_index=True)
+        removed = pa.Table.from_pandas(
+            t0[(t0["k"] == 123) | (t0["k"] == 500)],
+            preserve_index=False)
+        added = pa.Table.from_pandas(
+            t1[(t1["k"] == 123) | (t1["k"] == 9000)],
+            preserve_index=False)
+        meta = M.update_column_manifest(d0, removed=removed,
+                                        added=added, out_dir=d1)
+        assert meta["n_rows"] == 1000
+        M.write_column_manifest(rd.from_pandas(t1), cfg, dref,
+                                compare_cols=["v", "w"], table="t")
+        a = pq.read_table(d1 + "/column_signatures.parquet") \
+            .to_pandas().sort_values(["column", "part"]) \
+            .reset_index(drop=True)
+        b = pq.read_table(dref + "/column_signatures.parquet") \
+            .to_pandas().sort_values(["column", "part"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        res = M.verify_columns_against_manifest(
+            rd.from_pandas(t1), d1)
+        assert res["result"] == "success"
