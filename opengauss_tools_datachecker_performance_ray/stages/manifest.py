@@ -978,3 +978,121 @@ def update_column_manifest(manifest_dir: str,
         json.dump(meta, f)
     os.replace(mtmp, os.path.join(out_dir, "column_manifest.json"))
     return meta
+
+
+def diff_column_manifests(dir_a: str, dir_b: str) -> dict:
+    """Diff two COLUMN manifests of the same table with zero data
+    read: which (partition, column) pairs changed between snapshots.
+    Same output shape as :func:`verify_columns_against_manifest`
+    (a = the "manifest" side, b = the "live" side); config drift
+    raises."""
+    from ..functions import merkle
+
+    metas = []
+    frames = []
+    for d in (dir_a, dir_b):
+        with open(os.path.join(d, "column_manifest.json")) as f:
+            m = json.load(f)
+        if m.get("version") != MANIFEST_VERSION:
+            raise ValueError("column manifest version drift")
+        metas.append(m)
+        t = pq.read_table(os.path.join(d,
+                                       "column_signatures.parquet"))
+        frames.append(pd.DataFrame({
+            "column": t.column("column").to_pylist(),
+            "part": t.column("part").to_numpy(),
+            "root": t.column("root").to_numpy().view(np.uint64),
+            "croot": t.column("croot").to_numpy().view(np.uint64),
+            "leaves": t.column("leaves").to_pylist(),
+            "counts": t.column("counts").to_pylist(),
+        }))
+    keys = ("key_columns", "num_partitions", "buckets_per_partition",
+            "compare_cols")
+    if any(metas[0][k] != metas[1][k] for k in keys):
+        raise ValueError("column manifest configs differ — "
+                         "re-fingerprint one side")
+    B = metas[0]["buckets_per_partition"]
+    j = frames[0].merge(frames[1], on=["column", "part"],
+                        how="outer", suffixes=("_m", "_l"))
+    rows = []
+    for _, r in j.iterrows():
+        same_root = (pd.notna(r["root_m"]) and pd.notna(r["root_l"])
+                     and np.uint64(r["root_m"]) == np.uint64(r["root_l"]))
+        same_croot = (pd.notna(r["croot_m"]) and pd.notna(r["croot_l"])
+                      and np.uint64(r["croot_m"])
+                      == np.uint64(r["croot_l"]))
+        if same_root and same_croot:
+            continue
+        lv_m = (np.frombuffer(r["leaves_m"], np.uint64)
+                if isinstance(r["leaves_m"], bytes)
+                else np.zeros(B, np.uint64))
+        lv_l = (np.frombuffer(r["leaves_l"], np.uint64)
+                if isinstance(r["leaves_l"], bytes)
+                else np.zeros(B, np.uint64))
+        db = merkle.diff_buckets(lv_m, lv_l)
+        ct_m = (np.frombuffer(r["counts_m"], np.int64)
+                if isinstance(r["counts_m"], bytes)
+                else np.zeros(B, np.int64))
+        ct_l = (np.frombuffer(r["counts_l"], np.int64)
+                if isinstance(r["counts_l"], bytes)
+                else np.zeros(B, np.int64))
+        db = np.union1d(db, np.nonzero(ct_m != ct_l)[0])
+        if len(db):
+            rows.append({"part": int(r["part"]),
+                         "column": r["column"],
+                         "n_diff_buckets": int(len(db))})
+    verdicts = pd.DataFrame(rows, columns=["part", "column",
+                                           "n_diff_buckets"])
+    if len(verdicts):
+        verdicts = verdicts.sort_values(
+            ["part", "column"]).reset_index(drop=True)
+    dirty_cols = sorted(set(verdicts["column"]) - {"__rows__"}) \
+        if len(verdicts) else []
+    return {"result": "success" if not len(verdicts) else "failed",
+            "table": metas[0]["table"],
+            "dirtyColumns": dirty_cols,
+            "rowSkew": bool(len(verdicts) and
+                            (verdicts["column"] == "__rows__").any()),
+            "verdicts": verdicts}
+
+
+def update_column_manifest_from_changes(manifest_dir: str, parsed,
+                                        schema: pa.Schema,
+                                        out_dir: str | None = None
+                                        ) -> dict:
+    """The CDC bridge for COLUMN manifests — same contract as
+    :func:`update_from_changes` (parsed events with ``v_<col>`` /
+    ``b_<col>`` transport strings, cast back through ``schema``),
+    folding via :func:`update_column_manifest`."""
+    import pyarrow.compute as pc
+
+    t = (_collect(parsed) if hasattr(parsed, "to_arrow_refs")
+         else parsed)
+    if t is None or t.num_rows == 0:
+        return update_column_manifest(manifest_dir, out_dir=out_dir)
+    cols = [f.name for f in schema]
+
+    def img(prefix: str, mask: np.ndarray) -> pa.Table:
+        arrs = []
+        for f in schema:
+            col = t.column(f"{prefix}{f.name}")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs.append(pc.cast(col.filter(pa.array(mask)), f.type))
+        return pa.table(dict(zip(cols, arrs)))
+
+    op = t.column("op").to_numpy(zero_copy_only=False).astype(str)
+    is_c, is_u, is_d = op == "c", op == "u", op == "d"
+    if is_u.any():
+        b0 = t.column(f"b_{cols[0]}")
+        if isinstance(b0, pa.ChunkedArray):
+            b0 = b0.combine_chunks()
+        if (pc.is_null(b0).to_numpy(zero_copy_only=False)
+                & is_u).any():
+            raise ValueError(
+                "update_column_manifest_from_changes: update without "
+                "a before image — enable REPLICA IDENTITY FULL")
+    removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
+    added = pa.concat_tables([img("v_", is_c), img("v_", is_u)])
+    return update_column_manifest(manifest_dir, removed=removed,
+                                  added=added, out_dir=out_dir)

@@ -612,3 +612,66 @@ class TestColumnManifest:
         res = M.verify_columns_against_manifest(
             rd.from_pandas(t1), d1)
         assert res["result"] == "success"
+
+    def test_diff_column_manifests(self, ray_session, tmp_path):
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        a, b, c = (str(tmp_path / x) for x in ("a", "b", "c"))
+        M.write_column_manifest(rd.from_pandas(self._t()), cfg, a,
+                                compare_cols=["v", "w"])
+        M.write_column_manifest(rd.from_pandas(self._t()), cfg, b,
+                                compare_cols=["v", "w"])
+        M.write_column_manifest(
+            rd.from_pandas(self._t(mutate_w=7)), cfg, c,
+            compare_cols=["v", "w"])
+        assert M.diff_column_manifests(a, b)["result"] == "success"
+        d = M.diff_column_manifests(a, c)
+        assert d["result"] == "failed" and d["dirtyColumns"] == ["w"]
+        other = DigestConfig(key_columns=("k",), num_partitions=2,
+                             buckets_per_partition=8)
+        e = str(tmp_path / "e")
+        M.write_column_manifest(rd.from_pandas(self._t()), other, e,
+                                compare_cols=["v", "w"])
+        with pytest.raises(ValueError):
+            M.diff_column_manifests(a, e)
+
+    def test_column_cdc_bridge(self, ray_session, tmp_path):
+        """Debezium events -> column manifest update == re-fingerprint
+        (per column, byte-for-byte)."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        cfg = DigestConfig(key_columns=("k",), num_partitions=4,
+                           buckets_per_partition=8)
+        t0 = self._t()
+        d0, d1, dref = (str(tmp_path / x) for x in
+                        ("base", "upd", "ref"))
+        M.write_column_manifest(rd.from_pandas(t0), cfg, d0,
+                                compare_cols=["v", "w"], table="t")
+        v1 = int(t0.loc[t0["k"] == 1, "v"].iloc[0])
+        w1 = t0.loc[t0["k"] == 1, "w"].iloc[0]
+        ev = [json.dumps({"payload": {
+            "before": {"k": "1", "v": str(v1), "w": w1},
+            "after": {"k": "1", "v": str(v1 + 5), "w": w1},
+            "source": {"table": "t"}, "op": "u", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v", "w"],
+            before_columns=["k", "v", "w"])
+        parsed = parse(pa.table({"text": pa.array(ev,
+                                                  pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                            ("w", pa.string())])
+        M.update_column_manifest_from_changes(d0, parsed, schema,
+                                              out_dir=d1)
+        t1 = t0.copy()
+        t1.loc[t1["k"] == 1, "v"] = v1 + 5
+        M.write_column_manifest(rd.from_pandas(t1), cfg, dref,
+                                compare_cols=["v", "w"], table="t")
+        fa = pq.read_table(d1 + "/column_signatures.parquet") \
+            .to_pandas().sort_values(["column", "part"]) \
+            .reset_index(drop=True)
+        fb = pq.read_table(dref + "/column_signatures.parquet") \
+            .to_pandas().sort_values(["column", "part"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(fa, fb)
