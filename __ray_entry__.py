@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_integrity_embeddings": q.embedding_integrity_embeddings,
         "correlation_lineitem": q.correlation_lineitem,
         "chunk_windows_documents": q.chunk_windows_documents,
-        "corpus_curation_v6": q.corpus_curation_v6,
+        "sequence_gaps_events": q.sequence_gaps_events,
         "bijection_documents_embeddings": q.bijection_documents_embeddings,
         "rules_monotonic_events": q.rules_monotonic_events,
         "null_patterns_documents": q.null_patterns_documents,
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": q.normalize_text_documents,
         "events_tumbling_window": q.events_tumbling_window,
         "hot_sources_documents": q.hot_sources_documents,
+        "corpus_curation_v6": q.corpus_curation_v6,
         # --- rotation picks: newest previously-verified entries ---
         "compare_orders_pair": q.compare_orders_pair,
         "hll_profile_documents": q.hll_profile_documents,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "manifest_verify_orders": q.MANIFEST_VERIFY_ORDERS_SQL,
         "manifest_update_orders": q.MANIFEST_UPDATE_ORDERS_SQL,
         "manifest_columns_orders": q.MANIFEST_COLUMNS_ORDERS_SQL,
+        "sequence_gaps_events": q.SEQUENCE_GAPS_EVENTS_SQL,
         # disjoint null/empty/whitespace-only classes per string col
         "completeness_documents": q.COMPLETENESS_DOCUMENTS_SQL,
     }

@@ -1981,3 +1981,50 @@ def embedding_integrity_counts(ds, vec_col: str, expected_dim: int,
     bad_cols = [c for c in out.columns if c not in ("n_rows",)]
     out["passed"] = int(sum(int(out[c].iloc[0]) for c in bad_cols) == 0)
     return out.astype(np.int64).reset_index(drop=True)
+
+
+def sequence_gap_audit(ds, col: str,
+                       batch_size: int | None = None) -> dict:
+    """Sequence-completeness audit of an integer ID column: for a
+    key space expected to be DENSE (auto-increment PKs, shard-ordinal
+    doc ids), ``n_missing = (max - min + 1) - n_distinct`` counts the
+    holes exactly — a dropped feed batch shows up here before any
+    row-level check can (the reference's row-count precondition,
+    generalized to position-aware completeness). Returns
+    ``{vmin, vmax, n, n_distinct, n_missing, n_duplicate}`` (all
+    exact ints; ``n_duplicate = n - n_distinct``); nulls excluded.
+
+    Shuffle shape: min/max/count fold per block (tiny scalar rows to
+    the driver); n_distinct rides the exact bucketed distinct kernel
+    (one row per distinct value per block). Empty/all-null input
+    returns zeros."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_integer(v.type):
+            raise ValueError("sequence_gap_audit needs an integer "
+                             "id column")
+        v = v.filter(pc.is_valid(v))
+        if len(v) == 0:
+            return pa.table({"vmin": pa.array([], pa.int64()),
+                             "vmax": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        arr = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vmin": pa.array([int(arr.min())], pa.int64()),
+                         "vmax": pa.array([int(arr.max())], pa.int64()),
+                         "n": pa.array([len(arr)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    if not len(parts):
+        return {"vmin": None, "vmax": None, "n": 0, "n_distinct": 0,
+                "n_missing": 0, "n_duplicate": 0}
+    vmin = int(parts["vmin"].min())
+    vmax = int(parts["vmax"].max())
+    n = int(parts["n"].sum())
+    nd = exact_distinct_count(ds, col, batch_size=batch_size)
+    return {"vmin": vmin, "vmax": vmax, "n": n, "n_distinct": nd,
+            "n_missing": (vmax - vmin + 1) - nd,
+            "n_duplicate": n - nd}

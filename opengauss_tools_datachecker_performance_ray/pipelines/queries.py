@@ -6184,3 +6184,40 @@ UNION ALL
 SELECT 'price_bump', 'failed', 'o_totalprice', FALSE
 ORDER BY caso
 """
+
+
+def sequence_gaps_events(sf_dir: str) -> pd.DataFrame:
+    """Sequence-completeness audit of event_id
+    (`checks.sequence_gap_audit`) over a GAPPY derived stream: keep
+    event_id % 7 != 0 (the injected feed loss), so the audit reports
+    the exact hole count — (max-min+1) - n_distinct — plus duplicate
+    count (0 here)."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def drop7(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id")
+        keep = pc.not_equal(
+            pc.subtract(eid, pc.multiply(
+                pc.divide(eid, pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        return batch.filter(keep)
+
+    res = checks.sequence_gap_audit(
+        ds.map_batches(drop7, batch_format="pyarrow"), "event_id")
+    return pd.DataFrame([{k: np.int64(v) for k, v in res.items()}])
+
+
+SEQUENCE_GAPS_EVENTS_SQL = """
+WITH t AS (SELECT event_id FROM events
+           WHERE event_id IS NOT NULL AND event_id % 7 <> 0)
+SELECT CAST(min(event_id) AS BIGINT) AS vmin,
+       CAST(max(event_id) AS BIGINT) AS vmax,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(max(event_id) - min(event_id) + 1
+            - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+           AS n_duplicate
+FROM t
+"""

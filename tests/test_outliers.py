@@ -161,3 +161,34 @@ def test_fanout_hypothesis_fuzz_vs_sql(ray_session):
             out.reset_index(drop=True), orc, check_dtype=False)
 
     check()
+
+
+class TestSequenceGapAudit:
+    def test_known_gaps_and_duplicates(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"id": pd.array(
+            [10, 11, 13, 13, 17, None], dtype="Int64")})
+        res = checks.sequence_gap_audit(rd.from_pandas(df), "id")
+        assert res == {"vmin": 10, "vmax": 17, "n": 5,
+                       "n_distinct": 4, "n_missing": 4,
+                       "n_duplicate": 1}  # missing: 12,14,15,16
+
+    def test_dense_clean(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame({"id": np.arange(100, dtype=np.int64)})
+        res = checks.sequence_gap_audit(
+            rd.from_pandas(df).repartition(4), "id")
+        assert res["n_missing"] == 0 and res["n_duplicate"] == 0
+
+    def test_empty_and_float_rejected(self, ray_session):
+        import ray.data as rd
+
+        empty = pd.DataFrame({"id": pd.Series(dtype="Int64")})
+        res = checks.sequence_gap_audit(rd.from_pandas(empty), "id")
+        assert res["n"] == 0 and res["vmin"] is None
+        with pytest.raises(Exception) as e:
+            checks.sequence_gap_audit(
+                rd.from_pandas(pd.DataFrame({"id": [1.5]})), "id")
+        assert "integer" in str(e.value)
