@@ -786,58 +786,44 @@ def write_column_manifest(ds, cfg: DigestConfig, out_dir: str,
     return meta
 
 
-def verify_columns_against_manifest(ds, manifest_dir: str,
-                                    batch_size: int | None = None
-                                    ) -> dict:
-    """Column-granular verify: which (partition, column) pairs differ
-    from the stored column manifest. Returns ``{"result", "table",
-    "dirtyColumns": sorted list, "verdicts": DataFrame(part, column,
-    n_diff_buckets)}`` — the ``__rows__`` pseudo-column carries pure
-    row-count/multiplicity skew (insert/delete), letting a reader
-    separate "values changed in column X" from "rows appeared/
-    vanished"."""
-    from ..functions import merkle
-
-    with open(os.path.join(manifest_dir,
-                           "column_manifest.json")) as f:
+def _load_column_frame(d: str) -> tuple[pd.DataFrame, dict]:
+    """(signature frame, meta) of a column manifest; version-guarded."""
+    with open(os.path.join(d, "column_manifest.json")) as f:
         meta = json.load(f)
     if meta.get("version") != MANIFEST_VERSION:
         raise ValueError("column manifest version drift")
-    cfg = DigestConfig(
-        key_columns=tuple(meta["key_columns"]),
-        num_partitions=meta["num_partitions"],
-        buckets_per_partition=meta["buckets_per_partition"])
-    stored = pq.read_table(
-        os.path.join(manifest_dir, "column_signatures.parquet"))
-    man = pd.DataFrame({
-        "column": stored.column("column").to_pylist(),
-        "part": stored.column("part").to_numpy(),
-        "root": stored.column("root").to_numpy().view(np.uint64),
-        "croot": stored.column("croot").to_numpy().view(np.uint64),
-        "leaves": stored.column("leaves").to_pylist(),
-        "counts": stored.column("counts").to_pylist(),
+    t = pq.read_table(os.path.join(d, "column_signatures.parquet"))
+    frame = pd.DataFrame({
+        "column": t.column("column").to_pylist(),
+        "part": t.column("part").to_numpy(),
+        "root": t.column("root").to_numpy().view(np.uint64),
+        "croot": t.column("croot").to_numpy().view(np.uint64),
+        "leaves": t.column("leaves").to_pylist(),
+        "counts": t.column("counts").to_pylist(),
     })
-    live_parts = ds.map_batches(
-        _column_partials_fn(cfg, meta["compare_cols"]),
-        batch_format="pyarrow", batch_size=batch_size)
-    live = _fold_column_partials(cmp._collect_arrow(live_parts), cfg,
-                                 meta["compare_cols"])
-    key = ["column", "part"]
-    j = man.merge(live, on=key, how="outer",
+    return frame, meta
+
+
+def _column_compare(man: pd.DataFrame, live: pd.DataFrame, B: int,
+                    table: str) -> dict:
+    """Shared (partition, column) compare of two column-signature
+    frames -> the verify/diff result dict. The ``__rows__``
+    pseudo-column's leaves are all-zero by construction (vhash=0), so
+    its only signal is the count root — the scalar skip requires BOTH
+    roots equal."""
+    from ..functions import merkle
+
+    j = man.merge(live, on=["column", "part"], how="outer",
                   suffixes=("_m", "_l"))
     rows = []
-    B = cfg.buckets_per_partition
     for _, r in j.iterrows():
-        root_m = r["root_m"] if pd.notna(r["root_m"]) else None
-        root_l = r["root_l"] if pd.notna(r["root_l"]) else None
-        croot_m = r["croot_m"] if pd.notna(r["croot_m"]) else None
-        croot_l = r["croot_l"] if pd.notna(r["croot_l"]) else None
-        # __rows__ leaves are all-zero by construction (vhash=0), so
-        # its ONLY signal is the count root — skip requires BOTH
-        if root_m is not None and root_l is not None \
-                and np.uint64(root_m) == np.uint64(root_l) \
-                and croot_m is not None and croot_l is not None \
-                and np.uint64(croot_m) == np.uint64(croot_l):
+        same_root = (pd.notna(r["root_m"]) and pd.notna(r["root_l"])
+                     and np.uint64(r["root_m"])
+                     == np.uint64(r["root_l"]))
+        same_croot = (pd.notna(r["croot_m"]) and pd.notna(r["croot_l"])
+                      and np.uint64(r["croot_m"])
+                      == np.uint64(r["croot_l"]))
+        if same_root and same_croot:
             continue
         lv_m = (np.frombuffer(r["leaves_m"], np.uint64)
                 if isinstance(r["leaves_m"], bytes)
@@ -864,14 +850,36 @@ def verify_columns_against_manifest(ds, manifest_dir: str,
             ["part", "column"]).reset_index(drop=True)
     dirty_cols = sorted(set(verdicts["column"]) - {"__rows__"}) \
         if len(verdicts) else []
-    return {
-        "result": "success" if not len(verdicts) else "failed",
-        "table": meta["table"],
-        "dirtyColumns": dirty_cols,
-        "rowSkew": bool(len(verdicts)
-                        and (verdicts["column"] == "__rows__").any()),
-        "verdicts": verdicts,
-    }
+    return {"result": "success" if not len(verdicts) else "failed",
+            "table": table,
+            "dirtyColumns": dirty_cols,
+            "rowSkew": bool(len(verdicts) and
+                            (verdicts["column"] == "__rows__").any()),
+            "verdicts": verdicts}
+
+
+def verify_columns_against_manifest(ds, manifest_dir: str,
+                                    batch_size: int | None = None
+                                    ) -> dict:
+    """Column-granular verify: which (partition, column) pairs differ
+    from the stored column manifest. Returns ``{"result", "table",
+    "dirtyColumns": sorted list, "verdicts": DataFrame(part, column,
+    n_diff_buckets)}`` — the ``__rows__`` pseudo-column carries pure
+    row-count/multiplicity skew (insert/delete), letting a reader
+    separate "values changed in column X" from "rows appeared/
+    vanished"."""
+    man, meta = _load_column_frame(manifest_dir)
+    cfg = DigestConfig(
+        key_columns=tuple(meta["key_columns"]),
+        num_partitions=meta["num_partitions"],
+        buckets_per_partition=meta["buckets_per_partition"])
+    live_parts = ds.map_batches(
+        _column_partials_fn(cfg, meta["compare_cols"]),
+        batch_format="pyarrow", batch_size=batch_size)
+    live = _fold_column_partials(cmp._collect_arrow(live_parts), cfg,
+                                 meta["compare_cols"])
+    return _column_compare(man, live, cfg.buckets_per_partition,
+                           meta["table"])
 
 
 def update_column_manifest(manifest_dir: str,
@@ -986,74 +994,16 @@ def diff_column_manifests(dir_a: str, dir_b: str) -> dict:
     Same output shape as :func:`verify_columns_against_manifest`
     (a = the "manifest" side, b = the "live" side); config drift
     raises."""
-    from ..functions import merkle
-
-    metas = []
-    frames = []
-    for d in (dir_a, dir_b):
-        with open(os.path.join(d, "column_manifest.json")) as f:
-            m = json.load(f)
-        if m.get("version") != MANIFEST_VERSION:
-            raise ValueError("column manifest version drift")
-        metas.append(m)
-        t = pq.read_table(os.path.join(d,
-                                       "column_signatures.parquet"))
-        frames.append(pd.DataFrame({
-            "column": t.column("column").to_pylist(),
-            "part": t.column("part").to_numpy(),
-            "root": t.column("root").to_numpy().view(np.uint64),
-            "croot": t.column("croot").to_numpy().view(np.uint64),
-            "leaves": t.column("leaves").to_pylist(),
-            "counts": t.column("counts").to_pylist(),
-        }))
+    man_a, meta_a = _load_column_frame(dir_a)
+    man_b, meta_b = _load_column_frame(dir_b)
     keys = ("key_columns", "num_partitions", "buckets_per_partition",
             "compare_cols")
-    if any(metas[0][k] != metas[1][k] for k in keys):
+    if any(meta_a[k] != meta_b[k] for k in keys):
         raise ValueError("column manifest configs differ — "
                          "re-fingerprint one side")
-    B = metas[0]["buckets_per_partition"]
-    j = frames[0].merge(frames[1], on=["column", "part"],
-                        how="outer", suffixes=("_m", "_l"))
-    rows = []
-    for _, r in j.iterrows():
-        same_root = (pd.notna(r["root_m"]) and pd.notna(r["root_l"])
-                     and np.uint64(r["root_m"]) == np.uint64(r["root_l"]))
-        same_croot = (pd.notna(r["croot_m"]) and pd.notna(r["croot_l"])
-                      and np.uint64(r["croot_m"])
-                      == np.uint64(r["croot_l"]))
-        if same_root and same_croot:
-            continue
-        lv_m = (np.frombuffer(r["leaves_m"], np.uint64)
-                if isinstance(r["leaves_m"], bytes)
-                else np.zeros(B, np.uint64))
-        lv_l = (np.frombuffer(r["leaves_l"], np.uint64)
-                if isinstance(r["leaves_l"], bytes)
-                else np.zeros(B, np.uint64))
-        db = merkle.diff_buckets(lv_m, lv_l)
-        ct_m = (np.frombuffer(r["counts_m"], np.int64)
-                if isinstance(r["counts_m"], bytes)
-                else np.zeros(B, np.int64))
-        ct_l = (np.frombuffer(r["counts_l"], np.int64)
-                if isinstance(r["counts_l"], bytes)
-                else np.zeros(B, np.int64))
-        db = np.union1d(db, np.nonzero(ct_m != ct_l)[0])
-        if len(db):
-            rows.append({"part": int(r["part"]),
-                         "column": r["column"],
-                         "n_diff_buckets": int(len(db))})
-    verdicts = pd.DataFrame(rows, columns=["part", "column",
-                                           "n_diff_buckets"])
-    if len(verdicts):
-        verdicts = verdicts.sort_values(
-            ["part", "column"]).reset_index(drop=True)
-    dirty_cols = sorted(set(verdicts["column"]) - {"__rows__"}) \
-        if len(verdicts) else []
-    return {"result": "success" if not len(verdicts) else "failed",
-            "table": metas[0]["table"],
-            "dirtyColumns": dirty_cols,
-            "rowSkew": bool(len(verdicts) and
-                            (verdicts["column"] == "__rows__").any()),
-            "verdicts": verdicts}
+    return _column_compare(man_a, man_b,
+                           meta_a["buckets_per_partition"],
+                           meta_a["table"])
 
 
 def update_column_manifest_from_changes(manifest_dir: str, parsed,
