@@ -722,11 +722,12 @@ def _run(args) -> int:
                         args.sketch_out, columns=cols, table=name)
                     summary["sketch_columns"] = pm["columns"]
             if args.drift_against:
-                import pickle
-
+                # the tiny JSON carries the layout flag — unpickling
+                # the sketch blob here would deserialize it twice
+                # (review finding)
                 with open(os.path.join(args.drift_against,
-                                       "sketches.pkl"), "rb") as f:
-                    grouped = pickle.load(f).get("grouped", False)
+                                       "profile.json")) as f:
+                    grouped = "group_col" in json.load(f)
                 if grouped:
                     rep = M.drift_vs_grouped_manifest(
                         rd.read_parquet(path), args.drift_against)
@@ -816,7 +817,8 @@ def _run(args) -> int:
                     args.violations_out,
                     re.sub(r"[^A-Za-z0-9_.,-]", "_", rid))
                 os.makedirs(out_dir, exist_ok=True)
-                R.rule_violation_rows(ds, rule, want) \
+                R.rule_violation_rows(ds, rule, want,
+                                      partition_col=part_col) \
                     .limit(args.violations_cap).write_parquet(out_dir)
         ok = bool((rep["passed"] == 1).all())
         print(json.dumps({

@@ -805,7 +805,8 @@ def evaluate_rules(ds, rules: list[Rule],
 
 
 def rule_violation_rows(ds, rule: Rule, columns: list[str],
-                        batch_size: int | None = None):
+                        batch_size: int | None = None,
+                        partition_col: str | None = None):
     """Streaming Dataset of the evidence for one rule's violations —
     the engine's ``Difference`` analog
     (`common/entry/check/Difference.java:28-41`).
@@ -818,7 +819,10 @@ def rule_violation_rows(ds, rule: Rule, columns: list[str],
     ``monotonic`` -> (key..., n_events, n_regressions) regressing
     keys; ``foreign_key`` -> dangling child key values. Aggregate
     rules have no row evidence (the verdict IS the evidence) and
-    raise."""
+    raise. ``partition_col`` must match the report's: a
+    partition-scoped FD judges (scope, det) groups, so its evidence
+    must be scoped too — an unscoped export could list groups the
+    scoped report passed (review finding)."""
     from . import checks
 
     if rule.kind in _CROSS_ROW:
@@ -831,7 +835,8 @@ def rule_violation_rows(ds, rule: Rule, columns: list[str],
         if rule.kind == "functional_dependency":
             return checks.fd_violating_groups(
                 ds, rule.column, rule.params["determines"],
-                batch_size=batch_size, evidence_rows=True)
+                batch_size=batch_size, evidence_rows=True,
+                scope_col=partition_col)
         if rule.kind == "monotonic":
             key = rule.params["key"]
             return checks.monotonic_regressions(

@@ -177,6 +177,7 @@ def make_event_parser(key_columns: dict[str, list[str]],
         out = {"table": [], "key": [], "op": [], "offset": [], "ts_ms": []}
         vals_out: dict[str, list] = {c: [] for c in vcols}
         before_out: dict[str, list] = {c: [] for c in bcols}
+        before_present: list[bool] = []
         for off, line in zip(offsets, lines):
             ev = parse_event(line, avro=avro)
             if ev is None:
@@ -197,6 +198,8 @@ def make_event_parser(key_columns: dict[str, list[str]],
                 v = data.get(c)
                 vals_out[c].append(None if v is None else str(v))
             bimg = ev.get("before")
+            if bcols:
+                before_present.append(bimg is not None)
             for c in bcols:
                 v = None if bimg is None else bimg.get(c)
                 before_out[c].append(None if v is None else str(v))
@@ -211,6 +214,12 @@ def make_event_parser(key_columns: dict[str, list[str]],
             cols[f"v_{c}"] = pa.array(vals_out[c], pa.large_string())
         for c in bcols:
             cols[f"b_{c}"] = pa.array(before_out[c], pa.large_string())
+        if bcols:
+            # whether the transport carried a before image AT ALL —
+            # a null b_<col> alone can't distinguish "column is NULL"
+            # from "image missing" (the manifest updater's guard
+            # needs the difference; review finding)
+            cols["has_before"] = pa.array(before_present, pa.bool_())
         return pa.table(cols)
 
     return parse

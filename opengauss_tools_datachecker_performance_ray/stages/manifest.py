@@ -194,7 +194,12 @@ def verify_against_manifest(ds, manifest_dir: str,
             p = man_sigs.at[i, "part"]
             man_sigs.at[i, "leaves"] = by_part.at[p, "leaves"]
             man_sigs.at[i, "counts"] = by_part.at[p, "counts"]
-    diffs = cmp.compare_signatures(man_sigs, live, cfg)
+        diffs = cmp.compare_signatures(man_sigs, live, cfg)
+    else:
+        # nothing grafted — the second compare would recompute `pre`
+        # with identical inputs (review finding: doubled the clean
+        # path's driver compare at 10^6 partitions)
+        diffs = pre
     dirty = [d for d in diffs if len(d.diff_buckets)
              or d.src_rows != d.snk_rows]
     verdicts = pd.DataFrame(
@@ -427,7 +432,11 @@ def update_manifest(manifest_dir: str,
 
         shutil.rmtree(shard_dir)
     n_rows = int(new_sigs["rows"].sum())
-    return _write_meta(out_dir, cfg, meta["table"], n_rows)
+    # preserve the recorded fingerprint column list — dropping it
+    # would disarm fold()'s projection/order guard on the NEXT update
+    # (review finding)
+    return _write_meta(out_dir, cfg, meta["table"], n_rows,
+                       columns=meta.get("columns"))
 
 
 def update_from_changes(manifest_dir: str, parsed,
@@ -444,18 +453,37 @@ def update_from_changes(manifest_dir: str, parsed,
     "Debezium log in, current fingerprint out", zero table reads.
 
     Event semantics: ``c`` adds the after image; ``d`` removes the
-    before image; ``u`` removes before AND adds after — an update
-    without a before image raises (enable full row images /
-    REPLICA IDENTITY FULL; folding an unknown before would corrupt
-    the XOR state silently). XOR folding commutes, so a whole
-    window applies in one pass regardless of event order, provided
-    each event's images are truthful."""
+    before image; ``u`` removes before AND adds after — an update OR
+    delete whose transport carried no before image at all raises
+    (enable full row images / REPLICA IDENTITY FULL; folding an
+    unknown before would corrupt the XOR state silently). A null
+    b_<col> VALUE inside a present image is trusted as a genuine
+    NULL — the transport cannot distinguish a null column from a
+    key-only partial image, so full row images are a hard
+    requirement. XOR folding commutes, so a whole window applies in
+    one pass regardless of event order, provided each event's images
+    are truthful."""
+    removed, added = _images_from_changes(parsed, schema)
+    if removed is None:  # empty window: no-op
+        return update_manifest(manifest_dir, out_dir=out_dir)
+    return update_manifest(manifest_dir, removed=removed, added=added,
+                           out_dir=out_dir)
+
+
+def _images_from_changes(parsed, schema: pa.Schema
+                         ) -> tuple[pa.Table | None, pa.Table | None]:
+    """Shared CDC-bridge core: parsed events (v_/b_ transport
+    strings + has_before) -> (removed, added) typed image tables, or
+    (None, None) for an empty window. Guards BOTH update and delete
+    events on the parser's ``has_before`` flag (a null b_<col> alone
+    cannot distinguish a null column value from a missing image —
+    review finding)."""
     import pyarrow.compute as pc
 
     t = (_collect(parsed) if hasattr(parsed, "to_arrow_refs")
          else parsed)
-    if t is None or t.num_rows == 0:  # empty window: no-op
-        return update_manifest(manifest_dir, out_dir=out_dir)
+    if t is None or t.num_rows == 0:
+        return None, None
     cols = [f.name for f in schema]
 
     def img(prefix: str, mask: np.ndarray) -> pa.Table:
@@ -469,20 +497,24 @@ def update_from_changes(manifest_dir: str, parsed,
 
     op = t.column("op").to_numpy(zero_copy_only=False).astype(str)
     is_c, is_u, is_d = op == "c", op == "u", op == "d"
-    if is_u.any():
-        b0 = t.column(f"b_{cols[0]}")
-        if isinstance(b0, pa.ChunkedArray):
-            b0 = b0.combine_chunks()
-        missing = pc.is_null(b0).to_numpy(zero_copy_only=False) & is_u
-        if missing.any():
+    needs_before = is_u | is_d
+    if needs_before.any():
+        if "has_before" not in t.column_names:
             raise ValueError(
-                "update_from_changes: update event(s) without a "
-                "before image — enable full row images "
-                "(REPLICA IDENTITY FULL) or re-fingerprint")
+                "change stream lacks the has_before flag — parse with "
+                "make_event_parser(before_columns=...)")
+        hb = t.column("has_before")
+        if isinstance(hb, pa.ChunkedArray):
+            hb = hb.combine_chunks()
+        hb = hb.to_numpy(zero_copy_only=False).astype(bool)
+        if (~hb & needs_before).any():
+            raise ValueError(
+                "update/delete event(s) without a before image — "
+                "enable full row images (REPLICA IDENTITY FULL) or "
+                "re-fingerprint")
     removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
     added = pa.concat_tables([img("v_", is_c), img("v_", is_u)])
-    return update_manifest(manifest_dir, removed=removed, added=added,
-                           out_dir=out_dir)
+    return removed, added
 
 
 def _collect(ds) -> pa.Table:
@@ -735,6 +767,28 @@ def _fold_column_partials(t: pa.Table, cfg: DigestConfig,
                                        "counts"])
 
 
+def _write_column_signatures(sigs: pd.DataFrame,
+                             out_dir: str) -> None:
+    """Atomic writer for the column-signature parquet (shared by the
+    fingerprint and incremental-update paths; roots stored as int64
+    bit patterns)."""
+    t = pa.table({
+        "column": pa.array(list(sigs["column"]), pa.string()),
+        "part": pa.array(sigs["part"].to_numpy(np.int64)),
+        "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
+        "root": pa.array(sigs["root"].to_numpy(np.uint64)
+                         .view(np.int64)),
+        "croot": pa.array(sigs["croot"].to_numpy(np.uint64)
+                          .view(np.int64)),
+        "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
+        "counts": pa.array(list(sigs["counts"]), pa.binary()),
+    })
+    tmp = os.path.join(out_dir, "column_signatures.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir,
+                                 "column_signatures.parquet"))
+
+
 def write_column_manifest(ds, cfg: DigestConfig, out_dir: str,
                           compare_cols: list[str],
                           table: str = "table",
@@ -753,21 +807,7 @@ def write_column_manifest(ds, cfg: DigestConfig, out_dir: str,
     sigs = _fold_column_partials(cmp._collect_arrow(parts_ds), cfg,
                                  compare_cols)
     os.makedirs(out_dir, exist_ok=True)
-    t = pa.table({
-        "column": pa.array(list(sigs["column"]), pa.string()),
-        "part": pa.array(sigs["part"].to_numpy(np.int64)),
-        "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
-        "root": pa.array(sigs["root"].to_numpy(np.uint64)
-                         .view(np.int64)),
-        "croot": pa.array(sigs["croot"].to_numpy(np.uint64)
-                          .view(np.int64)),
-        "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
-        "counts": pa.array(list(sigs["counts"]), pa.binary()),
-    })
-    tmp = os.path.join(out_dir, "column_signatures.parquet.tmp")
-    pq.write_table(t, tmp)
-    os.replace(tmp, os.path.join(out_dir,
-                                 "column_signatures.parquet"))
+    _write_column_signatures(sigs, out_dir)
     rows_rows = sigs[sigs["column"] == "__rows__"]
     meta = {
         "version": MANIFEST_VERSION,
@@ -813,18 +853,21 @@ def _column_compare(man: pd.DataFrame, live: pd.DataFrame, B: int,
     roots equal."""
     from ..functions import merkle
 
+    # nullable UInt64 BEFORE the outer merge: a plain merge coerces
+    # uint64 roots to float64 when any row is one-sided, degrading the
+    # equality to 53 bits — a false-clean hazard (review finding; the
+    # same guard compare._dirty_parts uses)
+    man = man.astype({"root": "UInt64", "croot": "UInt64"})
+    live = live.astype({"root": "UInt64", "croot": "UInt64"})
     j = man.merge(live, on=["column", "part"], how="outer",
                   suffixes=("_m", "_l"))
+    # vectorized clean skip: descend (python-level blob work) only
+    # into rows whose scalars differ (review finding: iterrows over
+    # every (part, column) pair was O(P*C) on the clean path)
+    same = ((j["root_m"] == j["root_l"]).fillna(False)
+            & (j["croot_m"] == j["croot_l"]).fillna(False))
     rows = []
-    for _, r in j.iterrows():
-        same_root = (pd.notna(r["root_m"]) and pd.notna(r["root_l"])
-                     and np.uint64(r["root_m"])
-                     == np.uint64(r["root_l"]))
-        same_croot = (pd.notna(r["croot_m"]) and pd.notna(r["croot_l"])
-                      and np.uint64(r["croot_m"])
-                      == np.uint64(r["croot_l"]))
-        if same_root and same_croot:
-            continue
+    for _, r in j[~same].iterrows():
         lv_m = (np.frombuffer(r["leaves_m"], np.uint64)
                 if isinstance(r["leaves_m"], bytes)
                 else np.zeros(B, np.uint64))
@@ -894,11 +937,7 @@ def update_column_manifest(manifest_dir: str,
     byte-equality with a re-fingerprint is pinned by test."""
     from ..functions import merkle
 
-    with open(os.path.join(manifest_dir,
-                           "column_manifest.json")) as f:
-        meta = json.load(f)
-    if meta.get("version") != MANIFEST_VERSION:
-        raise ValueError("column manifest version drift")
+    frame, meta = _load_column_frame(manifest_dir)
     cfg = DigestConfig(
         key_columns=tuple(meta["key_columns"]),
         num_partitions=meta["num_partitions"],
@@ -906,17 +945,13 @@ def update_column_manifest(manifest_dir: str,
     compare_cols = meta["compare_cols"]
     out_dir = out_dir or manifest_dir
     B = cfg.buckets_per_partition
-    stored = pq.read_table(
-        os.path.join(manifest_dir, "column_signatures.parquet"))
     leaves: dict[tuple, np.ndarray] = {}
     counts: dict[tuple, np.ndarray] = {}
-    for i in range(stored.num_rows):
-        k = (stored.column("column")[i].as_py(),
-             int(stored.column("part")[i].as_py()))
-        leaves[k] = np.frombuffer(
-            stored.column("leaves")[i].as_py(), np.uint64).copy()
-        counts[k] = np.frombuffer(
-            stored.column("counts")[i].as_py(), np.int64).copy()
+    for colname, part, lv, ct in zip(frame["column"], frame["part"],
+                                     frame["leaves"], frame["counts"]):
+        k = (colname, int(part))
+        leaves[k] = np.frombuffer(lv, np.uint64).copy()
+        counts[k] = np.frombuffer(ct, np.int64).copy()
     partial_fn = _column_partials_fn(cfg, compare_cols)
 
     def fold(tbl: pa.Table | None, delta: int) -> None:
@@ -963,21 +998,7 @@ def update_column_manifest(manifest_dir: str,
         "counts": [counts[k].tobytes() for k in ks],
     })
     os.makedirs(out_dir, exist_ok=True)
-    t = pa.table({
-        "column": pa.array(list(sigs["column"]), pa.string()),
-        "part": pa.array(sigs["part"].to_numpy(np.int64)),
-        "rows": pa.array(sigs["rows"].to_numpy(np.int64)),
-        "root": pa.array(sigs["root"].to_numpy(np.uint64)
-                         .view(np.int64)),
-        "croot": pa.array(sigs["croot"].to_numpy(np.uint64)
-                          .view(np.int64)),
-        "leaves": pa.array(list(sigs["leaves"]), pa.binary()),
-        "counts": pa.array(list(sigs["counts"]), pa.binary()),
-    })
-    tmp = os.path.join(out_dir, "column_signatures.parquet.tmp")
-    pq.write_table(t, tmp)
-    os.replace(tmp, os.path.join(out_dir,
-                                 "column_signatures.parquet"))
+    _write_column_signatures(sigs, out_dir)
     rows_tot = int(sigs.loc[sigs["column"] == "__rows__",
                             "rows"].sum())
     meta = dict(meta, n_rows=rows_tot)
@@ -1010,39 +1031,12 @@ def update_column_manifest_from_changes(manifest_dir: str, parsed,
                                         schema: pa.Schema,
                                         out_dir: str | None = None
                                         ) -> dict:
-    """The CDC bridge for COLUMN manifests — same contract as
-    :func:`update_from_changes` (parsed events with ``v_<col>`` /
-    ``b_<col>`` transport strings, cast back through ``schema``),
-    folding via :func:`update_column_manifest`."""
-    import pyarrow.compute as pc
-
-    t = (_collect(parsed) if hasattr(parsed, "to_arrow_refs")
-         else parsed)
-    if t is None or t.num_rows == 0:
+    """The CDC bridge for COLUMN manifests — the shared
+    :func:`_images_from_changes` core (same guards as
+    :func:`update_from_changes`), folding via
+    :func:`update_column_manifest`."""
+    removed, added = _images_from_changes(parsed, schema)
+    if removed is None:
         return update_column_manifest(manifest_dir, out_dir=out_dir)
-    cols = [f.name for f in schema]
-
-    def img(prefix: str, mask: np.ndarray) -> pa.Table:
-        arrs = []
-        for f in schema:
-            col = t.column(f"{prefix}{f.name}")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            arrs.append(pc.cast(col.filter(pa.array(mask)), f.type))
-        return pa.table(dict(zip(cols, arrs)))
-
-    op = t.column("op").to_numpy(zero_copy_only=False).astype(str)
-    is_c, is_u, is_d = op == "c", op == "u", op == "d"
-    if is_u.any():
-        b0 = t.column(f"b_{cols[0]}")
-        if isinstance(b0, pa.ChunkedArray):
-            b0 = b0.combine_chunks()
-        if (pc.is_null(b0).to_numpy(zero_copy_only=False)
-                & is_u).any():
-            raise ValueError(
-                "update_column_manifest_from_changes: update without "
-                "a before image — enable REPLICA IDENTITY FULL")
-    removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
-    added = pa.concat_tables([img("v_", is_c), img("v_", is_u)])
     return update_column_manifest(manifest_dir, removed=removed,
                                   added=added, out_dir=out_dir)

@@ -675,3 +675,121 @@ class TestColumnManifest:
             .to_pandas().sort_values(["column", "part"]) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(fa, fb)
+
+
+class TestReviewFindings:
+    """Regression pins for the round-5 code-review findings."""
+
+    def test_update_preserves_columns_guard(self, ray_session,
+                                            tmp_path):
+        """meta['columns'] must survive in-place updates — losing it
+        disarms the projection/order guard on the NEXT update."""
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        add1 = pa.table({"k": np.array([5000], np.int64),
+                         "v": np.array([1], np.int64)})
+        M.update_manifest(d, added=add1)
+        _, _, meta = M.read_manifest(d)
+        assert meta["columns"] == ["k", "v"]
+        # second update with a pandas-index-polluted image: the guard
+        # must still project (index column ignored, not hashed)
+        df = pd.DataFrame({"k": [6000], "v": [2]}, index=[9])
+        M.update_manifest(d, added=pa.Table.from_pandas(df))
+        t1 = pd.concat([_table(),
+                        pd.DataFrame({"k": [5000, 6000],
+                                      "v": [1, 2]})],
+                       ignore_index=True)
+        assert M.verify_against_manifest(
+            rd.from_pandas(t1), d)["result"] == "success"
+
+    def test_delete_without_before_image_raises(self, ray_session,
+                                                tmp_path):
+        """'d' events are guarded too (not just 'u' — review
+        finding)."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        d0 = str(tmp_path / "base")
+        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0)
+        ev = [json.dumps({"payload": {
+            "before": None, "after": None,
+            "source": {"table": "t"}, "op": "d", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v"],
+            before_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(
+            ev, pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        with pytest.raises(Exception):
+            # the tombstone has neither image: either the parser
+            # drops it (data None) or the guard raises — silently
+            # folding is the failure mode being pinned
+            out = M.update_from_changes(d0, parsed, schema,
+                                        out_dir=str(tmp_path / "x"))
+            # if the parser dropped the un-parseable event, the
+            # no-op result must equal the base manifest
+            a, _, _ = M.read_manifest(str(tmp_path / "x"))
+            b, _, _ = M.read_manifest(d0)
+            assert list(a["root"]) == list(b["root"])
+            raise RuntimeError("no-op fold (acceptable)")
+
+    def test_null_column_in_present_before_image_ok(self, ray_session,
+                                                    tmp_path):
+        """A PRESENT before image with a genuinely-null column value
+        must fold, not raise (has_before distinguishes the cases)."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        t0 = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                           "v": pd.array([None] + list(range(1, 10)),
+                                         dtype="Int64")})
+        d0, d1, dref = (str(tmp_path / x) for x in
+                        ("base", "upd", "ref"))
+        M.write_manifest(rd.from_pandas(t0), CFG, d0)
+        ev = [json.dumps({"payload": {
+            "before": {"k": "0", "v": None},
+            "after": {"k": "0", "v": "42"},
+            "source": {"table": "t"}, "op": "u", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v"],
+            before_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(
+            ev, pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        M.update_from_changes(d0, parsed, schema, out_dir=d1)
+        t1 = t0.copy()
+        t1.loc[t1["k"] == 0, "v"] = 42
+        M.write_manifest(rd.from_pandas(t1), CFG, dref)
+        a, _, _ = M.read_manifest(d1)
+        b, _, _ = M.read_manifest(dref)
+        assert list(a["root"]) == list(b["root"])
+
+    def test_column_compare_no_float_coercion(self, ray_session):
+        """One-sided rows must not degrade root equality to float64
+        53-bit precision (false-clean hazard — review finding)."""
+        B = 4
+        base = np.uint64(2**63 + 5)
+        near = np.uint64(2**63 + 6)  # same float64, different uint64
+        assert float(base) == float(near)
+        man = pd.DataFrame({
+            "column": ["v", "v"], "part": [0, 1],
+            "root": np.array([base, 7], np.uint64),
+            "croot": np.array([1, 1], np.uint64),
+            "leaves": [np.full(B, 1, np.uint64).tobytes()] * 2,
+            "counts": [np.full(B, 1, np.int64).tobytes()] * 2,
+        })
+        live = pd.DataFrame({
+            "column": ["v"], "part": [0],
+            "root": np.array([near], np.uint64),
+            "croot": np.array([1], np.uint64),
+            "leaves": [np.full(B, 2, np.uint64).tobytes()],
+            "counts": [np.full(B, 1, np.int64).tobytes()],
+        })
+        res = M._column_compare(man, live, B, "t")
+        # part 0 differs (roots differ at full precision) AND part 1
+        # is one-sided — both must be flagged
+        assert res["result"] == "failed"
+        parts = set(res["verdicts"]["part"])
+        assert parts == {0, 1}

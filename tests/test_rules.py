@@ -1274,3 +1274,27 @@ def test_monotonic_rule_fuzz_parity(ray_session_holder, vals, keys):
                  for c in ("n_rows", "n_violations", "passed")}) \
         .sort_values(["scope", "rule_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(rep, oracle)
+
+
+def test_scoped_fd_evidence_matches_scoped_report(ray_session):
+    """Review finding: a partition-scoped FD report judges (scope,
+    det) groups — the exported evidence must be scoped the same way.
+    A det whose dep differs only ACROSS scopes passes every per-scope
+    verdict and must produce NO scoped evidence rows (while the
+    unscoped evidence would list it)."""
+    df = pd.DataFrame({
+        "scope_c": ["A", "A", "B", "B"],
+        "det": ["d1", "d1", "d1", "d1"],
+        "dep": [1, 1, 2, 2],   # constant within each scope
+    })
+    ds = rd.from_pandas(df)
+    rule = R.Rule("functional_dependency", "det",
+                  {"determines": "dep"})
+    unscoped = R.rule_violation_rows(ds, rule, ["det"]).to_pandas()
+    assert len(unscoped) == 1  # cross-scope view: d1 -> {1, 2}
+    scoped = R.rule_violation_rows(
+        ds, rule, ["det"], partition_col="scope_c").to_pandas()
+    assert len(scoped) == 0    # matches the per-scope verdicts
+    # and the scoped report itself agrees: all scopes pass
+    rep = R.evaluate_rules(ds, [rule], partition_col="scope_c")
+    assert (rep["passed"] == 1).all()
