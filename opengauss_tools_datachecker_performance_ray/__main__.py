@@ -233,6 +233,10 @@ def main(argv: list[str] | None = None) -> int:
                          "profiles (per-partition temporal drift); "
                          "--drift-against auto-detects grouped "
                          "manifests")
+    pr.add_argument("--outliers", default=None,
+                    help="'group_col:value_col[:k]': per-group "
+                         "Tukey-fence outlier audit (exact q1/q3, "
+                         "fences q1-k*IQR / q3+k*IQR, default k=1.5)")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     fp = sub.add_parser(
@@ -742,6 +746,32 @@ def _run(args) -> int:
                     summary["result"] = "drifted"
                     print(json.dumps(summary, default=str))
                     return 1
+        if args.outliers:
+            import ray.data as rd
+
+            from .pipelines.checks import iqr_outlier_counts
+
+            if len(tables) != 1:
+                print(json.dumps({"result": "error",
+                                  "error": "--outliers needs a "
+                                           "single-table --input"}),
+                      file=sys.stderr)
+                return 2
+            parts = args.outliers.split(":")
+            if len(parts) not in (2, 3):
+                print(json.dumps({"result": "error",
+                                  "error": "--outliers wants "
+                                           "group_col:value_col[:k]"}),
+                      file=sys.stderr)
+                return 2
+            gcol, vcol = parts[0], parts[1]
+            k = float(parts[2]) if len(parts) == 3 else 1.5
+            (path,) = tables.values()
+            out = iqr_outlier_counts(
+                rd.read_parquet(path, columns=[gcol, vcol]),
+                gcol, vcol, k=k)
+            summary["outliers"] = json.loads(
+                out.to_json(orient="records"))
         if args.null_patterns or args.formats:
             import ray.data as rd
 

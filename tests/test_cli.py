@@ -740,3 +740,23 @@ class TestProfileCli:
         drifted = {d["grp"] for d in out["drift"]
                    if d["result"] == "failed"}
         assert drifted == {"b"}
+
+    def test_outliers_flag(self, ray_session, tmp_path, capsys):
+        import numpy as np
+
+        t = pa.table({"g": ["a"] * 11,
+                      "v": pa.array(list(range(10)) + [1000],
+                                    pa.int64())})
+        inp = tmp_path / "t.parquet"
+        pq.write_table(t, str(inp))
+        rc = main(["profile", "--input", str(inp),
+                   "--outliers", "g:v"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert rc == 0
+        assert out["outliers"][0]["n_out"] == 1
+        assert out["outliers"][0]["n"] == 11
+        # custom k widens the fences
+        rc = main(["profile", "--input", str(inp),
+                   "--outliers", "g:v:500"])
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["outliers"][0]["n_out"] == 0
