@@ -87,13 +87,25 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
     (at 10^6 partitions x 32k buckets the blobs are ~256 GB; the
     driver route would materialize them all). ``n_rows`` is then
     folded from a pruned re-read of the written rows column."""
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
+    # a re-fingerprint must REPLACE any prior store: the single-file
+    # layout shadows the shard dir in _sig_path, and Ray's
+    # write_parquet APPENDS into an existing shard dir — either stale
+    # remnant silently corrupts later verifies (review finding)
+    stale_file = os.path.join(out_dir, "signatures.parquet")
+    stale_dir = os.path.join(out_dir, "signatures")
     if distributed:
         import ray.data as rd
 
+        if os.path.exists(stale_file):
+            os.remove(stale_file)
+        if os.path.isdir(stale_dir):
+            shutil.rmtree(stale_dir)
         sig_ds = cmp.partition_signatures_distributed(
             digest_dataset(ds, cfg, batch_size), cfg)
-        sig_dir = os.path.join(out_dir, "signatures")
+        sig_dir = stale_dir
         os.makedirs(sig_dir, exist_ok=True)
         sig_ds.map_batches(
             lambda g: _sig_frame_to_arrow(g),
@@ -102,6 +114,8 @@ def write_manifest(ds, cfg: DigestConfig, out_dir: str,
                      .sum("rows") or 0)
         return _write_meta(out_dir, cfg, table, n_rows,
                            columns=list(ds.schema().names))
+    if os.path.isdir(stale_dir):
+        shutil.rmtree(stale_dir)
     sigs = cmp.partition_signatures(
         digest_dataset(ds, cfg, batch_size), cfg)
     n_rows = int(sigs["rows"].sum()) if len(sigs) else 0
@@ -162,25 +176,69 @@ def read_manifest(out_dir: str, scalars_only: bool = False
     return sigs, cfg, meta
 
 
+def _scalar_dirty_parts(sigs_a: pd.DataFrame, sigs_b: pd.DataFrame,
+                       cfg: DigestConfig) -> list[int]:
+    """Partitions whose (rows, root, croot) scalars differ — the
+    correct dirty test for scalars-only frames: PartitionDiff's
+    diff_buckets is empty when BOTH sides carry None blobs
+    (zeros-vs-zeros), so scalar dirtiness must be read off the
+    scalar arrays themselves."""
+    n, B = cfg.num_partitions, cfg.buckets_per_partition
+    a_rows, a_root, a_croot, _ = cmp._sig_scalar_arrays(sigs_a, n, B)
+    b_rows, b_root, b_croot, _ = cmp._sig_scalar_arrays(sigs_b, n, B)
+    dirty = ((a_root != b_root) | (a_croot != b_croot)
+             | (a_rows != b_rows))
+    return [int(p) for p in np.nonzero(dirty)[0]]
+
+
 def verify_against_manifest(ds, manifest_dir: str,
-                            batch_size: int | None = None) -> dict:
+                            batch_size: int | None = None,
+                            distributed: bool | None = None) -> dict:
     """Digest the LIVE dataset with the manifest's own config and run
     the scalar Merkle compare against the stored signatures. Returns
     ``{"result", "table", "partitions", "dirtyPartitions",
     "diffBuckets", "manifestRows", "liveRows", "verdicts"}`` where
     ``verdicts`` is one row per DIRTY partition (part, manifest_rows,
-    live_rows, n_diff_buckets) — clean runs carry an empty frame."""
+    live_rows, n_diff_buckets) — clean runs carry an empty frame.
+
+    ``distributed`` routes the LIVE side: the driver route
+    materializes every live partition's dense blobs (fine to ~10^3
+    partitions); the distributed route (auto-engaged past
+    ``compare.DRIVER_SIGNATURE_MAX_PARTITIONS``, the live compare's
+    own crossing) reduces per partition in workers and collects only
+    (part, rows, root, croot) scalars, fetching live blobs solely for
+    scalar-dirty partitions — so a clean verify at 10^6 partitions
+    holds ~24 B/partition on the driver for BOTH sides (review
+    finding: the driver route here defeated the distributed write
+    route's whole point)."""
     # two-phase read: scalar columns first (24 B/partition), then the
     # dense leaf blobs ONLY for partitions the scalar pass marked
     # dirty — at 10^6 partitions the clean-path verify never lifts a
     # blob off storage (mirrors compare's sparse distributed route)
     man_sigs, cfg, meta = read_manifest(manifest_dir,
                                         scalars_only=True)
-    live = cmp.partition_signatures(
-        digest_dataset(ds, cfg, batch_size), cfg)
+    if distributed is None:
+        distributed = (cfg.num_partitions
+                       > cmp.DRIVER_SIGNATURE_MAX_PARTITIONS)
+    red = None
+    if distributed:
+        red = cmp.partition_signatures_distributed(
+            digest_dataset(ds, cfg, batch_size), cfg).materialize()
+        live_roots = red.select_columns(
+            ["part", "rows", "root", "croot"]).to_pandas()
+        live = cmp._sparse_sig_frame(
+            live_roots, pd.DataFrame(columns=["part", "leaves",
+                                              "counts"]))
+    else:
+        live = cmp.partition_signatures(
+            digest_dataset(ds, cfg, batch_size), cfg)
     pre = cmp.compare_signatures(man_sigs, live, cfg)
-    dirty_parts = [d.part for d in pre
-                   if len(d.diff_buckets) or d.src_rows != d.snk_rows]
+    dirty_parts = _scalar_dirty_parts(man_sigs, live, cfg)
+    if dirty_parts and red is not None:
+        # fetch the LIVE blobs for dirty partitions only
+        blobs = cmp._fetch_blobs(red, np.asarray(dirty_parts,
+                                                 np.int64))
+        live = cmp._sparse_sig_frame(live_roots, blobs)
     if dirty_parts:
         blobs = _frame_from_table(pq.read_table(
             _sig_path(manifest_dir),
@@ -229,9 +287,20 @@ def _tables_in(d: str) -> dict[str, str]:
 
     out = {}
     for p in sorted(glob.glob(os.path.join(d, "*"))):
-        name = os.path.splitext(os.path.basename(p.rstrip("/")))[0]
-        if p.endswith(".parquet") or os.path.isdir(p):
-            out[name] = p
+        base = os.path.basename(p.rstrip("/"))
+        if p.endswith(".parquet"):
+            name = os.path.splitext(base)[0]
+        elif os.path.isdir(p):
+            # a dotted DIRECTORY name ("db.orders") is a table name,
+            # not an extension — splitext would collide tables
+            # (review finding)
+            name = base
+        else:
+            continue
+        if name in out:
+            raise ValueError(f"schema dir: colliding table name "
+                             f"{name!r} ({out[name]} vs {p})")
+        out[name] = p
     return out
 
 
@@ -308,12 +377,28 @@ def diff_manifests(dir_a: str, dir_b: str) -> dict:
     must match (the alignment invariant — differing geometry raises);
     output matches ``verify_against_manifest``'s shape with sides
     named a/b."""
-    sigs_a, cfg_a, meta_a = read_manifest(dir_a)
-    sigs_b, cfg_b, meta_b = read_manifest(dir_b)
+    # scalars-first two-phase on BOTH sides: a clean nightly diff
+    # touches ~24 B/partition instead of every leaf blob (review
+    # finding; same shape as verify_against_manifest)
+    sigs_a, cfg_a, meta_a = read_manifest(dir_a, scalars_only=True)
+    sigs_b, cfg_b, meta_b = read_manifest(dir_b, scalars_only=True)
     if cfg_a != cfg_b:
         raise ValueError("manifest configs differ — re-fingerprint "
                          f"one side ({cfg_a} vs {cfg_b})")
-    diffs = cmp.compare_signatures(sigs_a, sigs_b, cfg_a)
+    dirty_parts = _scalar_dirty_parts(sigs_a, sigs_b, cfg_a)
+    pre = None
+    if dirty_parts:
+        for sigs, d in ((sigs_a, dir_a), (sigs_b, dir_b)):
+            blobs = _frame_from_table(pq.read_table(
+                _sig_path(d), filters=[("part", "in", dirty_parts)]))
+            by_part = blobs.set_index("part")
+            for i in sigs.index[sigs["part"].isin(by_part.index)]:
+                p = sigs.at[i, "part"]
+                sigs.at[i, "leaves"] = by_part.at[p, "leaves"]
+                sigs.at[i, "counts"] = by_part.at[p, "counts"]
+        diffs = cmp.compare_signatures(sigs_a, sigs_b, cfg_a)
+    else:  # no scalar-dirty partition: clean by construction
+        diffs = cmp.compare_signatures(sigs_a, sigs_b, cfg_a)
     dirty = [d for d in diffs if len(d.diff_buckets)
              or d.src_rows != d.snk_rows]
     verdicts = pd.DataFrame(
@@ -370,7 +455,16 @@ def update_manifest(manifest_dir: str,
               if ct is not None else np.zeros(B, np.int64)
               for p, ct in zip(sigs["part"], sigs["counts"])}
     digest = make_digest_fn(cfg)
-    fp_cols = meta.get("columns")
+    # with compare_columns set the digest reads only keys + compare
+    # columns (by NAME), so images need just those; the order-
+    # sensitive full-schema projection applies only to the
+    # compare-all default (review finding)
+    if cfg.compare_columns is not None:
+        fp_cols = (list(cfg.key_columns)
+                   + [c for c in cfg.compare_columns
+                      if c not in cfg.key_columns])
+    else:
+        fp_cols = meta.get("columns")
 
     def fold(tbl: pa.Table, delta: int) -> None:
         if tbl is None or tbl.num_rows == 0:
@@ -396,8 +490,7 @@ def update_manifest(manifest_dir: str,
                 leaves[p] = np.zeros(B, np.uint64)
                 counts[p] = np.zeros(B, np.int64)
             np.bitwise_xor.at(leaves[p], bucket[m], vhash[m])
-            np.add.at(counts[p], bucket[m],
-                      np.int64(delta) * np.ones(int(m.sum()), np.int64))
+            np.add.at(counts[p], bucket[m], np.int64(delta))
 
     fold(removed, -1)
     fold(added, +1)
@@ -463,25 +556,35 @@ def update_from_changes(manifest_dir: str, parsed,
     requirement. XOR folding commutes, so a whole window applies in
     one pass regardless of event order, provided each event's images
     are truthful."""
-    removed, added = _images_from_changes(parsed, schema)
+    with open(os.path.join(manifest_dir, "manifest.json")) as f:
+        table = json.load(f).get("table")
+    removed, added = _images_from_changes(parsed, schema, table=table)
     if removed is None:  # empty window: no-op
         return update_manifest(manifest_dir, out_dir=out_dir)
     return update_manifest(manifest_dir, removed=removed, added=added,
                            out_dir=out_dir)
 
 
-def _images_from_changes(parsed, schema: pa.Schema
+def _images_from_changes(parsed, schema: pa.Schema,
+                         table: str | None = None
                          ) -> tuple[pa.Table | None, pa.Table | None]:
     """Shared CDC-bridge core: parsed events (v_/b_ transport
     strings + has_before) -> (removed, added) typed image tables, or
     (None, None) for an empty window. Guards BOTH update and delete
     events on the parser's ``has_before`` flag (a null b_<col> alone
     cannot distinguish a null column value from a missing image —
-    review finding)."""
+    review finding). With ``table``, events for OTHER tables are
+    dropped first — a multi-table Debezium topic must not fold a
+    stranger's events into this manifest (review finding). A window
+    with no update/delete events needs no ``b_`` columns at all
+    (insert-only streams parse without ``before_columns``)."""
     import pyarrow.compute as pc
 
-    t = (_collect(parsed) if hasattr(parsed, "to_arrow_refs")
-         else parsed)
+    t = (cmp._collect_arrow(parsed)
+         if hasattr(parsed, "to_arrow_refs") else parsed)
+    if t is not None and table is not None \
+            and "table" in t.column_names:
+        t = t.filter(pc.equal(t.column("table"), table))
     if t is None or t.num_rows == 0:
         return None, None
     cols = [f.name for f in schema]
@@ -512,17 +615,15 @@ def _images_from_changes(parsed, schema: pa.Schema
                 "update/delete event(s) without a before image — "
                 "enable full row images (REPLICA IDENTITY FULL) or "
                 "re-fingerprint")
-    removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
+    if needs_before.any():
+        removed = pa.concat_tables([img("b_", is_u), img("b_", is_d)])
+    else:
+        # insert-only window: no b_ columns exist (and none are
+        # needed) — an empty typed table keeps the fold a no-op
+        removed = pa.table({c: pa.array([], f.type)
+                            for c, f in zip(cols, schema)})
     added = pa.concat_tables([img("v_", is_c), img("v_", is_u)])
     return removed, added
-
-
-def _collect(ds) -> pa.Table:
-    import ray
-
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    return (pa.concat_tables(tables, promote_options="none")
-            if tables else None)
 
 
 def write_profile_manifest(ds, out_dir: str,
@@ -649,6 +750,21 @@ def write_grouped_profile_manifest(ds, group_col: str,
     return meta
 
 
+def read_grouped_profile_manifest(out_dir: str) -> dict:
+    """The grouped sketch blob {version, group_col, value_cols,
+    profiles}; version- and layout-guarded (the read counterpart of
+    ``write_grouped_profile_manifest`` — review finding)."""
+    import pickle
+
+    with open(os.path.join(out_dir, "sketches.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    if blob.get("version") != MANIFEST_VERSION or \
+            not blob.get("grouped"):
+        raise ValueError("not a grouped profile manifest (or version "
+                         "drift)")
+    return blob
+
+
 def drift_vs_grouped_manifest(ds, manifest_dir: str,
                               ks_threshold: float = 0.1,
                               psi_threshold: float = 0.25,
@@ -660,16 +776,9 @@ def drift_vs_grouped_manifest(ds, manifest_dir: str,
     median-excess correction is needed; thresholds apply directly as
     in the pairwise ``drift_report``). Groups present on only one
     side get a ``missing_on`` verdict row instead of a silent skip."""
-    import pickle
-
     from ..pipelines.checks import _drift_rows, grouped_profiles
 
-    with open(os.path.join(manifest_dir, "sketches.pkl"), "rb") as f:
-        blob = pickle.load(f)
-    if blob.get("version") != MANIFEST_VERSION or \
-            not blob.get("grouped"):
-        raise ValueError("not a grouped profile manifest (or version "
-                         "drift)")
+    blob = read_grouped_profile_manifest(manifest_dir)
     stored = blob["profiles"]
     live, _route = grouped_profiles(
         ds, blob["group_col"], blob["value_cols"],
@@ -1035,7 +1144,10 @@ def update_column_manifest_from_changes(manifest_dir: str, parsed,
     :func:`_images_from_changes` core (same guards as
     :func:`update_from_changes`), folding via
     :func:`update_column_manifest`."""
-    removed, added = _images_from_changes(parsed, schema)
+    with open(os.path.join(manifest_dir,
+                           "column_manifest.json")) as f:
+        table = json.load(f).get("table")
+    removed, added = _images_from_changes(parsed, schema, table=table)
     if removed is None:
         return update_column_manifest(manifest_dir, out_dir=out_dir)
     return update_column_manifest(manifest_dir, removed=removed,

@@ -389,7 +389,8 @@ class TestUpdateFromChanges:
         )
 
         d0 = str(tmp_path / "base")
-        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0)
+        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0,
+                         table="t")
         ev = [json.dumps({"payload": {
             "before": None, "after": {"k": "1", "v": "99"},
             "source": {"table": "t"}, "op": "u", "ts_ms": 1}})]
@@ -747,7 +748,7 @@ class TestReviewFindings:
                                          dtype="Int64")})
         d0, d1, dref = (str(tmp_path / x) for x in
                         ("base", "upd", "ref"))
-        M.write_manifest(rd.from_pandas(t0), CFG, d0)
+        M.write_manifest(rd.from_pandas(t0), CFG, d0, table="t")
         ev = [json.dumps({"payload": {
             "before": {"k": "0", "v": None},
             "after": {"k": "0", "v": "42"},
@@ -793,3 +794,130 @@ class TestReviewFindings:
         assert res["result"] == "failed"
         parts = set(res["verdicts"]["part"])
         assert parts == {0, 1}
+
+    def test_distributed_live_verify_route(self, ray_session,
+                                           tmp_path):
+        """Review finding: the live side must also have a scalar-only
+        distributed route — verdicts identical to the driver route,
+        clean and dirty."""
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        for live_df in (_table(), _table(bump=1234)):
+            a = M.verify_against_manifest(rd.from_pandas(live_df), d,
+                                          distributed=False)
+            b = M.verify_against_manifest(rd.from_pandas(live_df), d,
+                                          distributed=True)
+            assert a["result"] == b["result"]
+            assert a["dirtyPartitions"] == b["dirtyPartitions"]
+            assert a["diffBuckets"] == b["diffBuckets"]
+            assert a["liveRows"] == b["liveRows"]
+            pd.testing.assert_frame_equal(a["verdicts"],
+                                          b["verdicts"])
+
+    def test_refingerprint_replaces_stale_stores(self, ray_session,
+                                                 tmp_path):
+        """Review finding: re-fingerprinting the same dir must
+        REPLACE the prior store in either layout (stale single file
+        shadowed new shards; Ray write_parquet appends)."""
+        import os
+
+        d = str(tmp_path / "man")
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        # switch layouts: distributed re-fingerprint of a CHANGED table
+        M.write_manifest(rd.from_pandas(_table(bump=3)), CFG, d,
+                         distributed=True)
+        assert not os.path.exists(os.path.join(d,
+                                               "signatures.parquet"))
+        res = M.verify_against_manifest(
+            rd.from_pandas(_table(bump=3)), d)
+        assert res["result"] == "success"  # NEW fingerprint governs
+        # distributed -> distributed again must not append-duplicate
+        M.write_manifest(rd.from_pandas(_table()), CFG, d,
+                         distributed=True)
+        sigs, _, meta = M.read_manifest(d)
+        assert meta["n_rows"] == 2000
+        assert sigs["part"].is_unique
+        # and distributed -> driver layout clears the shard dir
+        M.write_manifest(rd.from_pandas(_table()), CFG, d)
+        assert not os.path.isdir(os.path.join(d, "signatures"))
+
+    def test_multi_table_stream_filtered(self, ray_session, tmp_path):
+        """Review finding: events for OTHER tables in the stream must
+        not fold into this manifest."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        d0, d1 = str(tmp_path / "base"), str(tmp_path / "upd")
+        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0,
+                         table="t")
+        ev = [json.dumps({"payload": {
+            "before": None, "after": {"k": "999", "v": "1"},
+            "source": {"table": "OTHER"}, "op": "c", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"], "OTHER": ["k"]},
+            value_columns=["k", "v"], before_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(
+            ev, pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        meta = M.update_from_changes(d0, parsed, schema, out_dir=d1)
+        assert meta["n_rows"] == 10  # stranger's insert NOT folded
+        assert M.verify_against_manifest(
+            rd.from_pandas(_table(n=10)), d1)["result"] == "success"
+
+    def test_insert_only_window_without_before_columns(
+            self, ray_session, tmp_path):
+        """Review finding: a pure-insert window parsed WITHOUT
+        before_columns must fold (no b_ columns needed)."""
+        from opengauss_tools_datachecker_performance_ray.sources import (
+            debezium,
+        )
+
+        d0, d1 = str(tmp_path / "base"), str(tmp_path / "upd")
+        M.write_manifest(rd.from_pandas(_table(n=10)), CFG, d0,
+                         table="t")
+        ev = [json.dumps({"payload": {
+            "before": None, "after": {"k": "5000", "v": "7"},
+            "source": {"table": "t"}, "op": "c", "ts_ms": 1}})]
+        parse = debezium.make_event_parser(
+            key_columns={"t": ["k"]}, value_columns=["k", "v"])
+        parsed = parse(pa.table({"text": pa.array(
+            ev, pa.large_string())}))
+        schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+        meta = M.update_from_changes(d0, parsed, schema, out_dir=d1)
+        assert meta["n_rows"] == 11
+
+    def test_compare_columns_subset_images_ok(self, ray_session,
+                                              tmp_path):
+        """Review finding: with compare_columns set, CDC images need
+        only keys + compare columns — extra fingerprint-time columns
+        (never hashed) must not be demanded."""
+        cfg = DigestConfig(key_columns=("k",), compare_columns=("v",),
+                           num_partitions=4, buckets_per_partition=8)
+        t0 = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                           "v": np.arange(20, dtype=np.int64),
+                           "extra": ["x"] * 20})
+        d0, d1 = str(tmp_path / "base"), str(tmp_path / "upd")
+        M.write_manifest(rd.from_pandas(t0), cfg, d0, table="t")
+        added = pa.table({"k": np.array([99], np.int64),
+                          "v": np.array([1], np.int64)})  # no 'extra'
+        meta = M.update_manifest(d0, added=added, out_dir=d1)
+        assert meta["n_rows"] == 21
+        t1 = pd.concat([t0, pd.DataFrame({"k": [99], "v": [1],
+                                          "extra": ["y"]})],
+                       ignore_index=True)
+        assert M.verify_against_manifest(
+            rd.from_pandas(t1), d1)["result"] == "success"
+
+    def test_schema_dir_dotted_names_and_collisions(self, tmp_path):
+        """Review finding: dotted DIRECTORY names are table names;
+        file/dir collisions raise instead of silently shadowing."""
+        d = tmp_path / "s"
+        (d / "db.orders").mkdir(parents=True)
+        (d / "db.users").mkdir()
+        out = M._tables_in(str(d))
+        assert set(out) == {"db.orders", "db.users"}
+        pq.write_table(pa.table({"a": [1]}), str(d / "t.parquet"))
+        (d / "t").mkdir()
+        with pytest.raises(ValueError):
+            M._tables_in(str(d))
