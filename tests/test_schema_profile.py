@@ -170,3 +170,37 @@ def test_null_pattern_empty_input(ray_session):
                        "b": pd.Series(dtype=object)})
     out = checks.null_pattern_profile(rd.from_pandas(df), ["a", "b"])
     assert out.count() == 0
+
+
+def test_null_pattern_hypothesis_fuzz_vs_sql(ray_session):
+    """null_pattern_profile == SQL GROUP BY over is-null flags on
+    arbitrary null layouts."""
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from opengauss_tools_datachecker_performance_ray.pipelines import (
+        checks,
+    )
+
+    cell = st.one_of(st.none(), st.integers(0, 3))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(cell, cell), min_size=1, max_size=25))
+    def check(rows):
+        df = pd.DataFrame({
+            "a": pd.array([r[0] for r in rows], dtype="Int64"),
+            "b": pd.array([r[1] for r in rows], dtype="Int64"),
+        })
+        out = checks.null_pattern_profile(rd.from_pandas(df),
+                                          ["a", "b"]).to_pandas() \
+            .sort_values(["a_null", "b_null"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        orc = con.execute(
+            "SELECT a IS NULL AS a_null, b IS NULL AS b_null, "
+            "count(*) AS n FROM t GROUP BY 1, 2 "
+            "ORDER BY 1, 2").df()
+        pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+    check()

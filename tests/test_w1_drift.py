@@ -123,3 +123,17 @@ def test_w1_empty_input(ray_session):
     out = _run(df)
     assert len(out) == 0
     assert list(out.columns) == ["g", "w1_num", "n_a", "n_b"]
+
+
+def test_w1_partition_invariance(ray_session):
+    """Block structure must not change the exact statistic (the
+    partial fold is associative)."""
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 500),
+        "v": rng.integers(0, 200, 500)})
+    one = _run(df)
+    import ray.data as rd
+    many = checks.w1_exact_by_group(
+        rd.from_pandas(df).repartition(16), "g", "v")
+    pd.testing.assert_frame_equal(one, many)
